@@ -1,0 +1,289 @@
+"""Deduplication operators for large-scale text corpora.
+
+Beyond-reference operators (BASELINE.json north star): exact dedup,
+word-shingle Jaccard near-dup, MinHash+LSH near-dup, and SimHash near-dup,
+all over a ``documents(doc_id, text, …)`` table.
+
+Scale design (100 TB corpus):
+* exact: one hash-partitioned shuffle on the dedup key.
+* shingle Jaccard (``ngram_jaccard_pairs``): exact but quadratic in the
+  worst case — the shingle self-join explodes on hot shingles. Usable for
+  verification at small scale; at corpus scale use MinHash+LSH.
+* MinHash+LSH (``minhash_lsh_pairs``): linear-ish — per-doc signatures
+  (map-side), band buckets (one shuffle), candidate verification restricted
+  to same-bucket pairs. This is the scale path; banding parameters trade
+  recall for cost.
+* SimHash (``simhash_pairs``): 64-bit signature per doc; near-dups =
+  signatures within Hamming distance k, found via band buckets.
+
+All Spark-built-in expressions (xxhash64, transform/slice/aggregate) — no
+Python UDFs anywhere in dedup.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: word n-gram size for shingling
+DEFAULT_SHINGLE = 3
+#: MinHash parameters: 64 permutations → 32 bands × 2 rows. At Jaccard 0.5
+#: the per-pair miss probability is (1 - 0.5²)³² ≈ 1e-4.
+NUM_PERM = 64
+NUM_BANDS = 32
+
+
+def tokens_expr(text_col: str = "text"):
+    """Lowercased whitespace tokens."""
+    return F.split(F.lower(F.col(text_col)), r"\s+")
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+             n: int = DEFAULT_SHINGLE) -> DataFrame:
+    """One row per (doc, distinct word n-gram shingle).
+
+    The shingle construction is a pure Column expression
+    (sequence → slice → array_join), evaluated inside codegen.
+    """
+    toks = tokens_expr(text_col)
+    sh = F.when(
+        F.size(toks) >= n,
+        F.expr(
+            f"array_distinct(transform(sequence(1, size(split(lower({text_col}),"
+            f" '\\\\s+')) - {n - 1}),"
+            f" i -> array_join(slice(split(lower({text_col}), '\\\\s+'), i, {n}), ' ')))"
+        ),
+    ).otherwise(F.array())
+    return df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """Exact dedup: keep one deterministic winner (min ``order_col``) per
+    distinct key. One hash shuffle on the key; at scale pre-hash long keys
+    (xxhash64) so the shuffle key is fixed-width."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _jaccard_from_shingles(sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """Pair Jaccard from a (doc, shingle) relation: |A∩B| via shingle
+    self-join, |A∪B| = |A|+|B|−|A∩B|."""
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard near-duplicate pairs (doc_a < doc_b).
+
+    Ground truth for MinHash; quadratic on hot shingles — small/medium
+    scale only (see module docstring)."""
+    return _jaccard_from_shingles(shingles(df, id_col, text_col, n), id_col, threshold)
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str = "doc_id", num_perm: int = NUM_PERM
+) -> DataFrame:
+    """Per-doc MinHash signature: for permutation p, min over shingles of
+    xxhash64(p, shingle). One aggregation — num_perm mins computed
+    map-side-partial in a single pass (no per-permutation shuffles)."""
+    mins = [
+        F.min(F.xxhash64(F.lit(p), F.col("shingle"))).alias(f"h{p}")
+        for p in range(num_perm)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+    threshold: float = 0.5,
+    num_perm: int = NUM_PERM,
+    num_bands: int = NUM_BANDS,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs, verified with exact Jaccard.
+
+    signatures → band hashes → bucket join (candidates) → exact-Jaccard
+    verification of candidates only. Output equals ``ngram_jaccard_pairs``
+    up to LSH recall (see NUM_PERM note); verification removes all false
+    positives, so precision is exact.
+    """
+    rows_per_band = num_perm // num_bands
+    sh = shingles(df, id_col, text_col, n)
+    sig = minhash_signatures(sh, id_col, num_perm).cache()
+
+    band_cols = [
+        F.xxhash64(
+            F.lit(band),
+            *[F.col(f"h{band * rows_per_band + r}") for r in range(rows_per_band)],
+        ).alias(f"b{band}")
+        for band in range(num_bands)
+    ]
+    bands = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(b) for b in range(num_bands)]),
+                F.array(*band_cols),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    # verify candidates with exact Jaccard (broadcast the candidate list —
+    # it is tiny relative to the corpus when banding is tuned correctly)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        F.broadcast(candidates)
+        .join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per document from token hashes.
+
+    For bit b: sum +1/-1 over tokens according to bit b of xxhash64(token);
+    signature bit b = 1 iff the sum is positive. One groupBy with 64
+    conditional sums (map-side partials), then a bit-pack expression.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"s{b}")
+        for b in range(64)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    packed = functools.reduce(
+        operator.add,
+        [
+            F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long") * (1 << b) if b < 63
+                   else F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+            for b in range(64)
+        ],
+    )
+    return agg.select(F.col(id_col), packed.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``.
+
+    Bucket on 4 × 16-bit bands (pigeonhole: any pair within distance 3
+    agrees on ≥1 band), join within buckets, verify exact Hamming distance
+    via bit_count(xor). Linear-ish; the band join is the only shuffle.
+    """
+    sig = simhash_signatures(df, id_col, text_col)
+    bands = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.shiftright(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "simhash", "band.band_id", "band.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

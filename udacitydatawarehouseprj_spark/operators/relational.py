@@ -1,0 +1,50 @@
+"""Relational operator helpers (SURVEY §2.2-2.7).
+
+Most relational operators are expressed inline in ``queries.py`` as plain
+DataFrame chains — that IS the idiomatic Spark form (Catalyst sees the whole
+logical plan and fuses filter/project into the scan). The helpers here are
+the few reusable compositions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def top_k(df: DataFrame, order: Sequence[Column], k: int) -> DataFrame:
+    """Deterministic top-k: ORDER BY (with a unique tie-break supplied by
+    the caller) + LIMIT. The reference only ever uses bare LIMIT
+    (sql_queries.py:220; SURVEY §2.5 L1) — non-deterministic; we always
+    pair it with an order (§5 test discipline).
+
+    Scale: Spark plans this as TakeOrderedAndProject — each partition keeps
+    k rows, then the driver merges; no global sort shuffle.
+    """
+    return df.orderBy(*order).limit(k)
+
+
+def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """J3: native left_anti — the reference spells this as
+    LEFT JOIN … WHERE right.col IS NULL (Fiddle.ipynb cell 61,
+    json:34162-34165)."""
+    return left.join(right, on, "left_anti")
+
+
+def grouped_top_k(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order: Sequence[Column],
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-k per group via row_number window. Order must include a unique
+    tie-break for determinism."""
+    w = Window.partitionBy(*partition_cols).orderBy(*order)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )

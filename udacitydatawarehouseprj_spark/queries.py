@@ -1,0 +1,966 @@
+"""The public query surface + DuckDB oracle SQL (the driver contract).
+
+Every operator from SURVEY.md §2 (and every north-star extension operator)
+has an entry here: a PySpark callable ``(spark, sf_dir) -> DataFrame`` and,
+where SQL-expressible, a DuckDB oracle string over the same parquet tables
+(pre-registered views: region nation customer supplier part orders lineitem
+events documents embeddings).
+
+Cross-engine determinism rules used throughout (SURVEY §5.1):
+* every computed column aliased identically on both sides;
+* aggregates over doubles go through exact DECIMAL arithmetic and a final
+  cast to double (identical correctly-rounded conversion on both engines)
+  — never raw double SUMs, whose partial-aggregation order is
+  engine-dependent;
+* averages are ``exact_decimal_sum_as_double / count`` — one IEEE division
+  of identical operands;
+* per-row double expressions are written with the identical operation tree
+  on both sides (IEEE ops are deterministic given identical operands);
+* timestamps: Spark session timezone pinned to UTC (``session.configure``)
+  so values match DuckDB's naive timestamps;
+* no bare LIMIT — always ORDER BY with a unique tie-break (§4 Q2 lesson);
+* integer division is spelled explicitly (floor) on both sides (§4 Q1).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from udacitydatawarehouseprj_spark import session as S
+from udacitydatawarehouseprj_spark.functions import datetime as dtf
+from udacitydatawarehouseprj_spark.operators import dedup, similarity, textops
+from udacitydatawarehouseprj_spark.operators import multimodal as mm
+from udacitydatawarehouseprj_spark.operators import relational as rel
+from udacitydatawarehouseprj_spark.plans import star_schema
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → non-SQL-expressible; driver does rows-only
+    doc: str
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, oracle: str | None, doc: str):
+    def wrap(fn):
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return wrap
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    S.configure(spark)
+    return S.load_table(spark, sf_dir, name)
+
+
+# Exact-decimal aggregation helpers (see module docstring). The final
+# conversion chain is round(·,4) → DECIMAL(18,4) → DOUBLE: rounding first
+# (both engines round half-away-from-zero for positive decimals; a bare
+# narrowing cast TRUNCATES in DuckDB but ROUNDS in Spark), then narrowing
+# so the unscaled value fits in 2^53, which makes the decimal→double
+# conversion exact in both engines (DuckDB's conversion of wider decimals
+# is not correctly rounded — off-by-one-ulp results observed).
+def _dsum(col: F.Column, dec: str = "decimal(18,6)") -> F.Column:
+    return _narrow(F.sum(col.cast(dec)))
+
+
+def _narrow(agg: F.Column) -> F.Column:
+    return F.round(agg, 4).cast("decimal(18,4)").cast("double")
+
+
+def _SQL_DSUM(expr: str, dec: str = "DECIMAL(18,6)") -> str:
+    return f"CAST(CAST(ROUND(SUM(CAST({expr} AS {dec})), 4) AS DECIMAL(18,4)) AS DOUBLE)"
+
+
+#: DuckDB expression for the reference's YYYYMMDDHH int time key (F3)
+SQL_TIME_KEY = "CAST(strftime(date_trunc('hour', {ts}), '%Y%m%d%H') AS BIGINT)"
+
+
+# =====================================================================
+# M1 — flagship (the fact-build shape: filter → derive hour key → agg)
+# =====================================================================
+
+@_register(
+    "flagship_hourly_activity",
+    oracle=f"""
+    SELECT {SQL_TIME_KEY.format(ts='ts')} AS time_key,
+           COUNT(*) AS n_events,
+           {_SQL_DSUM('value')} AS total_value
+    FROM events
+    WHERE event_type = 'view'
+    GROUP BY 1
+    """,
+    doc="Flagship: play-event filter (P3) → hour time_key derivation (F2/F3,"
+        " reference sql_queries.py:164-172) → groupBy count/sum (A2)."
+        " Single shuffle; filter + projection pushed to the parquet scan.",
+)
+def flagship_hourly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(dtf.time_key("ts").alias("time_key"))
+        .agg(
+            F.count("*").alias("n_events"),
+            _dsum(F.col("value")).alias("total_value"),
+        )
+    )
+
+
+# =====================================================================
+# §2.2 projections / filters / predicates
+# =====================================================================
+
+@_register(
+    "projection_rename",
+    oracle="""
+    SELECT l_orderkey AS order_key,
+           l_linenumber AS line_number,
+           l_quantity AS qty,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem
+    """,
+    doc="P1/P2: projection + rename + per-row arithmetic (the 18→9 column"
+        " fact reshape, reference sql_queries.py:157-173). Column pruning"
+        " reaches the scan (ReadSchema shows 4 of 11 columns).",
+)
+def projection_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_number"),
+        F.col("l_quantity").alias("qty"),
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias(
+            "net_price"
+        ),
+    )
+
+
+@_register(
+    "filter_eq",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events WHERE event_type = 'purchase'
+    """,
+    doc="P3: equality predicate (the page='NextSong' business filter,"
+        " reference sql_queries.py:181). Pushed to the parquet scan.",
+)
+def filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "value"
+    )
+
+
+@_register(
+    "filter_like_lower",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part WHERE lower(p_name) LIKE '%red%'
+    """,
+    doc="P4: lower() + LIKE pattern (reference Fiddle.ipynb cell 59,"
+        " lower(artist_name) LIKE '%kanye%').",
+)
+def filter_like_lower(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.filter(F.lower(F.col("p_name")).like("%red%")).select(
+        "p_partkey", "p_name", "p_retailprice"
+    )
+
+
+@_register(
+    "filter_null_probe",
+    oracle="""
+    SELECT e.event_id, e.user_id, s.s_name
+    FROM events e LEFT JOIN supplier s ON e.user_id = s.s_suppkey
+    WHERE s.s_suppkey IS NULL
+    """,
+    doc="P5 + J3 idiom: LEFT JOIN … WHERE right IS NULL — find unmatched"
+        " rows (reference Fiddle.ipynb cell 61, json:34162-34165).",
+)
+def filter_null_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sup = _t(spark, sf_dir, "supplier")
+    j = ev.join(
+        F.broadcast(sup), ev["user_id"] == sup["s_suppkey"], "left"
+    )
+    return j.filter(F.col("s_suppkey").isNull()).select(
+        "event_id", "user_id", "s_name"
+    )
+
+
+# =====================================================================
+# §2.3 joins
+# =====================================================================
+
+@_register(
+    "join_left_compound",
+    oracle="""
+    WITH dim AS (
+        SELECT user_id, event_type, COUNT(*) AS type_count
+        FROM events GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, e.event_type, d.type_count
+    FROM events e LEFT JOIN dim d USING (user_id, event_type)
+    """,
+    doc="J1: LEFT OUTER equi-join on a compound 2-column key (the"
+        " (artist, title) catalog join, reference sql_queries.py:177-180).",
+)
+def join_left_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("type_count"))
+    return ev.join(dim, ["user_id", "event_type"], "left").select(
+        "event_id", "user_id", "event_type", "type_count"
+    )
+
+
+@_register(
+    "join_inner",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, p.p_name,
+           l.l_quantity * p.p_retailprice AS gross
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+    doc="J2: INNER equi-join (reference Fiddle.ipynb cells 55-56 match-rate"
+        " probes). part is broadcast — no shuffle of the big side.",
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).select(
+        "l_orderkey",
+        "l_linenumber",
+        "p_name",
+        (F.col("l_quantity") * F.col("p_retailprice")).alias("gross"),
+    )
+
+
+@_register(
+    "join_anti",
+    oracle="""
+    SELECT e.event_id, e.user_id
+    FROM events e
+    WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = e.user_id)
+    """,
+    doc="J3: native left_anti join — the reference spells it as"
+        " left-join-null-probe (Fiddle.ipynb cell 61).",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sup = _t(spark, sf_dir, "supplier")
+    return rel.anti_join(
+        ev, F.broadcast(sup), ev["user_id"] == sup["s_suppkey"]
+    ).select("event_id", "user_id")
+
+
+@_register(
+    "star_join_region_revenue",
+    oracle=f"""
+    SELECT r.r_name,
+           COUNT(*) AS n_items,
+           {_SQL_DSUM("CAST(l_extendedprice AS DECIMAL(15,4)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(8,6)))", "DECIMAL(30,10)")} AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    doc="J4: star joins fact→dims (README.md:63-87 design). Dims broadcast"
+        " (DISTSTYLE ALL ≙ broadcast, SURVEY §4 O2); the lineitem↔orders"
+        " join is the only shuffle and AQE handles skew.",
+)
+def star_join_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    revenue_term = F.col("l_extendedprice").cast("decimal(15,4)") * (
+        F.lit(1).cast("decimal(1,0)") - F.col("l_discount").cast("decimal(8,6)")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            _narrow(F.sum(revenue_term.cast("decimal(30,10)"))).alias("revenue"),
+        )
+    )
+
+
+# =====================================================================
+# §2.4 aggregations
+# =====================================================================
+
+@_register(
+    "agg_count_star",
+    oracle="SELECT COUNT(*) AS n_rows FROM lineitem",
+    doc="A1: scalar COUNT (validation counts, Fiddle.ipynb cells 44-50).",
+)
+def agg_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").agg(F.count("*").alias("n_rows"))
+
+
+@_register(
+    "agg_groupby_count",
+    oracle="SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY 1",
+    doc="A2: GROUP BY + COUNT (page value counts, Fiddle.ipynb cell 38;"
+        " group-by-ordinal in the oracle mirrors the reference's GROUP BY 1).",
+)
+def agg_groupby_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@_register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(15,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))
+    """,
+    doc="A3: GROUPING SETS multi-granularity rollup in one pass (reference"
+        " Fiddle.ipynb cell 53, json:31700). Catalyst expands via Expand —"
+        " one shuffle for both granularities.",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(15,4))) AS DOUBLE) AS sum_qty
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))
+        """
+    )
+
+
+@_register(
+    "distinct_multi",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    doc="A4: multi-column DISTINCT (the dimension-build dedup, reference"
+        " sql_queries.py:186-220).",
+)
+def distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority"
+    ).distinct()
+
+
+# =====================================================================
+# §2.5 sorts / limits / top-k  +  window functions (§2.9 extension)
+# =====================================================================
+
+@_register(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    doc="L1/L2: deterministic top-k — ORDER BY with unique tie-break +"
+        " LIMIT (the reference's bare LIMIT, sql_queries.py:220, made"
+        " deterministic per SURVEY §5). Plans as TakeOrderedAndProject —"
+        " no global sort.",
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return rel.top_k(
+        orders, [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 10
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@_register(
+    "window_user_top_events",
+    oracle="""
+    SELECT user_id, event_id, value, CAST(rn AS INTEGER) AS rn
+    FROM (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY value DESC, event_id) AS rn
+        FROM events
+    ) WHERE rn <= 3
+    """,
+    doc="Window functions (absent from the reference, SURVEY §2.9; the"
+        " 'user listening distribution' extension README.md:55-56 calls"
+        " for): top-3 events per user via row_number.",
+)
+def window_user_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return rel.grouped_top_k(
+        ev.select("user_id", "event_id", "value"),
+        ["user_id"],
+        [F.col("value").desc(), F.col("event_id").asc()],
+        3,
+    ).withColumn("rn", F.col("rn").cast("int"))
+
+
+@_register(
+    "setops_daily_users",
+    oracle="""
+    WITH c AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+               FROM events WHERE event_type = 'click'),
+         p AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+               FROM events WHERE event_type = 'purchase')
+    SELECT 'union' AS op, (SELECT COUNT(*) FROM (SELECT * FROM c UNION SELECT * FROM p)) AS n
+    UNION ALL
+    SELECT 'intersect', (SELECT COUNT(*) FROM (SELECT * FROM c INTERSECT SELECT * FROM p))
+    UNION ALL
+    SELECT 'except', (SELECT COUNT(*) FROM (SELECT * FROM c EXCEPT SELECT * FROM p))
+    """,
+    doc="Set operations (absent from the reference, SURVEY §2.6): UNION /"
+        " INTERSECT / EXCEPT over (user, day) activity pairs.",
+)
+def setops_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+
+    def daily(etype: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .select("user_id", F.col("ts").cast("date").alias("d"))
+            .distinct()
+        )
+
+    c, p = daily("click"), daily("purchase")
+    rows = [
+        ("union", c.union(p).distinct()),
+        ("intersect", c.intersect(p)),
+        ("except", c.subtract(p)),
+    ]
+    out = None
+    for op, df in rows:
+        one = df.agg(F.count("*").alias("n")).select(
+            F.lit(op).alias("op"), F.col("n")
+        )
+        out = one if out is None else out.union(one)
+    return out
+
+
+# =====================================================================
+# §2.7 CTEs / derived tables
+# =====================================================================
+
+@_register(
+    "cte_hourly_active_users",
+    oracle="""
+    WITH active AS (SELECT * FROM events WHERE event_type <> 'error'),
+         hourly AS (SELECT DISTINCT date_trunc('hour', ts) AS hour_ts, user_id
+                    FROM active)
+    SELECT hour_ts, COUNT(*) AS active_users FROM hourly GROUP BY hour_ts
+    """,
+    doc="Q1/Q2: CTE + derived table (the unique_times CTE shape, reference"
+        " sql_queries.py:217-221).",
+)
+def cte_hourly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events").createOrReplaceTempView("_cte_events")
+    return spark.sql(
+        """
+        WITH active AS (SELECT * FROM _cte_events WHERE event_type <> 'error'),
+             hourly AS (SELECT DISTINCT date_trunc('hour', ts) AS hour_ts, user_id
+                        FROM active)
+        SELECT hour_ts, COUNT(*) AS active_users FROM hourly GROUP BY hour_ts
+        """
+    )
+
+
+# =====================================================================
+# §2.8 scalar functions — the time dimension build (F1-F17)
+# =====================================================================
+
+@_register(
+    "time_dimension_build",
+    oracle=f"""
+    WITH unique_times AS (SELECT DISTINCT date_trunc('hour', ts) AS t FROM events)
+    SELECT {SQL_TIME_KEY.format(ts='t')} AS time_key,
+           CAST(hour(t) AS INTEGER) AS hour,
+           strftime(t, '%Y-%m-%d') AS date,
+           CAST(day(t) AS INTEGER) AS day,
+           CAST(week(t) AS INTEGER) AS week,
+           CAST(month(t) AS INTEGER) AS month,
+           CAST(quarter(t) AS INTEGER) AS quarter,
+           CAST(year(t) AS INTEGER) AS year,
+           CAST(dayofweek(t) + 1 AS INTEGER) AS day_of_week,
+           dayofweek(t) IN (0, 6) AS is_weekend,
+           CAST(CASE WHEN month(t) BETWEEN 1 AND 3 THEN year(t) - 1
+                     ELSE year(t) END AS INTEGER) AS fiscal_year,
+           CAST(CASE WHEN month(t) BETWEEN 1 AND 3 THEN 4
+                     WHEN month(t) BETWEEN 4 AND 6 THEN 1
+                     WHEN month(t) BETWEEN 7 AND 9 THEN 2
+                     ELSE 3 END AS INTEGER) AS fiscal_quarter,
+           CASE WHEN month(t) IN (12, 1, 2) THEN 'Winter'
+                WHEN month(t) IN (3, 4, 5) THEN 'Spring'
+                WHEN month(t) IN (6, 7, 8) THEN 'Summer'
+                ELSE 'Fall' END AS season,
+           CAST(NULL AS VARCHAR) AS special_event
+    FROM unique_times
+    """,
+    doc="The dim_time_dimensions build (reference sql_queries.py:214-303):"
+        " DISTINCT hours → 13 derived columns (F2-F17, incl. the DOW"
+        " numbering F12, fiscal calendar and season F13/F14). Quirk Q2"
+        " (debug LIMIT 100) fixed: built from ALL rows.",
+)
+def time_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    dim = star_schema.build_dim_time(ev, ts_is_epoch_millis=False)
+    # DATE → ISO string for the cross-engine hash: pandas renders Spark
+    # DateType as datetime.date but DuckDB DATE as datetime64 — same value,
+    # different stringification. The plan function keeps real DateType.
+    return dim.withColumn("date", F.date_format("date", "yyyy-MM-dd"))
+
+
+@_register(
+    "epoch_millis_roundtrip",
+    oracle="""
+    SELECT event_id,
+           epoch_ms(ts) AS ts_millis,
+           make_timestamp((epoch_ms(ts) // 1000) * 1000000) AS ts_sec
+    FROM events
+    """,
+    doc="F1 + quirk Q1: epoch-millis → timestamp with Redshift integer-"
+        "division truncation (reference sql_queries.py:168 — BIGINT ts/1000"
+        " drops the millisecond part). The oracle spells // explicitly.",
+)
+def epoch_millis_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    millis = F.unix_millis(F.col("ts"))
+    return ev.select(
+        "event_id",
+        millis.alias("ts_millis"),
+        dtf.epoch_millis_to_ts(millis).alias("ts_sec"),
+    )
+
+
+@_register(
+    "sparkify_fct_build",
+    oracle=f"""
+    SELECT e.event_id, e.user_id, s.s_name AS catalog_name,
+           {SQL_TIME_KEY.format(ts='e.ts')} AS time_key, e.ts
+    FROM events e LEFT JOIN supplier s ON e.user_id = s.s_suppkey
+    WHERE e.event_type = 'purchase'
+    """,
+    doc="The full fact-build shape (reference sql_queries.py:155-182) on"
+        " testdata: business filter → LEFT join catalog (broadcast; most"
+        " rows unmatched, like the 6,820→1,144 title match rate) → project"
+        " + time_key derivation.",
+)
+def sparkify_fct_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sup = _t(spark, sf_dir, "supplier")
+    j = ev.filter(F.col("event_type") == "purchase").join(
+        F.broadcast(sup), ev["user_id"] == sup["s_suppkey"], "left"
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("s_name").alias("catalog_name"),
+        dtf.time_key("ts").alias("time_key"),
+        "ts",
+    )
+
+
+# =====================================================================
+# TPC-H-style headline aggregation (beyond-reference; bench workhorse)
+# =====================================================================
+
+# 1 is spelled DECIMAL(1,0): a bare int literal promotes to DECIMAL(10,0)
+# and inflates product precision past 38 digits on the Spark side, which
+# triggers lossy scale reduction and breaks bit-equality with the oracle.
+_ONE = "CAST(1 AS DECIMAL(1,0))"
+_Q1_DISC = (
+    f"CAST(l_extendedprice AS DECIMAL(15,4)) * ({_ONE} - CAST(l_discount AS DECIMAL(8,6)))"
+)
+# lossless widening of the disc product before the tax multiply — DuckDB
+# otherwise plans the product narrow enough to overflow at execution
+_Q1_CHARGE = (
+    f"CAST({_Q1_DISC} AS DECIMAL(25,10)) * ({_ONE} + CAST(l_tax AS DECIMAL(8,6)))"
+)
+
+
+@_register(
+    "tpch_q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_SQL_DSUM('l_quantity', 'DECIMAL(15,4)')} AS sum_qty,
+           {_SQL_DSUM('l_extendedprice', 'DECIMAL(15,4)')} AS sum_base_price,
+           {_SQL_DSUM(_Q1_DISC, 'DECIMAL(30,10)')} AS sum_disc_price,
+           {_SQL_DSUM(_Q1_CHARGE, 'DECIMAL(36,16)')} AS sum_charge,
+           {_SQL_DSUM('l_quantity', 'DECIMAL(15,4)')} / COUNT(*) AS avg_qty,
+           {_SQL_DSUM('l_extendedprice', 'DECIMAL(15,4)')} / COUNT(*) AS avg_price,
+           {_SQL_DSUM('l_discount', 'DECIMAL(8,6)')} / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 pricing summary (beyond-reference headline agg: SUM/AVG/"
+        "COUNT with HAVING-class predicates). Exact-decimal partial"
+        " aggregation — map-side combine, one shuffle.",
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(1,0)")
+    disc = F.col("l_extendedprice").cast("decimal(15,4)") * (
+        one - F.col("l_discount").cast("decimal(8,6)")
+    )
+    charge = disc * (one + F.col("l_tax").cast("decimal(8,6)"))
+    cnt = F.count("*")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity"), "decimal(15,4)").alias("sum_qty"),
+            _dsum(F.col("l_extendedprice"), "decimal(15,4)").alias("sum_base_price"),
+            _narrow(F.sum(disc.cast("decimal(30,10)"))).alias("sum_disc_price"),
+            _narrow(F.sum(charge.cast("decimal(36,16)"))).alias("sum_charge"),
+            (_dsum(F.col("l_quantity"), "decimal(15,4)") / cnt).alias("avg_qty"),
+            (_dsum(F.col("l_extendedprice"), "decimal(15,4)") / cnt).alias("avg_price"),
+            (_dsum(F.col("l_discount"), "decimal(8,6)") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+# =====================================================================
+# North-star extensions: dedup / similarity / text / multimodal
+# =====================================================================
+
+@_register(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+    """,
+    doc="Exact dedup: one deterministic winner (min doc_id) per distinct"
+        " text. One hash shuffle on the key; at 100 TB pre-hash the text"
+        " (xxhash64) so the shuffle key is 8 bytes, not the document.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, ["text"], "doc_id").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+_JACCARD_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 2, 0) + 1),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+        FROM toks
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_inter AS DOUBLE)
+                 / CAST(x.n_sh + y.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+    FROM pairs JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+    WHERE CAST(n_inter AS DOUBLE) / CAST(x.n_sh + y.n_sh - n_inter AS DOUBLE) >= 0.5
+"""
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    oracle=_JACCARD_ORACLE,
+    doc="Near-dup pairs by exact word-3-gram Jaccard ≥ 0.5 (ground truth"
+        " for MinHash). Shingle self-join — verification-scale only; the"
+        " LSH variant is the 100 TB path.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+@_register(
+    "dedup_minhash_lsh",
+    oracle=_JACCARD_ORACLE,
+    doc="MinHash(64 perms)+LSH(32 bands) near-dup pairs, candidates"
+        " verified with exact Jaccard — same contract as"
+        " dedup_ngram_jaccard (miss probability ≈1e-4 at j=0.5), at"
+        " corpus-linear cost: signatures map-side, one bucket-join shuffle,"
+        " verification only on candidates.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, threshold=0.5)
+
+
+@_register(
+    "dedup_simhash",
+    oracle=None,  # engine-specific 64-bit hashing — rows-only check
+    doc="SimHash near-dup pairs (Hamming ≤ 3) via 4×16-bit band buckets."
+        " Signature hashing is engine-native (xxhash64) — not SQL-portable,"
+        " so no DuckDB oracle; invariants are unit-tested instead.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, max_hamming=3)
+
+
+_DOT_SQL = (
+    "list_reduce(list_transform(range(1, 65), i -> {a}[i] * {b}[i]),"
+    " (x, y) -> x + y)"
+)
+
+
+_ANN_ORACLE = f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, emb,
+               sqrt({_DOT_SQL.format(a='emb', b='emb')}) AS nrm
+        FROM e
+    ),
+    pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_DOT_SQL.format(a='c.emb', b='q.emb')} / (c.nrm * q.nrm) AS cosine
+        FROM n c JOIN n q ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank,
+           ROUND(cosine, 6) AS cosine
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM pairs
+    ) WHERE rnk <= 5
+"""
+
+
+@_register(
+    "ann_cosine_topk",
+    oracle=_ANN_ORACLE,
+    doc="Similarity search baseline: exact brute-force cosine top-5 for"
+        " query vectors (vec_id<10). Dot products are sequential left-folds"
+        " (F.aggregate ≙ DuckDB list_reduce) → bit-identical doubles."
+        " Queries broadcast; corpus scan is partition-parallel.",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk(emb, queries, k=5)
+
+
+@_register(
+    "ann_cosine_topk_lsh",
+    oracle=None,  # approximate by construction (recall < 1) — rows-only
+    doc="ANN scale path: random-hyperplane LSH buckets (8 planes) + exact"
+        " rerank within bucket. Bucket join replaces the cross join"
+        " (|Q|·|C| → |Q|·|C|/2^8). Recall measured against the exact"
+        " baseline in tests.",
+)
+def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk_lsh(emb, queries, k=5, num_planes=8)
+
+
+@_register(
+    "ann_ivf_topk",
+    oracle=None,  # approximate by construction — rows-only
+    doc="ANN IVF path: 16 coarse cells, 4-probe. Centroid assignment and"
+        " probing are broadcast joins; only probed cells are reranked.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(emb, queries, k=5, num_cells=16, n_probe=4)
+
+
+@_register(
+    "embedding_near_dup",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, emb, sqrt({_DOT_SQL.format(a='emb', b='emb')}) AS nrm
+        FROM e
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_DOT_SQL.format(a='a.emb', b='b.emb')} / (a.nrm * b.nrm), 6) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE {_DOT_SQL.format(a='a.emb', b='b.emb')} / (a.nrm * b.nrm) >= 0.4
+    """,
+    doc="Embedding-cosine near-duplicate pairs (cosine ≥ 0.4). Exact"
+        " pairwise — the LSH bucket variant bounds this at corpus scale.",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs(emb, threshold=0.4)
+
+
+@_register(
+    "text_token_stats",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, length(text) AS n_chars,
+               string_split_regex(lower(text), '\\s+') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_chars AS INTEGER) AS n_chars,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS INTEGER)
+               AS n_token_chars,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) AS avg_token_len
+    FROM t
+    """,
+    doc="Token counting (whitespace tokenizer) + length stats. Pure"
+        " higher-order Column expressions — per-row map, no shuffle.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return textops.token_stats(docs)
+
+
+@_register(
+    "text_quality_score",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, text, length(text) AS n,
+               length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS alpha,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit,
+               length(text) - length(replace(text, ' ', '')) AS space,
+               len(list_filter(string_split_regex(lower(text), '\\s+'),
+                   x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS stop,
+               len(string_split_regex(lower(text), '\\s+')) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(alpha AS DOUBLE) / CAST(n AS DOUBLE) AS alpha_ratio,
+           CAST(digit AS DOUBLE) / CAST(n AS DOUBLE) AS digit_ratio,
+           CAST(space AS DOUBLE) / CAST(n AS DOUBLE) AS space_ratio,
+           CAST(stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+           CAST(alpha AS DOUBLE) / CAST(n AS DOUBLE)
+               - CAST(digit AS DOUBLE) / CAST(n AS DOUBLE) AS quality_score
+    FROM t
+    """,
+    doc="Quality scoring: length/punctuation/stopword ratio family of"
+        " corpus-cleaning filters. Integer counts + single IEEE divisions →"
+        " deterministic cross-engine.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return textops.quality_score(docs)
+
+
+@_register(
+    "text_lang_id",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id,
+               len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and'))) AS n_en,
+               len(list_filter(toks, x -> x IN ('el', 'la', 'de', 'que'))) AS n_es,
+               len(list_filter(toks, x -> x IN ('der', 'die', 'und', 'das'))) AS n_de,
+               len(list_filter(toks, x -> x IN ('le', 'la', 'et', 'les'))) AS n_fr
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(n_en AS INTEGER) AS n_en, CAST(n_es AS INTEGER) AS n_es,
+           CAST(n_de AS INTEGER) AS n_de, CAST(n_fr AS INTEGER) AS n_fr,
+           CASE WHEN n_en + n_es + n_de + n_fr = 0 THEN 'und'
+                WHEN n_en >= n_es AND n_en >= n_de AND n_en >= n_fr THEN 'en'
+                WHEN n_es >= n_de AND n_es >= n_fr THEN 'es'
+                WHEN n_de >= n_fr THEN 'de'
+                ELSE 'fr' END AS lang_pred
+    FROM c
+    """,
+    doc="Language ID via stopword-marker counting (n-gram heuristic"
+        " family): per-language marker counts + deterministic argmax.",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return textops.lang_id(docs)
+
+
+@_register(
+    "doc_fingerprint_rolling",
+    oracle="""
+    SELECT doc_id,
+           CAST(list_sum(list_transform(
+                    range(1, length(text) + 1),
+                    i -> unicode(substr(text, CAST(i AS INTEGER), 1))
+                         * (((i - 1) % 64) + 1)
+                )) % 2147483647 AS BIGINT) AS fingerprint
+    FROM documents
+    """,
+    doc="Document fingerprinting: position-weighted rolling hash"
+        " (SQL-portable variant; fingerprint_fast = one xxhash64 expression"
+        " is the 100 TB path).",
+)
+def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return textops.fingerprint_rolling(docs)
+
+
+@_register(
+    "multimodal_byte_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(unicode(substr(text, 1, 1)) AS INTEGER) AS first_byte,
+           CAST(list_sum(list_transform(
+                    range(1, length(text) + 1),
+                    i -> unicode(substr(text, CAST(i AS INTEGER), 1))
+                )) % 2147483647 AS BIGINT) AS checksum
+    FROM documents
+    """,
+    doc="Multimodal plumbing end-to-end: binary payload column + metadata"
+        " struct → Arrow-batched mapInPandas feature extraction (n_bytes /"
+        " first_byte / checksum). The oracle checks byte-for-byte (ASCII"
+        " corpus: byte == code point). Decoders for image/audio share this"
+        " exact plumbing (operators/multimodal.py).",
+)
+def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return mm.extract_byte_features(mm.attach_payload(docs))
+
+
+# =====================================================================
+# driver contract surface
+# =====================================================================
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Driver smoke check: flagship query at sf0.001."""
+    return flagship_hourly_activity(spark, "/root/testdata/sf0.001")

@@ -1,0 +1,140 @@
+"""SparkSession factory and table registry.
+
+Replaces the reference's infra plane (``manage_cluster.py`` — Redshift
+cluster provisioning, IAM, TCP ingress) with SparkSession construction:
+cluster sizing becomes ``master``/executor config, and the catalog half of
+``create_tables.py`` becomes temp-view registration over Parquet.
+
+Scale posture (100 TB / 1000-executor design, tested on local[32]):
+* AQE on — runtime coalescing, skew-join splitting, broadcast conversion.
+* shuffle partitions sized from the env (local) — on a real cluster this
+  should be ~2-3x total cores or left to AQE's coalescing.
+* Arrow on for any pandas interchange (``toPandas``, pandas UDFs).
+* session timezone pinned to UTC so timestamp-derived columns (time_key,
+  hour, week...) are deterministic and match the DuckDB oracle, which
+  operates on naive UTC timestamps.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Tables the driver's testdata ships (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Confs that are safe (and necessary) to set on an externally provided
+# session at runtime — all of these are runtime-mutable SQL confs.
+RUNTIME_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Parquet TIMESTAMP(NANOS) (events.ts in the testdata) is not readable
+    # as a Spark timestamp; read as nanos-since-epoch long, converted back
+    # to TimestampType in load_table.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime-mutable confs to any session (ours or the driver's).
+
+    Query functions call this defensively so correctness-critical settings
+    (UTC session timezone, AQE) hold even when the SparkSession was built
+    elsewhere.
+    """
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf may be static in some envs
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "udacitydatawarehouseprj-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    Session construction is the Spark analogue of the reference's
+    ``manage_cluster.py`` create/poll/teardown lifecycle
+    (manage_cluster.py:70-180): no cluster to provision, no readiness
+    polling — the session is synchronous, and ``spark.stop()`` is teardown.
+    """
+    cpus = default_parallelism()
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    shuffle = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    return configure(builder.getOrCreate())
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+@functools.lru_cache(maxsize=None)
+def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark reads these as
+    long (see nanosAsLong conf); we restore TimestampType at micros
+    precision, truncating exactly like DuckDB does (ns // 1000)."""
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    return tuple(f.name for f in schema if str(f.type) == "timestamp[ns]")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table. Parquet scan → columnar, vectorized,
+    predicate-pushdown-capable (the engine-side analogue of Redshift zone
+    maps, SURVEY §4 O4/O6)."""
+    configure(spark)
+    path = table_path(sf_dir, name)
+    df = spark.read.parquet(path)
+    for c in _nanos_timestamp_cols(path):
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    """Load testdata tables and register each as a temp view so both the
+    DataFrame API and ``spark.sql`` can address them (the Spark analogue of
+    the reference's catalog: create_tables.py + pg_table_def introspection,
+    SURVEY §2.1 S4/S6)."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
