@@ -1,0 +1,91 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is forced end-to-end with the noop writer (executes the full
+plan — unlike count(), which lets Catalyst prune unreferenced projections).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from udacitydatawarehouseprj_spark import queries as Q  # noqa: E402
+from udacitydatawarehouseprj_spark import session as S  # noqa: E402
+
+#: benched subset: every operator family, weighted toward the
+#: shuffle/join/explode-heavy queries that dominate at scale.
+HEADLINE = [
+    "flagship_hourly_activity",
+    "projection_rename",
+    "filter_like_lower",
+    "join_left_compound",
+    "join_inner",
+    "join_anti",
+    "star_join_region_revenue",
+    "agg_grouping_sets",
+    "topk_orders",
+    "window_user_top_events",
+    "setops_daily_users",
+    "cte_hourly_active_users",
+    "time_dimension_build",
+    "sparkify_fct_build",
+    "tpch_q1_pricing_summary",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "ann_cosine_topk_blas",
+    "ann_cosine_topk_lsh",
+    "embedding_near_dup",
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "doc_fingerprint_rolling",
+    "multimodal_byte_features",
+]
+
+
+def run_one(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = S.get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = Q.queries()
+
+    # JVM/codegen warmup on an unmeasured small query
+    run_one(registry["agg_count_star"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        run_one(registry[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,70 @@
+"""Dedup operator tests: exact winner selection, shingle Jaccard ground
+truth vs MinHash LSH, SimHash invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from udacitydatawarehouseprj_spark.operators import dedup
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = _docs(spark, ["a b c", "x y z", "a b c", "a b c"])
+    out = dedup.exact_dedup(df, ["text"], "doc_id").collect()
+    assert {r.doc_id for r in out} == {0, 1}
+
+
+def test_ngram_jaccard_finds_planted_pair(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tonight"
+    far = "completely different words in this sentence about spark engines"
+    out = dedup.ngram_jaccard_pairs(
+        _docs(spark, [base, near, far]), threshold=0.5
+    ).collect()
+    assert len(out) == 1
+    assert (out[0].doc_a, out[0].doc_b) == (0, 1)
+    assert 0.5 <= out[0].jaccard < 1.0
+
+
+def test_identical_docs_jaccard_one(spark):
+    out = dedup.ngram_jaccard_pairs(
+        _docs(spark, ["alpha beta gamma delta", "alpha beta gamma delta"]),
+        threshold=0.99,
+    ).collect()
+    assert len(out) == 1 and out[0].jaccard == 1.0
+
+
+def test_minhash_matches_exact_on_testdata(spark, sf_dir):
+    """LSH recall at these parameters is ~1-1e-4 per pair; on the planted
+    near-dups the candidate set must reproduce the exact result."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert lsh == exact
+    assert len(exact) > 0  # the testdata plants near-duplicates
+
+
+def test_simhash_zero_distance_for_identical(spark):
+    df = _docs(spark, ["one two three four five", "one two three four five",
+                       "totally different token stream here"])
+    pairs = dedup.simhash_pairs(df, max_hamming=0).collect()
+    assert [(p.doc_a, p.doc_b, p.hamming) for p in pairs] == [(0, 1, 0)]
+
+
+def test_simhash_signature_is_deterministic(spark):
+    df = _docs(spark, ["spark catalyst tungsten arrow"])
+    s1 = dedup.simhash_signatures(df).collect()[0].simhash
+    s2 = dedup.simhash_signatures(df).collect()[0].simhash
+    assert s1 == s2

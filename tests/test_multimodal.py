@@ -1,0 +1,59 @@
+"""Multimodal plumbing tests: binary payload schema, Arrow mapInPandas
+round-trip, frame sampling, stubbed decoder gating."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from udacitydatawarehouseprj_spark.operators import multimodal as mm
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [Row(doc_id=0, text="hello"), Row(doc_id=1, text="spark!")]
+    )
+
+
+def test_attach_payload_schema(spark):
+    df = mm.attach_payload(_docs(spark))
+    assert [f.name for f in df.schema.fields] == ["doc_id", "payload", "meta"]
+    assert df.schema["payload"].dataType.typeName() == "binary"
+    row = df.filter("doc_id = 0").collect()[0]
+    assert bytes(row.payload) == b"hello"
+    assert row.meta.media_type == "text" and row.meta.n_bytes == 5
+
+
+def test_byte_features_roundtrip(spark):
+    out = {
+        r.doc_id: r
+        for r in mm.extract_byte_features(mm.attach_payload(_docs(spark))).collect()
+    }
+    assert out[0].n_bytes == 5
+    assert out[0].first_byte == ord("h")
+    assert out[0].checksum == sum(b"hello") % mm.CHECKSUM_MOD
+    assert out[1].n_bytes == 6
+    assert out[1].checksum == sum(b"spark!") % mm.CHECKSUM_MOD
+
+
+def test_frame_sampling(spark):
+    big = spark.createDataFrame([Row(doc_id=7, text="x" * 9000)])
+    frames = sorted(
+        mm.sample_frames(
+            mm.attach_payload(big), frame_size=1024, stride=4096
+        ).collect(),
+        key=lambda f: f.frame_idx,
+    )
+    # windows at offsets 0, 4096, 8192; the last is clamped to the tail
+    assert [f.frame_idx for f in frames] == [0, 1, 2]
+    assert len(bytes(frames[0].frame_bytes)) == 1024
+    assert len(bytes(frames[2].frame_bytes)) == 9000 - 8192
+
+
+def test_image_decode_stub_raises(spark):
+    df = mm.decode_image_features(mm.attach_payload(_docs(spark)))
+    with pytest.raises(Exception) as exc_info:
+        df.collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )

