@@ -91,3 +91,13 @@ def test_bucketed_table_write(spark):
     assert desc.get("Num Buckets") == "4"
     assert "song_id" in desc.get("Bucket Columns", "")
     sinks.drop_table(spark, "t_bucketed")
+
+
+def test_catalog_introspection(spark, sf_dir):
+    """S6: pg_table_def catalog listing (reference Fiddle.ipynb cell 19) →
+    spark.catalog.listTables."""
+    from udacitydatawarehouseprj_spark import session as S
+
+    S.load_tables(spark, sf_dir, names=("region", "nation"))
+    names = {t.name for t in spark.catalog.listTables()}
+    assert {"region", "nation"} <= names

@@ -75,7 +75,11 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame
 
 def _jaccard_from_shingles(sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
     """Pair Jaccard from a (doc, shingle) relation: |A∩B| via shingle
-    self-join, |A∪B| = |A|+|B|−|A∩B|."""
+    self-join, |A∪B| = |A|+|B|−|A∩B|.
+
+    The shingle relation feeds three subplans (sizes + both join sides) —
+    cache it so the tokenize/shingle explode runs once, not three times."""
+    sh = sh.cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -146,8 +150,9 @@ def minhash_lsh_pairs(
     positives, so precision is exact.
     """
     rows_per_band = num_perm // num_bands
-    sh = shingles(df, id_col, text_col, n)
-    sig = minhash_signatures(sh, id_col, num_perm).cache()
+    # cached: feeds the signature build plus three verification subplans
+    sh = shingles(df, id_col, text_col, n).cache()
+    sig = minhash_signatures(sh, id_col, num_perm)
 
     band_cols = [
         F.xxhash64(
