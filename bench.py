@@ -46,6 +46,12 @@ HEADLINE = [
     "ann_cosine_topk_blas",
     "ann_cosine_topk_lsh",
     "embedding_near_dup",
+    "json_extract_props",
+    "agg_percentiles",
+    "pandas_udf_zscore",
+    "salted_join_skew",
+    "sessionize_events",
+    "tpch_q3_shipping_priority",
     "text_token_stats",
     "text_quality_score",
     "text_lang_id",

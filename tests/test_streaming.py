@@ -78,3 +78,40 @@ def test_batch_parity_for_closed_windows(spark, tmp_path, stream_rows):
         assert batch[key] == val
     closed = {k for k in batch if k[0] <= datetime(2024, 3, 1, 3, 0)}
     assert set(streamed) == closed
+
+
+def test_session_stream_closes_sessions(spark, tmp_path, stream_rows):
+    src = str(tmp_path / "landing")
+    _write_events(src, stream_rows)
+    q = events_stream.run_session_stream(
+        spark, src, str(tmp_path / "ckpt"), sink_table="t_sessions",
+        gap="30 minutes", watermark="1 hour",
+    )
+    q.awaitTermination(120)
+    out = {(r.user_id, r.session_start): r.n_events
+           for r in spark.sql("SELECT * FROM t_sessions").collect()}
+    # user 1: single event at 01:05 → closed 1-event session
+    assert out[(1, datetime(2024, 3, 1, 1, 5))] == 1
+    # user 2: event_id=2 arrives twice at 01:30 — no dedup in this stream,
+    # both rows land in one session
+    assert out[(2, datetime(2024, 3, 1, 1, 30))] == 2
+    # user 3 at 03:59: single closed session
+    assert out[(3, datetime(2024, 3, 1, 3, 59))] == 1
+    # user 1's 06:10 event: session not closed under the watermark
+    assert (1, datetime(2024, 3, 1, 6, 10)) not in out
+
+
+def test_running_totals_stateful_operator(spark, tmp_path, stream_rows):
+    src = str(tmp_path / "landing")
+    _write_events(src, stream_rows)
+    q = events_stream.run_running_totals_stream(
+        spark, src, str(tmp_path / "ckpt"), sink_table="t_totals",
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM t_totals").collect()
+    # one availableNow drain → one update per user; dup event_id=2 is NOT
+    # deduped here (raw running totals over arriving rows)
+    by_user = {r.user_id: (r.n_events, r.total_value) for r in rows}
+    assert by_user[1] == (3, 1.0 + 0.5 + 9.0)
+    assert by_user[2] == (2, 4.0)
+    assert by_user[3] == (1, 4.0)

@@ -984,3 +984,216 @@ def oracle_sql() -> dict[str, str]:
 def entry(spark: SparkSession) -> DataFrame:
     """Driver smoke check: flagship query at sf0.001."""
     return flagship_hourly_activity(spark, "/root/testdata/sf0.001")
+
+
+# =====================================================================
+# Second wave: JSON functions, sketches, grouped-map UDF, skew join,
+# sessionization, TPC-H Q3
+# =====================================================================
+
+@_register(
+    "json_extract_props",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+    FROM events
+    """,
+    doc="JSON field extraction from a string column (SURVEY §2.8 notes"
+        " JSON functions as absent-but-available; events.props carries"
+        " embedded JSON). get_json_object evaluates inside codegen — no"
+        " UDF, no full parse.",
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
+
+
+@_register(
+    "agg_percentiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact interpolated percentiles per group (the percentile/quantile"
+        " aggregate family — absent from the reference, core to data-"
+        " quality pipelines). Exact percentile shuffles values per group;"
+        " approx_percentile (sketch) is the 100 TB path — see"
+        " agg_approx_distinct for the sketch-side check.",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+    )
+
+
+@_register(
+    "agg_approx_distinct",
+    oracle=None,  # sketch estimates are engine-specific — rows-only check;
+                  # tests assert within-5%-of-exact instead
+    doc="HyperLogLog++ distinct-count sketch per group"
+        " (approx_count_distinct): constant memory per group at any scale,"
+        " the standard substitute for COUNT(DISTINCT) at 100 TB. Unit"
+        " tests bound the estimate against the exact count.",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+@_register(
+    "pandas_udf_zscore",
+    oracle="""
+    SELECT event_id,
+           ROUND((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w, 6)
+               AS zscore
+    FROM events
+    WINDOW w AS (PARTITION BY event_type)
+    """,
+    doc="Grouped-map pandas UDF (applyInPandas): per-event-type z-score"
+        " computed in pandas over Arrow batches — the escape hatch for"
+        " group-local logic the built-ins can't express. Each group is one"
+        " pandas frame; partitioning is the groupBy shuffle. (This"
+        " particular statistic IS expressible with window functions — the"
+        " oracle does exactly that — which is what makes the UDF"
+        " cross-checkable.)",
+)
+def pandas_udf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = pdf["value"].mean()
+        s = pdf["value"].std(ddof=1)
+        import numpy as np
+
+        z = (pdf["value"] - m) / s
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"],
+             "zscore": np.floor(z * 1e6 + 0.5) / 1e6}
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        zscore, schema="event_id long, zscore double"
+    )
+
+
+@_register(
+    "salted_join_skew",
+    oracle="""
+    SELECT e.event_id, e.user_id, s.s_name
+    FROM events e JOIN supplier s ON e.user_id = s.s_suppkey
+    """,
+    doc="Salted equi-join (operators/skew.py): the large side salted by"
+        " hash of a unique column, the small side replicated 8x, join on"
+        " (key, salt) — spreads hot keys across partitions where AQE skew"
+        " splitting can't reach. Row-identical to the plain join (the"
+        " oracle IS the plain join).",
+)
+def salted_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacitydatawarehouseprj_spark.operators import skew
+
+    ev = _t(spark, sf_dir, "events")
+    sup = _t(spark, sf_dir, "supplier").withColumnRenamed("s_suppkey", "user_id")
+    out = skew.salted_join(ev, sup.select("user_id", "s_name"), on="user_id",
+                           unique_col="event_id", num_salts=8)
+    return out.select("event_id", "user_id", "s_name")
+
+
+@_register(
+    "sessionize_events",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         IS NULL
+                         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sess_id
+    """,
+    doc="Gap-based sessionization via the built-in session_window (30 min"
+        " inactivity gap) — the hypertable-rollup/sessionization operator"
+        " family. The oracle derives identical sessions with the classic"
+        " lag/gap-cumsum SQL. Also runs incrementally under Structured"
+        " Streaming with a watermark (streaming/events_stream.py).",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@_register(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {_SQL_DSUM("CAST(l_extendedprice AS DECIMAL(15,4)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(8,6)))", "DECIMAL(30,10)")} AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shipping priority (beyond-reference headline): selective"
+        " dimension filter -> fact join -> grouped revenue -> top-10."
+        " customer/orders broadcast after filters; deterministic top-k"
+        " (revenue desc, orderkey).",
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    pivot = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    revenue_term = F.col("l_extendedprice").cast("decimal(15,4)") * (
+        F.lit(1).cast("decimal(1,0)") - F.col("l_discount").cast("decimal(8,6)")
+    )
+    return (
+        li.filter(F.col("l_shipdate") > pivot)
+        .join(
+            F.broadcast(orders.filter(F.col("o_orderdate") < pivot)),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_narrow(F.sum(revenue_term.cast("decimal(30,10)"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )

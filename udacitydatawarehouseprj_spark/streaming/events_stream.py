@@ -98,3 +98,92 @@ def run_hourly_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_session_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    sink_table: str = "sessions_stream",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    fmt: str = "json",
+    available_now: bool = True,
+):
+    """Incremental gap-based sessionization: the streaming twin of the
+    batch ``sessionize_events`` query (same session_window semantics).
+    Sessions close when the watermark passes their end; state per open
+    session is bounded by the watermark."""
+    src = read_events_stream(spark, source_dir, fmt=fmt)
+    agg = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("user_id"),
+            F.col("w.start").alias("session_start"),
+            F.col("n_events"),
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink_table)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_running_totals_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    sink_table: str = "running_totals_stream",
+    fmt: str = "json",
+    available_now: bool = True,
+):
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (n_events, total_value) maintained in group state and emitted
+    on every update — the template for stateful logic that windows can't
+    express (counters, custom sessionizers, online aggregates).
+
+    State is a single (count, sum) pair per user — constant memory per
+    key; the groupBy shuffle partitions users across executors exactly
+    like a batch aggregation."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = read_events_stream(spark, source_dir, fmt=fmt)
+
+    output_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+        )
+
+    agg = src.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    writer = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink_table)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
