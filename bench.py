@@ -31,6 +31,7 @@ HEADLINE = [
     "join_anti",
     "star_join_region_revenue",
     "agg_grouping_sets",
+    "agg_rollup",
     "topk_orders",
     "window_user_top_events",
     "setops_daily_users",
@@ -39,6 +40,7 @@ HEADLINE = [
     "sparkify_fct_build",
     "tpch_q1_pricing_summary",
     "dedup_exact",
+    "dedup_exact_prehashed",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -47,6 +49,7 @@ HEADLINE = [
     "ann_cosine_topk_lsh",
     "embedding_near_dup",
     "json_extract_props",
+    "string_functions_suite",
     "agg_percentiles",
     "pandas_udf_zscore",
     "salted_join_skew",

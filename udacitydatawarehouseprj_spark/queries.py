@@ -1197,3 +1197,95 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
     )
+
+
+@_register(
+    "agg_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(15,4))), 4)
+                AS DECIMAL(18,4)) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="ROLLUP hierarchy totals (the CUBE/ROLLUP family SURVEY §2.4 notes"
+        " as absent-but-free): status → status×priority → grand total in"
+        " one Expand + single shuffle.",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        _dsum(F.col("o_totalprice"), "decimal(15,4)").alias("total"),
+    )
+
+
+@_register(
+    "string_functions_suite",
+    oracle="""
+    SELECT p_partkey,
+           concat(p_brand, ':', p_name) AS brand_name,
+           trim(upper(p_type)) AS type_norm,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_key,
+           coalesce(nullif(p_type, 'steel'), 'UNKNOWN') AS type_or_unknown,
+           substr(p_name, 1, 3) AS name_prefix,
+           replace(p_name, ' ', '_') AS name_snake,
+           length(p_name) AS name_len
+    FROM part
+    """,
+    doc="String-function family (SURVEY §2.8 'not present: concat, trim/"
+        "pad, coalesce/nullif' — all Spark built-ins): concat, upper/trim,"
+        " lpad, nullif/coalesce, substring, replace, length in one"
+        " codegen'd projection.",
+)
+def string_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_name")).alias("brand_name"),
+        F.trim(F.upper(F.col("p_type"))).alias("type_norm"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_key"),
+        F.coalesce(F.nullif(F.col("p_type"), F.lit("steel")), F.lit("UNKNOWN"))
+        .alias("type_or_unknown"),
+        F.substring(F.col("p_name"), 1, 3).alias("name_prefix"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.length(F.col("p_name")).alias("name_len"),
+    )
+
+
+@_register(
+    "systematic_sample",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events WHERE event_id % 20 = 3
+    """,
+    doc="Deterministic systematic sampling (every 20th row by key) — the"
+        " reproducible alternative to rand()-based sampling for pipeline"
+        " debugging/holdouts. For hash-uniform sampling over non-uniform"
+        " keys use pmod(xxhash64(key), n) (engine-native; not SQL-portable"
+        " so the portable modulus variant is the oracle-checked one).",
+)
+def systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id") % 20 == 3).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+@_register(
+    "dedup_exact_prehashed",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+    """,
+    doc="Exact dedup, scale variant: shuffle on xxhash64(text) (8-byte"
+        " fixed-width key) instead of the full document — the 100 TB form"
+        " of dedup_exact. Output is identical barring a 64-bit hash"
+        " collision (~n²/2⁶⁵; the oracle is the plain text-keyed dedup).",
+)
+def dedup_exact_prehashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    hashed = docs.withColumn("_h", F.xxhash64("text"))
+    return dedup.exact_dedup(hashed, ["_h"], "doc_id").select(
+        "doc_id", "lang", "n_chars"
+    )
