@@ -1,0 +1,110 @@
+"""Plan-quality regression tests — the physical plans, not just the answers.
+
+At 100 TB a correct-but-mis-planned query is a failure. These tests pin the
+plan properties that matter at scale so a refactor can't silently regress
+them: filter/column pushdown into the parquet scan, broadcast joins for
+dimensions, no cartesian products, single-shuffle aggregations, and
+TakeOrderedAndProject (not global sort) for top-k.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from udacitydatawarehouseprj_spark import queries as Q
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = Q.queries()[name](spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def count_exchanges(plan: str) -> int:
+    # shuffle exchanges only; broadcast exchanges are free-ish by design
+    return len(re.findall(r"\bExchange hashpartitioning", plan)) + len(
+        re.findall(r"\(\d+\) Exchange\b", plan)
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "filter_eq")
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)" in plan
+    # column pruning: value/user_id/event_id/event_type only, not props/ts
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "props" not in m.group(1)
+
+
+def test_projection_prunes_scan_columns(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "projection_rename")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"l_orderkey", "l_linenumber", "l_quantity",
+                    "l_extendedprice", "l_discount"}
+
+
+def test_star_join_is_all_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "star_join_region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3  # dims never shuffle the fact
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "topk_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_anti_join_is_native(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_anti")
+    assert "LeftAnti" in plan
+
+
+def test_flagship_single_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "flagship_hourly_activity")
+    assert count_exchanges(plan) <= 1
+    assert "HashAggregate" in plan  # partial+final hash agg, no sort-agg
+
+
+def test_fingerprint_has_no_shuffle(spark, sf_dir):
+    """The rolling fingerprint is a pure projection — an explode+groupBy
+    formulation would shuffle one row per character."""
+    plan = plan_of(spark, sf_dir, "doc_fingerprint_rolling")
+    assert count_exchanges(plan) == 0
+    assert "Generate explode" not in plan
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    for name in Q.queries():
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_whole_stage_codegen_on_relational_path(spark, sf_dir):
+    # formatted explain marks codegen stages as "[codegen id : N]"; plans
+    # wrapped in a not-yet-final AdaptiveSparkPlan don't carry IDs until
+    # execution, so AQE-shuffling queries are asserted via test below
+    for name in ["filter_eq", "projection_rename", "string_functions_suite"]:
+        plan = plan_of(spark, sf_dir, name)
+        assert "codegen id" in plan, name
+
+
+def test_aggregates_have_map_side_combine(spark, sf_dir):
+    """Every shuffled aggregation must plan partial aggregation before the
+    exchange (the decimal accumulators stay fixed-width, so partials are
+    always worth it)."""
+    import re as _re
+
+    for name in ["tpch_q1_pricing_summary", "flagship_hourly_activity",
+                 "agg_groupby_count", "star_join_region_revenue"]:
+        df = Q.queries()[name](spark, sf_dir)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+        plan = df._jdf.queryExecution().explainString(mode)
+        assert _re.search(r"partial_(sum|count)", plan), name

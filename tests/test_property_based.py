@@ -1,0 +1,88 @@
+"""Property-based tests (hypothesis): the scalar layers agree with plain
+Python models over generated inputs. One Spark job per property (inputs
+batched into a single DataFrame) to keep the suite fast."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from udacitydatawarehouseprj_spark.functions import datetime as dtf
+from udacitydatawarehouseprj_spark.operators import textops
+
+# epoch millis covering 1971..2100 (clear of pre-epoch edge semantics)
+MILLIS = st.integers(min_value=31_536_000_000, max_value=4_102_444_800_000)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(MILLIS, min_size=1, max_size=50, unique=True))
+def test_time_derivations_match_python_model(spark, batch):
+    df = spark.createDataFrame([Row(i=i, ms=m) for i, m in enumerate(batch)])
+    ts = dtf.epoch_millis_to_ts("ms")
+    got = {
+        r.i: r
+        for r in df.select(
+            "i",
+            ts.alias("ts"),
+            dtf.time_key(ts).alias("tk"),
+            dtf.day_of_week(ts).alias("dow"),
+            dtf.fiscal_year(ts).alias("fy"),
+            dtf.fiscal_quarter(ts).alias("fq"),
+            dtf.season(ts).alias("season"),
+        ).collect()
+    }
+    for i, ms in enumerate(batch):
+        py = datetime.fromtimestamp(ms // 1000, tz=timezone.utc).replace(tzinfo=None)
+        r = got[i]
+        assert r.ts == py
+        assert r.tk == int(py.strftime("%Y%m%d%H"))
+        assert r.dow == (py.weekday() + 1) % 7 + 1  # python Mon=0 → 1=Sun..7=Sat
+        assert r.fy == (py.year - 1 if py.month <= 3 else py.year)
+        assert r.fq == {1: 4, 2: 4, 3: 4, 4: 1, 5: 1, 6: 1,
+                        7: 2, 8: 2, 9: 2, 10: 3, 11: 3, 12: 3}[py.month]
+        assert r.season == {12: "Winter", 1: "Winter", 2: "Winter",
+                            3: "Spring", 4: "Spring", 5: "Spring",
+                            6: "Summer", 7: "Summer", 8: "Summer",
+                            }.get(py.month, "Fall")
+
+
+TEXT = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=30))
+def test_fingerprint_matches_python_model(spark, batch):
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(batch)])
+    got = {r.doc_id: r.fingerprint
+           for r in textops.fingerprint_rolling(df).collect()}
+    for i, t in enumerate(batch):
+        expected = sum(
+            ord(c) * ((j % textops.FINGERPRINT_WINDOW) + 1)
+            for j, c in enumerate(t)
+        ) % textops.FINGERPRINT_MOD
+        assert got[i] == expected, t
+
+
+WORDS = st.lists(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=6), min_size=1, max_size=20
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(WORDS, min_size=1, max_size=20))
+def test_token_stats_match_python_model(spark, batch):
+    texts = [" ".join(ws) for ws in batch]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    got = {r.doc_id: r for r in textops.token_stats(df).collect()}
+    for i, ws in enumerate(batch):
+        r = got[i]
+        assert r.n_tokens == len(ws)
+        assert r.n_token_chars == sum(len(w) for w in ws)
+        assert r.n_chars == len(texts[i])

@@ -122,20 +122,22 @@ def fingerprint_rolling(df: DataFrame, id_col: str = "doc_id",
     """Position-weighted rolling-hash fingerprint, SQL-portable variant:
     sum over characters of code(c_i) * ((i-1) mod 64 + 1), mod 2^31-1.
 
-    Cross-engine checkable (the DuckDB oracle computes the identical
-    arithmetic). For production-scale fingerprinting use
-    ``fingerprint_fast`` — one xxhash64 expression, no explode.
+    Computed as a single per-row ``aggregate`` fold over the character
+    positions — a pure projection with NO explode and NO shuffle (an
+    earlier explode+groupBy version shuffled one row per character; the
+    fold is the right shape at corpus scale). The running sum stays far
+    below 2^63 (max code 0x10FFFF × weight 64 per char → overflow needs
+    ~10^12-char documents), so one final mod suffices and matches the
+    DuckDB oracle's list_sum arithmetic exactly. For production-scale
+    fingerprinting use ``fingerprint_fast`` — one xxhash64 expression.
     """
-    i = F.col("i")
-    code = F.expr(f"ascii(substring({text_col}, i, 1))")
-    weighted = (code.cast("long") * (((i - 1) % FINGERPRINT_WINDOW) + 1)).alias("w")
-    chars = df.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(1), F.length(F.col(text_col)))).alias("i"),
-        F.col(text_col),
-    ).select(F.col(id_col), weighted)
-    return chars.groupBy(id_col).agg(
-        (F.sum("w") % FINGERPRINT_MOD).alias("fingerprint")
+    fold = F.expr(
+        f"aggregate(sequence(1, length({text_col})), 0L,"
+        f" (acc, i) -> acc + CAST(ascii(substring({text_col}, i, 1)) AS BIGINT)"
+        f" * (((i - 1) % {FINGERPRINT_WINDOW}) + 1))"
+    )
+    return df.select(
+        F.col(id_col), (fold % FINGERPRINT_MOD).alias("fingerprint")
     )
 
 
