@@ -64,3 +64,37 @@ def test_ivf_topk_shape(spark, sf_dir):
     for qid, ranks in per_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert all(r.neighbor_id != qid for r in out if r.query_id == qid)
+
+
+def test_kmeans_centroids_converge_and_balance(spark, sf_dir):
+    import numpy as np
+    from udacitydatawarehouseprj_spark.operators.similarity import (
+        _collect_matrix, kmeans_centroids)
+
+    emb = _emb(spark, sf_dir)
+    _, mat = _collect_matrix(emb, "vec_id", "embedding")
+
+    def inertia(cents):
+        d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return d2.min(axis=1).sum()
+
+    _, c0 = kmeans_centroids(emb, k=8, iters=0)
+    _, c3 = kmeans_centroids(emb, k=8, iters=3)
+    assert inertia(c3) < inertia(c0)  # training improves the quantizer
+    # determinism: same inputs → identical centroids
+    _, c3b = kmeans_centroids(emb, k=8, iters=3)
+    assert np.array_equal(c3, c3b)
+
+
+def test_ivf_kmeans_topk_contract(spark, sf_dir):
+    from udacitydatawarehouseprj_spark.operators.similarity import ivf_topk_kmeans
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter("vec_id < 5")
+    out = ivf_topk_kmeans(emb, q, k=3, num_cells=8, n_probe=3, iters=2).collect()
+    per_q = {}
+    for r in out:
+        assert r.neighbor_id != r.query_id
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))

@@ -115,3 +115,19 @@ def test_running_totals_stateful_operator(spark, tmp_path, stream_rows):
     assert by_user[1] == (3, 1.0 + 0.5 + 9.0)
     assert by_user[2] == (2, 4.0)
     assert by_user[3] == (1, 4.0)
+
+
+def test_parquet_sink_exactly_once(spark, tmp_path, stream_rows):
+    src = str(tmp_path / "landing")
+    _write_events(src, stream_rows)
+    out = str(tmp_path / "warehouse" / "hourly")
+    ckpt = str(tmp_path / "ckpt")
+    q = events_stream.run_hourly_stream_to_parquet(spark, src, ckpt, out)
+    q.awaitTermination(120)
+    first = spark.read.parquet(out).collect()
+    got = {(r.hour_start, r.event_type): (r.n_events, r.total_value) for r in first}
+    assert got[(datetime(2024, 3, 1, 1, 0), "view")] == (2, 3.0)
+    # re-running over the same checkpoint must be a no-op (exactly-once)
+    q2 = events_stream.run_hourly_stream_to_parquet(spark, src, ckpt, out)
+    q2.awaitTermination(120)
+    assert len(spark.read.parquet(out).collect()) == len(first)

@@ -494,3 +494,132 @@ def cosine_topk_lsh_blas(
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic distributed k-means (Lloyd's): seed with the first k
+    vectors by id, then iterate assign (broadcast centroids, BLAS argmax in
+    mapInPandas) → recompute means (one groupBy per iteration).
+
+    The iterative-algorithm shape SQL can't express: driver loop over
+    Spark jobs, state = the k×d centroid matrix (tiny, broadcast each
+    round). Returns (ids 0..k-1, centroid matrix) as NumPy.
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    _, mat0 = _collect_matrix(
+        df.orderBy(F.col(id_col)).limit(k), id_col, vec_col
+    )
+    cents = mat0.copy()
+
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(cents)
+
+        def assign(it):
+            import pandas as pd
+
+            c = bc.value
+            c_norm2 = (c * c).sum(axis=1)
+            for pdf in it:
+                x = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+                # nearest centroid by euclidean distance: argmin ||x-c||²
+                d2 = c_norm2[None, :] - 2.0 * (x @ c.T)
+                cell = d2.argmin(axis=1).astype("int32")
+                out = {"cell_id": cell}
+                for j in range(x.shape[1]):
+                    out[f"x{j}"] = x[:, j]
+                yield pd.DataFrame(out)
+
+        dim = cents.shape[1]
+        schema = "cell_id int, " + ", ".join(f"x{j} double" for j in range(dim))
+        assigned = df.mapInPandas(assign, schema=schema)
+        means = (
+            assigned.groupBy("cell_id")
+            .agg(*[F.avg(f"x{j}").alias(f"x{j}") for j in range(dim)])
+            .collect()
+        )
+        new = cents.copy()  # empty cells keep their previous centroid
+        for r in means:
+            new[r.cell_id] = [r[f"x{j}"] for j in range(dim)]
+        cents = new
+
+    return np.arange(k), cents
+
+
+def ivf_topk_kmeans(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_cells: int = 16,
+    n_probe: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF with trained (k-means) coarse centroids: assign corpus vectors
+    to their nearest trained centroid, probe the n_probe nearest cells per
+    query, exact BLAS rerank within probed cells. Strictly better cell
+    balance than the fixed-seed variant (ivf_topk); both keep the same
+    output contract."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    _, cents = kmeans_centroids(corpus, k=num_cells, iters=iters,
+                                id_col=id_col, vec_col=vec_col)
+    qids, qmat = _collect_matrix(queries, id_col, vec_col)
+    qnorms = np.sqrt((qmat * qmat).sum(axis=1))
+    c_norm2 = (cents * cents).sum(axis=1)
+    # probe list per query (euclidean cells, cosine rerank)
+    qd2 = c_norm2[None, :] - 2.0 * (qmat @ cents.T)
+    qprobes = np.argsort(qd2, axis=1)[:, :n_probe]
+    bc = spark.sparkContext.broadcast((qids, qmat, qnorms, qprobes, cents, c_norm2))
+
+    def block(it):
+        import pandas as pd
+
+        bqids, bqmat, bqnorms, bqp, bc_cents, bc_n2 = bc.value
+        for pdf in it:
+            cid = pdf[id_col].to_numpy(dtype="int64")
+            x = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            xn = np.sqrt((x * x).sum(axis=1))
+            cell = (bc_n2[None, :] - 2.0 * (x @ bc_cents.T)).argmin(axis=1)
+            out_q, out_n, out_c = [], [], []
+            for qi in range(len(bqids)):
+                mask = np.isin(cell, bqp[qi]) & (cid != bqids[qi])
+                if not mask.any():
+                    continue
+                s = (x[mask] @ bqmat[qi]) / (xn[mask] * bqnorms[qi])
+                order = np.lexsort((cid[mask], -s))[:k]
+                out_q.append(np.full(len(order), bqids[qi]))
+                out_n.append(cid[mask][order])
+                out_c.append(s[order])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "cosine": np.concatenate(out_c),
+                    }
+                )
+
+    cands = corpus.mapInPandas(block, schema=_topk_candidates_schema())
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )

@@ -800,13 +800,18 @@ def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "ann_ivf_topk",
     oracle=None,  # approximate by construction — rows-only
-    doc="ANN IVF path: 16 coarse cells, 4-probe. Centroid assignment and"
-        " probing are broadcast joins; only probed cells are reranked.",
+    doc="ANN IVF path with TRAINED coarse centroids: 3 rounds of"
+        " distributed k-means (broadcast centroids, BLAS assignment in"
+        " mapInPandas, one groupBy-mean per round — the iterative-"
+        "algorithm shape SQL can't express), then 4-probe search with"
+        " exact rerank inside probed cells only.",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.ivf_topk(emb, queries, k=5, num_cells=16, n_probe=4)
+    return similarity.ivf_topk_kmeans(
+        emb, queries, k=5, num_cells=16, n_probe=4, iters=3
+    )
 
 
 @_register(

@@ -187,3 +187,34 @@ def run_running_totals_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_hourly_stream_to_parquet(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    watermark: str = "2 hours",
+    fmt: str = "json",
+    available_now: bool = True,
+):
+    """Production-shaped sink: the hourly rollup appended to a parquet
+    table, partitioned by the hour bucket. Exactly-once via the checkpoint
+    (file-sink manifest); each closed window lands exactly one row group in
+    its own hour partition — downstream batch queries prune on
+    ``hour_start`` like any static table."""
+    src = read_events_stream(spark, source_dir, fmt=fmt)
+    deduped = src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = hourly_event_counts(deduped)
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("hour_start")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
