@@ -1,0 +1,170 @@
+"""10× scale smoke: synthesize an sf1-like dataset (deterministically
+derived from the read-only sf0.1 testdata) and run the headline queries.
+
+Purpose: evidence for the SCALE.md claims — runtimes should grow roughly
+linearly for the linear-shaped operators and nothing should spill, OOM, or
+flip plans into cartesian/global-sort shapes at 10× the bench scale.
+
+Derivation (seedless, fully deterministic):
+* lineitem/orders/customer/supplier/part/events: 10 replicas with key
+  offsets (keys stay join-consistent: the same offset is applied to both
+  sides of every FK), events shifted +i days per replica.
+* documents: 2 replicas; replica i rotates each doc's word order by 7·i —
+  rotation destroys almost all word-3-gram shingles, so planted near-dup
+  structure is preserved instead of exploding into all-pairs duplicates.
+* embeddings: 5 replicas; replica i rolls the vector components by i —
+  rotations of uniform random vectors are ~orthogonal, preserving the
+  "no planted near-dups" property.
+
+Usage: python tools/scale_smoke.py [--regen]
+Writes to .scratch/sf1/ (gitignored); prints one JSON line of timings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from udacitydatawarehouseprj_spark import queries as Q  # noqa: E402
+from udacitydatawarehouseprj_spark import session as S  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   ".scratch", "sf1")
+
+SMOKE = [
+    "flagship_hourly_activity",
+    "star_join_region_revenue",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "agg_grouping_sets",
+    "window_user_top_events",
+    "sessionize_events",
+    "cte_hourly_active_users",
+    "time_dimension_build",
+    "pandas_udf_zscore",
+    "json_extract_props",
+    "dedup_exact",
+    "dedup_exact_prehashed",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk_blas",
+    "ann_cosine_topk_lsh",
+    "embedding_near_dup",
+    "text_token_stats",
+    "text_quality_score",
+    "doc_fingerprint_rolling",
+    "multimodal_byte_features",
+]
+
+
+def _replicate_keyed(spark, name: str, key_cols: dict[str, int], copies: int,
+                     ts_cols: tuple[str, ...] = ()):
+    """Union `copies` replicas, offsetting each key column by i × its
+    declared stride (strides chosen > max key so replicas never collide)."""
+    base = S.load_table(spark, SRC, name)
+    parts = []
+    for i in range(copies):
+        df = base
+        for col, stride in key_cols.items():
+            df = df.withColumn(col, F.col(col) + F.lit(i * stride))
+        for tc in ts_cols:
+            df = df.withColumn(tc, F.col(tc) + F.expr(f"INTERVAL {i} DAYS"))
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def generate(spark) -> None:
+    os.makedirs(OUT, exist_ok=True)
+    K = 10_000_000  # key stride, > any base key
+    plans = {
+        "lineitem": _replicate_keyed(
+            spark, "lineitem",
+            {"l_orderkey": K, "l_partkey": K, "l_suppkey": K}, 10),
+        "orders": _replicate_keyed(
+            spark, "orders", {"o_orderkey": K, "o_custkey": K}, 10),
+        "customer": _replicate_keyed(
+            spark, "customer", {"c_custkey": K}, 10),
+        "supplier": _replicate_keyed(
+            spark, "supplier", {"s_suppkey": K}, 10),
+        "part": _replicate_keyed(spark, "part", {"p_partkey": K}, 10),
+        "events": _replicate_keyed(
+            spark, "events", {"event_id": K, "user_id": K}, 10,
+            ts_cols=("ts",)),
+        "region": S.load_table(spark, SRC, "region"),
+        "nation": S.load_table(spark, SRC, "nation"),
+    }
+    docs = S.load_table(spark, SRC, "documents")
+    doc_parts = [docs]
+    for i in range(1, 2):
+        rot = 7 * i
+        doc_parts.append(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * K))
+            .withColumn(
+                "text",
+                F.array_join(
+                    F.expr(
+                        f"concat(slice(split(text, ' '), {rot + 1}, 100000),"
+                        f" slice(split(text, ' '), 1, {rot}))"
+                    ),
+                    " ",
+                ),
+            )
+        )
+    plans["documents"] = doc_parts[0].unionByName(doc_parts[1])
+    emb = S.load_table(spark, SRC, "embeddings")
+    emb_parts = [emb]
+    for i in range(1, 5):
+        emb_parts.append(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * K))
+            .withColumn(
+                "embedding",
+                F.expr(
+                    f"concat(slice(embedding, {i + 1}, 100000),"
+                    f" slice(embedding, 1, {i}))"
+                ),
+            )
+        )
+    e = emb_parts[0]
+    for p in emb_parts[1:]:
+        e = e.unionByName(p)
+    plans["embeddings"] = e
+
+    for name, df in plans.items():
+        df.write.mode("overwrite").parquet(os.path.join(OUT, f"{name}.parquet"))
+
+
+def main() -> None:
+    spark = S.get_spark("scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    if "--regen" in sys.argv or not os.path.exists(
+        os.path.join(OUT, "lineitem.parquet")
+    ):
+        t0 = time.perf_counter()
+        generate(spark)
+        print(f"# generated {OUT} in {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
+
+    reg = Q.queries()
+    reg["agg_count_star"](spark, OUT).write.format("noop").mode("overwrite").save()
+    timings = {}
+    for name in SMOKE:
+        t0 = time.perf_counter()
+        reg[name](spark, OUT).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    print(json.dumps({"metric": "scale_smoke_10x_total",
+                      "value": round(sum(timings.values()), 3),
+                      "unit": "sec", "queries": timings, "sf": 1.0}))
+
+
+if __name__ == "__main__":
+    main()

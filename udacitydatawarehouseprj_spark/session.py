@@ -49,6 +49,8 @@ RUNTIME_CONF = {
     # as a Spark timestamp; read as nanos-since-epoch long, converted back
     # to TimestampType in load_table.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # write micros, not legacy INT96 (which pyarrow reports as ns)
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 
@@ -106,10 +108,21 @@ def table_path(sf_dir: str, name: str) -> str:
 def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
     """Columns stored as parquet TIMESTAMP(NANOS) — Spark reads these as
     long (see nanosAsLong conf); we restore TimestampType at micros
-    precision, truncating exactly like DuckDB does (ns // 1000)."""
+    precision, truncating exactly like DuckDB does (ns // 1000).
+
+    ``path`` may be a single file or a Spark-written directory of part
+    files (all parts share one schema — read the first)."""
+    import glob
+
     import pyarrow.parquet as pq
 
-    schema = pq.read_schema(path)
+    probe = path
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            return ()
+        probe = parts[0]
+    schema = pq.read_schema(probe)
     return tuple(f.name for f in schema if str(f.type) == "timestamp[ns]")
 
 
@@ -121,7 +134,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = table_path(sf_dir, name)
     df = spark.read.parquet(path)
     for c in _nanos_timestamp_cols(path):
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        # guard on the loaded type: pyarrow also reports legacy INT96 as
+        # timestamp[ns], but Spark reads INT96 as a proper timestamp
+        if df.schema[c].dataType.simpleString() == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 
