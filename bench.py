@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_exact_prehashed",
     "dedup_ngram_jaccard",
+    "dedup_ngram_prefix",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
@@ -51,6 +52,7 @@ HEADLINE = [
     "json_extract_props",
     "string_functions_suite",
     "agg_percentiles",
+    "pandas_udaf_geomean",
     "pandas_udf_zscore",
     "salted_join_skew",
     "sessionize_events",

@@ -68,3 +68,36 @@ def test_simhash_signature_is_deterministic(spark):
     s1 = dedup.simhash_signatures(df).collect()[0].simhash
     s2 = dedup.simhash_signatures(df).collect()[0].simhash
     assert s1 == s2
+
+
+def test_prefix_filter_equals_naive(spark, sf_dir):
+    """Prefix filtering is an exact optimization: identical output to the
+    naive shingle join on the planted near-dups."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    naive = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    pref = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs_prefix(docs, threshold=0.5).collect()
+    }
+    assert pref == naive and len(naive) > 0
+
+
+def test_prefix_filter_exact_at_other_thresholds(spark):
+    from pyspark.sql import Row
+
+    texts = [
+        "a b c d e f g h i j",
+        "a b c d e f g h i k",   # high overlap
+        "a b c x y z q w r t",   # partial overlap
+        "zz yy xx ww vv uu tt ss rr qq",
+    ]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    for t in (0.3, 0.6, 0.9):
+        naive = {(r.doc_a, r.doc_b, r.jaccard)
+                 for r in dedup.ngram_jaccard_pairs(df, threshold=t).collect()}
+        pref = {(r.doc_a, r.doc_b, r.jaccard)
+                for r in dedup.ngram_jaccard_pairs_prefix(df, threshold=t).collect()}
+        assert pref == naive, t

@@ -58,7 +58,14 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             f" i -> array_join(slice(split(lower({text_col}), '\\\\s+'), i, {n}), ' ')))"
         ),
     ).otherwise(F.array())
-    return df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+    out = df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+    # a small corpus often arrives as one parquet file → one partition →
+    # the downstream self-joins run serially; spread the exploded relation
+    # across the session's parallelism (cheap: shingles are small strings)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        out = out.repartition(target, id_col)
+    return out
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
@@ -184,14 +191,23 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    # verify candidates with exact Jaccard (broadcast the candidate list —
-    # it is tiny relative to the corpus when banding is tuned correctly)
+    return _verify_candidate_pairs(sh, candidates, id_col, threshold)
+
+
+def _verify_candidate_pairs(
+    sh: DataFrame, candidates: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of (doc_a, doc_b) candidate pairs:
+    count shingle intersections for candidates only, filter on the true
+    Jaccard. No forced broadcast — AQE broadcasts the candidate side when
+    it is small (the well-tuned-LSH case) and falls back to a shuffle join
+    when a pathological corpus (tiny vocabulary → huge candidate sets)
+    makes broadcasting the wrong move."""
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sa = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     sb = sh.select(F.col(id_col).alias("doc_b"), "shingle")
     inter = (
-        F.broadcast(candidates)
-        .join(sa, "doc_a")
+        candidates.join(sa, "doc_a")
         .join(sb, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
@@ -209,6 +225,59 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT near-dup pairs via prefix filtering (AllPairs/PPJoin family).
+
+    Identical output to ``ngram_jaccard_pairs``, sub-quadratic candidates:
+    order each doc's shingles by global rarity (rarest first); two docs
+    with Jaccard ≥ t MUST share a shingle within each other's first
+    ``|X| − ⌈t·|X|⌉ + 1`` shingles under any global total order, so the
+    candidate join only indexes those prefixes. Ordering by rarity puts
+    hot shingles at the END of every prefix ordering — the hot-shingle
+    quadratic blowup of the naive join largely disappears.
+
+    Cost: one extra shingle-frequency aggregation + a window rank; the
+    candidate join shrinks by ~(1−t)² with rare-first skew on top.
+    """
+    sh = shingles(df, id_col, text_col, n).cache()
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df_freq"))
+    ranked = (
+        sh.join(freq, "shingle")
+        .withColumn(
+            "_rank",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(
+                    F.col("df_freq").asc(), F.col("shingle").asc()
+                )
+            ),
+        )
+        .withColumn("_n", F.count("*").over(Window.partitionBy(id_col)))
+    )
+    prefix = ranked.filter(
+        F.col("_rank") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+    ).select(id_col, "shingle")
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    return _verify_candidate_pairs(sh, candidates, id_col, threshold)
 
 
 def simhash_signatures(

@@ -1294,3 +1294,45 @@ def dedup_exact_prehashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(hashed, ["_h"], "doc_id").select(
         "doc_id", "lang", "n_chars"
     )
+
+
+@_register(
+    "dedup_ngram_prefix",
+    oracle=_JACCARD_ORACLE,
+    doc="EXACT near-dup pairs via prefix filtering (AllPairs/PPJoin"
+        " family): shingles ordered by global rarity, only the first"
+        " |X|-ceil(t*|X|)+1 per doc indexed — provably complete for"
+        " Jaccard >= t, with hot shingles pushed out of every prefix."
+        " Same output (and oracle) as the naive shingle join at a fraction"
+        " of the candidate pairs — the exact-dedup path that still scales.",
+)
+def dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs_prefix(docs, threshold=0.5)
+
+
+@_register(
+    "pandas_udaf_geomean",
+    oracle="""
+    SELECT event_type, ROUND(exp(avg(ln(value))), 6) AS geomean
+    FROM events GROUP BY event_type
+    """,
+    doc="Custom aggregate via a GROUPED_AGG pandas UDF (the UDAF surface,"
+        " SURVEY §2.9): per-event-type geometric mean computed in NumPy"
+        " over Arrow-transferred groups, cross-checked against the"
+        " exp(avg(ln)) SQL identity.",
+)
+def pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: this module uses `from __future__ import
+    # annotations`, which stringifies the type hints pandas_udf inspects
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geomean(v):
+        return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(geomean("value"), 6).alias("geomean")
+    )
