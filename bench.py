@@ -45,6 +45,7 @@ HEADLINE = [
     "dedup_ngram_prefix",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_simhash_portable",
     "ann_cosine_topk",
     "ann_cosine_topk_blas",
     "ann_cosine_topk_lsh",
@@ -53,6 +54,7 @@ HEADLINE = [
     "string_functions_suite",
     "agg_percentiles",
     "pandas_udaf_geomean",
+    "agg_stats_covar",
     "pandas_udf_zscore",
     "salted_join_skew",
     "sessionize_events",

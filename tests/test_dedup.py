@@ -101,3 +101,10 @@ def test_prefix_filter_exact_at_other_thresholds(spark):
         pref = {(r.doc_a, r.doc_b, r.jaccard)
                 for r in dedup.ngram_jaccard_pairs_prefix(df, threshold=t).collect()}
         assert pref == naive, t
+
+
+def test_portable_simhash_identical_docs(spark):
+    df = _docs(spark, ["one two three four five", "one two three four five",
+                       "alpha beta gamma delta epsilon zeta eta theta"])
+    pairs = dedup.simhash_portable_pairs(df, max_hamming=0).collect()
+    assert [(p.doc_a, p.doc_b, p.hamming) for p in pairs] == [(0, 1, 0)]

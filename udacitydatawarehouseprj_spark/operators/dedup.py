@@ -361,3 +361,100 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# --- SQL-portable SimHash (cross-engine checkable) ---------------------
+#
+# The xxhash64-based simhash above is the engine-native production path
+# but cannot be reproduced in a SQL oracle. This variant derives a 32-bit
+# signature from a polynomial rolling hash over token characters — pure
+# integer arithmetic, bit-identical in any engine:
+#   h(token) = fold_{c in chars}( (acc*31 + code(c)) mod P ), acc0=0
+#   sig bit b = 1  iff  sum_{tokens} (2*((h>>b)&1) - 1) > 0,  b in 0..31
+
+# prime < 2^50 so acc*31 stays < 2^55 — no int64 overflow in EITHER engine
+# (DuckDB and non-ANSI Spark would wrap differently on overflow)
+PORTABLE_HASH_MOD = 999_999_999_999_989
+PORTABLE_SIM_BITS = 32
+
+
+def _portable_token_hash_expr(tok_col: str) -> F.Column:
+    return F.expr(
+        f"aggregate(sequence(1, length({tok_col})), 0L,"
+        f" (acc, i) -> (acc * 31 + CAST(ascii(substring({tok_col}, i, 1)) AS BIGINT))"
+        f" % {PORTABLE_HASH_MOD})"
+    )
+
+
+def simhash_portable_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok")
+    ).withColumn("h", _portable_token_hash_expr("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(PORTABLE_SIM_BITS)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    packed = functools.reduce(
+        operator.add,
+        [
+            F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            for b in range(PORTABLE_SIM_BITS)
+        ],
+    )
+    return agg.select(F.col(id_col), packed.alias("simhash"))
+
+
+def simhash_portable_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs on the portable 32-bit simhash, Hamming ≤ k, found
+    via 4×8-bit pigeonhole bands (any pair within distance 3 agrees on ≥1
+    band). Same algorithmic shape as simhash_pairs; every step is
+    SQL-portable, so the DuckDB oracle replays it exactly."""
+    sig = simhash_portable_signatures(df, id_col, text_col)
+    bands = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.shiftright(F.col("simhash"), i * 8)
+                        .bitwiseAND(F.lit(0xFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "simhash", "band.band_id", "band.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

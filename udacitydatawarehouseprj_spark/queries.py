@@ -1336,3 +1336,126 @@ def pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.round(geomean("value"), 6).alias("geomean")
     )
+
+
+def _portable_simhash_oracle() -> str:
+    """DuckDB replay of the portable simhash pipeline — generated so the
+    32 bit-sum expressions stay in lockstep with the operator constants."""
+    mod = dedup.PORTABLE_HASH_MOD
+    bits = dedup.PORTABLE_SIM_BITS
+    bit_sums = ",\n               ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    pack = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(tok) + 1),
+                           i -> CAST(unicode(substr(tok, CAST(i AS INTEGER), 1)) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % {mod}
+               ) AS h
+        FROM toks
+    ),
+    sums AS (
+        SELECT doc_id,
+               {bit_sums}
+        FROM hashed GROUP BY doc_id
+    ),
+    sig AS (SELECT doc_id, {pack} AS simhash FROM sums),
+    bands AS (
+        SELECT doc_id, simhash, b.band_id,
+               (simhash >> (b.band_id * 8)) & 255 AS band_val
+        FROM sig, (SELECT unnest(range(4)) AS band_id) b
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+@_register(
+    "dedup_simhash_portable",
+    oracle=_portable_simhash_oracle(),
+    doc="SimHash near-dup pairs with a SQL-portable polynomial token hash"
+        " — same banded-Hamming algorithm as dedup_simhash but every step"
+        " (rolling hash fold, bit sums, 4x8-bit pigeonhole bands,"
+        " bit_count(xor)) is exact integer arithmetic replayed verbatim by"
+        " the DuckDB oracle. The xxhash64 variant remains the production"
+        " path; this one proves the algorithm end-to-end.",
+)
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_portable_pairs(docs, max_hamming=3).withColumn(
+        "hamming", F.col("hamming").cast("int")
+    )
+
+
+@_register(
+    "agg_stats_covar",
+    oracle="""
+    WITH t AS (
+        SELECT event_type,
+               CAST(value AS DECIMAL(15,6)) AS vd,
+               CAST(CAST(json_extract_string(props, '$.k') AS INTEGER)
+                    AS DECIMAL(10,0)) AS kd
+        FROM events
+    ),
+    s AS (
+        SELECT event_type, COUNT(*) AS n,
+               CAST(CAST(ROUND(SUM(vd), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sx,
+               CAST(CAST(ROUND(SUM(kd), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sy,
+               CAST(CAST(ROUND(SUM(vd * vd), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sxx,
+               CAST(CAST(ROUND(SUM(kd * kd), 4) AS DECIMAL(18,4)) AS DOUBLE) AS syy,
+               CAST(CAST(ROUND(SUM(vd * kd), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sxy
+        FROM t GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND((sxx - sx * sx / n) / (n - 1), 6) AS var_value,
+           ROUND((sxy - sx * sy / n) / (n - 1), 6) AS covar,
+           ROUND(((sxy - sx * sy / n) / (n - 1))
+                 / sqrt(((sxx - sx * sx / n) / (n - 1))
+                        * ((syy - sy * sy / n) / (n - 1))), 6) AS corr
+    FROM s
+    """,
+    doc="Statistical aggregates (variance / covariance / correlation) per"
+        " group, computed from exact-decimal moment sums so the results"
+        " are independent of partial-aggregation order — the"
+        " deterministic-at-scale form of VAR_SAMP/COVAR_SAMP/CORR.",
+)
+def agg_stats_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    vd = F.col("value").cast("decimal(15,6)")
+    kd = F.get_json_object("props", "$.k").cast("int").cast("decimal(10,0)")
+    t = ev.select("event_type", vd.alias("vd"), kd.alias("kd"))
+    n = F.count("*")
+    s = t.groupBy("event_type").agg(
+        n.alias("n"),
+        _narrow(F.sum(F.col("vd"))).alias("sx"),
+        _narrow(F.sum(F.col("kd"))).alias("sy"),
+        _narrow(F.sum(F.col("vd") * F.col("vd"))).alias("sxx"),
+        _narrow(F.sum(F.col("kd") * F.col("kd"))).alias("syy"),
+        _narrow(F.sum(F.col("vd") * F.col("kd"))).alias("sxy"),
+    )
+    var_x = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    var_y = (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")) / (F.col("n") - 1)
+    covar = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (F.col("n") - 1)
+    return s.select(
+        "event_type",
+        "n",
+        F.round(var_x, 6).alias("var_value"),
+        F.round(covar, 6).alias("covar"),
+        F.round(covar / F.sqrt(var_x * var_y), 6).alias("corr"),
+    )
