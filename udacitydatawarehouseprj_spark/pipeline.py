@@ -65,3 +65,36 @@ def validation_counts(spark: SparkSession, table_paths: dict[str, str]) -> dict[
 
 def load_star(spark: SparkSession, table_paths: dict[str, str]) -> dict[str, DataFrame]:
     return {n: spark.read.parquet(p) for n, p in table_paths.items()}
+
+
+def main(argv: list[str] | None = None) -> None:
+    """CLI — the reference's ``python etl.py`` invocation shape
+    (etl.py:42-44), with paths as arguments instead of dwh.cfg endpoints:
+
+        python -m udacitydatawarehouseprj_spark.pipeline \\
+            --events <log_data dir> --songs <song_data dir> --out <dir>
+    """
+    import argparse
+
+    from udacitydatawarehouseprj_spark import session as S
+
+    p = argparse.ArgumentParser(description="Run the star-schema ETL")
+    p.add_argument("--events", required=True, help="newline-JSON app log dir")
+    p.add_argument("--songs", required=True, help="song catalog dir (recursive)")
+    p.add_argument("--out", required=True, help="output warehouse dir")
+    p.add_argument("--time-dim-limit", type=int, default=None,
+                   help="reproduce quirk Q2 (reference debug LIMIT)")
+    p.add_argument("--dedupe-users", action="store_true",
+                   help="fixed variant of quirk Q3 (one row per user)")
+    args = p.parse_args(argv)
+
+    spark = S.get_spark("sparkify-etl")
+    tables = run_etl(spark, args.events, args.songs, args.out,
+                     time_dim_limit=args.time_dim_limit,
+                     dedupe_users=args.dedupe_users)
+    for name, count in validation_counts(spark, tables).items():
+        print(f"{name}: {count} rows -> {tables[name]}")
+
+
+if __name__ == "__main__":
+    main()
