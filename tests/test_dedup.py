@@ -108,3 +108,18 @@ def test_portable_simhash_identical_docs(spark):
                        "alpha beta gamma delta epsilon zeta eta theta"])
     pairs = dedup.simhash_portable_pairs(df, max_hamming=0).collect()
     assert [(p.doc_a, p.doc_b, p.hamming) for p in pairs] == [(0, 1, 0)]
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    from pyspark.sql import Row
+
+    eval_doc = "the quick brown fox jumps over the lazy dog every single day"
+    contaminated = "prefix words then the quick brown fox jumps over the lazy dog tail"
+    clean = "completely unrelated training text with no shared phrases at all"
+    train = spark.createDataFrame(
+        [Row(doc_id=100, text=contaminated), Row(doc_id=101, text=clean)]
+    )
+    evals = spark.createDataFrame([Row(doc_id=1, text=eval_doc)])
+    out = dedup.decontaminate_overlap(train, evals, min_overlap=5).collect()
+    assert [(r.train_id, r.eval_id) for r in out] == [(100, 1)]
+    assert out[0].n_overlap >= 5

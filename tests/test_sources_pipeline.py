@@ -101,3 +101,21 @@ def test_catalog_introspection(spark, sf_dir):
     S.load_tables(spark, sf_dir, names=("region", "nation"))
     names = {t.name for t in spark.catalog.listTables()}
     assert {"region", "nation"} <= names
+
+
+def test_csv_roundtrip_sink(spark, tmp_path):
+    """CSV as an interchange sink/source (beyond the reference's
+    JSON-in/Redshift-out surface): header + explicit schema read-back."""
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, name string, score double"
+    )
+    path = str(tmp_path / "csv_out")
+    df.write.mode("overwrite").option("header", "true").csv(path)
+    back = (
+        spark.read.option("header", "true")
+        .schema("id long, name string, score double")
+        .csv(path)
+    )
+    assert {(r.id, r.name, r.score) for r in back.collect()} == {
+        (1, "a", 1.5), (2, "b", 2.5)
+    }

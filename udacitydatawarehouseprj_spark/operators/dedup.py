@@ -458,3 +458,35 @@ def simhash_portable_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def decontaminate_overlap(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+    min_overlap: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing ≥
+    ``min_overlap`` distinct word n-grams with any eval/benchmark document
+    (the n-gram-overlap contamination check used by LLM training
+    pipelines; word-3-grams here, 13-grams in the usual report recipe —
+    one constant).
+
+    Shape: eval shingles are tiny (the benchmark) → broadcast; the train
+    side streams. One aggregation, no self-join — linear in the corpus.
+    Returns (train_id, eval_id, n_overlap) pairs above the threshold.
+    """
+    tr = shingles(train, id_col, text_col, n).select(
+        F.col(id_col).alias("train_id"), "shingle"
+    )
+    ev = shingles(eval_set, id_col, text_col, n).select(
+        F.col(id_col).alias("eval_id"), "shingle"
+    )
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )

@@ -1459,3 +1459,39 @@ def agg_stats_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(covar, 6).alias("covar"),
         F.round(covar / F.sqrt(var_x * var_y), 6).alias("corr"),
     )
+
+
+@_register(
+    "decontaminate_overlap",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 2, 0) + 1),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+        FROM toks
+    )
+    SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+           COUNT(*) AS n_overlap
+    FROM sh t JOIN sh e USING (shingle)
+    WHERE t.doc_id >= 25 AND e.doc_id < 25
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 5
+    """,
+    doc="Benchmark decontamination (LLM-pipeline staple): training docs"
+        " sharing >= 5 distinct word-3-grams with any eval doc (doc_id<25"
+        " stands in for the benchmark set). Eval shingles broadcast, train"
+        " side streamed - linear in the corpus, no self-join. Also covers"
+        " the HAVING clause (absent from the reference, SURVEY §2.4).",
+)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.decontaminate_overlap(
+        docs.filter(F.col("doc_id") >= 25),
+        docs.filter(F.col("doc_id") < 25),
+        min_overlap=5,
+    )
