@@ -98,3 +98,44 @@ def test_ivf_kmeans_topk_contract(spark, sf_dir):
         per_q.setdefault(r.query_id, []).append(r.rank)
     for ranks in per_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_multiprobe_improves_recall(spark, sf_dir):
+    """Multi-probe must be a superset search: candidates only grow, so
+    recall is monotone in probes. Measured on the fixed testdata."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter("vec_id < 10")
+    exact = _key(similarity.cosine_topk(emb, q, k=5).collect())
+    exact_sets = {}
+    for (qid, _), (nid, _c) in exact.items():
+        exact_sets.setdefault(qid, set()).add(nid)
+
+    def recall(probes):
+        rows = similarity.cosine_topk_lsh_blas(
+            emb, q, k=5, num_planes=8, num_tables=4, probes=probes
+        ).collect()
+        hits = sum(1 for r in rows if r.neighbor_id in exact_sets.get(r.query_id, set()))
+        return hits / 50
+
+    r1, r4, r8 = recall(1), recall(4), recall(8)
+    assert r1 <= r4 <= r8  # superset search → monotone recall
+    assert r8 > 0.25  # measured 0.34 on the fixed testdata (r1 ≈ 0.1)
+
+
+def test_expression_lsh_bucket_no_driver_collect(spark, sf_dir):
+    """The pure-Column LSH variant (lsh_bucket_expr / cosine_topk_lsh):
+    bucket signatures computed as expressions — no driver-side matrix
+    collect, the form that scales past broadcastable query sets. Contract
+    checks: ranks contiguous, no self-matches, deterministic."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter("vec_id < 5")
+    out1 = similarity.cosine_topk_lsh(emb, q, k=3, num_planes=6).collect()
+    out2 = similarity.cosine_topk_lsh(emb, q, k=3, num_planes=6).collect()
+    key = lambda rows: sorted((r.query_id, r.rank, r.neighbor_id, r.cosine) for r in rows)
+    assert key(out1) == key(out2)
+    per_q = {}
+    for r in out1:
+        assert r.neighbor_id != r.query_id
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))

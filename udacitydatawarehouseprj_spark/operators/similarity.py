@@ -420,19 +420,25 @@ def cosine_topk_lsh_blas(
     vec_col: str = "embedding",
     num_planes: int = 8,
     num_tables: int = 1,
+    probes: int = 1,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane buckets computed in NumPy
-    (deterministic seed), candidates limited to vectors sharing the
-    query's bucket in ≥1 hash table, then exact rerank of candidates.
+    (deterministic seed), candidates limited to vectors sharing any of the
+    query's probed buckets in ≥1 hash table, then exact rerank.
 
-    ``num_tables`` is the OR-amplification knob: recall per neighbor at
-    angle θ is 1-(1-(1-θ/π)^planes)^tables; more tables → higher recall,
-    more candidates scanned. With a single 8-plane table only genuinely
-    close neighbors (small θ) survive — on uniformly random vectors (no
-    cluster structure, best cosines ≈0.3) recall is necessarily poor, the
-    documented ANN tradeoff. At corpus scale the bucket comparison becomes
-    a bucket-partitioned join instead of a broadcast mask."""
+    Two recall knobs, both deterministic:
+    * ``num_tables`` — OR-amplification: recall per neighbor at angle θ is
+      1-(1-(1-θ/π)^planes)^tables; more tables → more candidates scanned.
+    * ``probes`` — multi-probe: also search the buckets reached by
+      flipping the query's lowest-margin sign bits (the boundaries a true
+      neighbor most plausibly crossed) — recall per table rises without
+      extra signatures or tables.
+    With a single unprobed 8-plane table only genuinely close neighbors
+    survive — on uniformly random vectors (no cluster structure, best
+    cosines ≈0.3) recall is necessarily poor, the documented ANN tradeoff.
+    At corpus scale the bucket comparison becomes a bucket-partitioned
+    join instead of a broadcast mask."""
     import numpy as np
 
     spark = corpus.sparkSession
@@ -441,10 +447,21 @@ def cosine_topk_lsh_blas(
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((num_tables, num_planes, qmat.shape[1]))
     bits = 1 << np.arange(num_planes)
-    # bucket per (query, table): |Q| x T
-    qbuckets = np.stack(
-        [((qmat @ planes[t].T) >= 0) @ bits for t in range(num_tables)], axis=1
-    )
+    # buckets per (query, table): the query's own bucket plus multi-probe
+    # variants — flipping the lowest-|margin| sign bits probes the
+    # neighboring buckets a near-boundary vector most likely fell into,
+    # buying recall without more tables. probes=1 → classic single-bucket.
+    qbucket_sets = []
+    for t in range(num_tables):
+        proj = qmat @ planes[t].T  # |Q| x planes
+        base = (proj >= 0) @ bits
+        per_table = [base]
+        margin_order = np.argsort(np.abs(proj), axis=1)
+        for p in range(probes - 1):
+            flip_bit = margin_order[:, p]
+            per_table.append(base ^ (1 << flip_bit))
+        qbucket_sets.append(np.stack(per_table, axis=1))  # |Q| x probes
+    qbuckets = np.stack(qbucket_sets, axis=1)  # |Q| x T x probes
     bc = spark.sparkContext.broadcast((qids, qmat, qnorms, qbuckets, planes))
 
     def block(it):
@@ -463,7 +480,11 @@ def cosine_topk_lsh_blas(
             )  # |batch| x T
             out_q, out_n, out_c = [], [], []
             for qi in range(len(bqids)):
-                mask = (cb == bqb[qi]).any(axis=1) & (cid != bqids[qi])
+                # candidate iff the corpus bucket matches ANY probed bucket
+                # of the query in the corresponding table
+                mask = (cb[:, :, None] == bqb[qi][None, :, :]).any(
+                    axis=(1, 2)
+                ) & (cid != bqids[qi])
                 if not mask.any():
                     continue
                 s = (c[mask] @ bqmat[qi]) / (cn[mask] * bqnorms[qi])
