@@ -14,7 +14,13 @@ Scale design (100 TB corpus):
   to same-bucket pairs. This is the scale path; banding parameters trade
   recall for cost.
 * SimHash (``simhash_pairs``): 64-bit signature per doc; near-dups =
-  signatures within Hamming distance k, found via band buckets.
+  signatures within Hamming distance k, found via band buckets. A
+  SQL-portable variant (``simhash_portable_pairs``) trades xxhash64 for a
+  polynomial rolling hash so the DuckDB oracle can replay it exactly.
+* Prefix filtering (``ngram_jaccard_pairs_prefix``): exact sub-quadratic
+  similarity join for Zipfian vocabularies.
+* Decontamination (``decontaminate_overlap``): train×benchmark n-gram
+  overlap — broadcast the benchmark, stream the corpus.
 
 All Spark-built-in expressions (xxhash64, transform/slice/aggregate) — no
 Python UDFs anywhere in dedup.

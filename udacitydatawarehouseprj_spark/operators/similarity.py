@@ -9,15 +9,26 @@ products in index order (``F.aggregate`` over ``zip_with``), which the
 DuckDB oracle mirrors with ``list_reduce`` — identical IEEE operation
 order → bit-identical doubles, so results hash-match without tolerance.
 
+Two implementation families, same contracts:
+
+* **Fold-based Column expressions** (this top half): bit-reproducible
+  against the SQL oracle, pure JVM. The exact `cosine_topk`/`cosine_pairs`
+  anchors plus an expression-only LSH (`lsh_bucket_expr`) whose signatures
+  never touch the driver — the form to keep when query sets exceed
+  broadcast range.
+* **BLAS variants** (bottom half, `*_blas`): Arrow batches + NumPy matrix
+  products via ``mapInPandas`` — 9-12× faster for dense similarity; the
+  deliberate exception to the no-Python-UDF rule because a matrix product
+  is the right primitive, and Arrow keeps it zero-copy.
+
 Scale design (billions of vectors):
 * brute force: corpus-partition-parallel; queries broadcast; per-partition
   top-k would bound the shuffle (the window rank here is exact and fine for
   thousands of queries — swap the final rank for a two-phase
   partial-top-k + merge when |Q|×k exceeds driver comfort).
-* LSH: one signature expression per vector (map-side), bucket join.
-* IVF: centroid assignment (broadcast centroids), probe nearest cells only.
-
-All built-in expressions — no Python UDFs.
+* LSH: signatures map-side; multi-table OR-amplification + multi-probe as
+  the recall knobs; bucket join replaces the cross join.
+* IVF: trained coarse centroids (distributed k-means), probe n cells only.
 """
 
 from __future__ import annotations
