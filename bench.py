@@ -42,7 +42,6 @@ HEADLINE = [
     "dedup_exact",
     "dedup_exact_prehashed",
     "dedup_ngram_jaccard",
-    "dedup_ngram_prefix",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_portable",

@@ -71,12 +71,15 @@ def test_flagship_single_shuffle(spark, sf_dir):
     assert "HashAggregate" in plan  # partial+final hash agg, no sort-agg
 
 
-def test_fingerprint_has_no_shuffle(spark, sf_dir):
-    """The rolling fingerprint is a pure projection — an explode+groupBy
-    formulation would shuffle one row per character."""
+def test_fingerprint_is_pure_projection(spark, sf_dir):
+    """The rolling fingerprint is a per-row fold — an explode+groupBy
+    formulation would shuffle one row per CHARACTER. The only allowed
+    exchange is the session.spread repartition of the small-file input
+    (rows, not characters), which exists purely for core utilization."""
     plan = plan_of(spark, sf_dir, "doc_fingerprint_rolling")
-    assert count_exchanges(plan) == 0
+    assert count_exchanges(plan) <= 1
     assert "Generate explode" not in plan
+    assert "HashAggregate" not in plan  # no per-character aggregation
 
 
 def test_no_cartesian_products_anywhere(spark, sf_dir):

@@ -64,13 +64,14 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             f" i -> array_join(slice(split(lower({text_col}), '\\\\s+'), i, {n}), ' ')))"
         ),
     ).otherwise(F.array())
-    out = df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+    from udacitydatawarehouseprj_spark.session import spread
+
     # a small corpus often arrives as one parquet file → one partition →
-    # the downstream self-joins run serially; spread the exploded relation
-    # across the session's parallelism (cheap: shingles are small strings)
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        out = out.repartition(target, id_col)
+    # the explode and downstream self-joins would run serially (see
+    # session.spread)
+    out = spread(df, (id_col,)).select(
+        F.col(id_col), F.explode(sh).alias("shingle")
+    )
     return out
 
 
@@ -295,7 +296,9 @@ def simhash_signatures(
     signature bit b = 1 iff the sum is positive. One groupBy with 64
     conditional sums (map-side partials), then a bit-pack expression.
     """
-    toks = df.select(
+    from udacitydatawarehouseprj_spark.session import spread
+
+    toks = spread(df, (id_col,)).select(
         F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
     bit_sums = [
@@ -395,7 +398,9 @@ def _portable_token_hash_expr(tok_col: str) -> F.Column:
 def simhash_portable_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    toks = df.select(
+    from udacitydatawarehouseprj_spark.session import spread
+
+    toks = spread(df, (id_col,)).select(
         F.col(id_col), F.explode(tokens_expr(text_col)).alias("tok")
     ).withColumn("h", _portable_token_hash_expr("tok"))
     bit_sums = [

@@ -131,12 +131,14 @@ def fingerprint_rolling(df: DataFrame, id_col: str = "doc_id",
     DuckDB oracle's list_sum arithmetic exactly. For production-scale
     fingerprinting use ``fingerprint_fast`` — one xxhash64 expression.
     """
+    from udacitydatawarehouseprj_spark.session import spread
+
     fold = F.expr(
         f"aggregate(sequence(1, length({text_col})), 0L,"
         f" (acc, i) -> acc + CAST(ascii(substring({text_col}, i, 1)) AS BIGINT)"
         f" * (((i - 1) % {FINGERPRINT_WINDOW}) + 1))"
     )
-    return df.select(
+    return spread(df).select(
         F.col(id_col), (fold % FINGERPRINT_MOD).alias("fingerprint")
     )
 

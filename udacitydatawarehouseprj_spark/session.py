@@ -154,3 +154,20 @@ def load_tables(
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def spread(df: DataFrame, partition_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Repartition a small-file input up to the session's parallelism.
+
+    A CPU-heavy per-row operator (hash folds, signature sums, decode UDFs)
+    over a corpus that arrived as one small parquet file runs on ONE core —
+    `maxPartitionBytes` splits by bytes, not by compute cost. Spreading is
+    one cheap shuffle of the input; downstream work uses every core. No-op
+    when the input already has enough partitions (the at-scale case).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    if partition_cols:
+        return df.repartition(target, *partition_cols)
+    return df.repartition(target)
