@@ -56,6 +56,8 @@ HEADLINE = [
     "agg_stats_covar",
     "pandas_udf_zscore",
     "salted_join_skew",
+    "asof_join_purchase_view",
+    "range_join_value_bands",
     "sessionize_events",
     "tpch_q3_shipping_priority",
     "text_token_stats",

@@ -40,6 +40,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def values_equal(a, b) -> bool:
+    try:
+        if pd.isna(a) and pd.isna(b):  # NaN == NaN, NaT == NaT, None == None
+            return True
+    except (TypeError, ValueError):
+        pass
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True

@@ -1495,3 +1495,78 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") < 25),
         min_overlap=5,
     )
+
+
+@_register(
+    "asof_join_purchase_view",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                   ORDER BY event_id DESC) = 1
+    ),
+    p AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           v.event_id AS view_id, v.ts AS view_ts
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    doc="As-of join (operators/temporal.py) - an operator Spark lacks as a"
+        " built-in, composed as union-sort-carry (one shuffle, O(L+R) per"
+        " key - no range-join explosion): each purchase matched to the"
+        " user's latest prior view (attribution/funnel shape). Oracle:"
+        " DuckDB's native ASOF LEFT JOIN.",
+)
+def asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacitydatawarehouseprj_spark.operators import temporal
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    views_r = views.select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    return temporal.asof_join(
+        purchases,
+        views_r,
+        key="user_id",
+        left_ts="purchase_ts",
+        right_ts="view_ts",
+        right_payload=["view_id", "view_ts"],
+        dedup_keep="view_id",
+    ).select("purchase_id", "user_id", "purchase_ts", "view_id", "view_ts")
+
+
+@_register(
+    "range_join_value_bands",
+    oracle="""
+    WITH bands AS (
+        SELECT i AS band_id, CAST(i * 10 AS DOUBLE) AS lo,
+               CAST((i + 1) * 10 AS DOUBLE) AS hi
+        FROM range(0, 50) t(i)
+    )
+    SELECT e.event_id, b.band_id, b.lo, b.hi
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    """,
+    doc="Range (interval-containment) join - another missing-builtin"
+        " composed Spark-first: the BETWEEN condition becomes an equi-join"
+        " on a computed bucket key + residual filter. Catalyst would plan"
+        " the raw BETWEEN as broadcast-nested-loop O(rows x bands); the"
+        " bucket key makes it a hash join, O(rows).",
+)
+def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacitydatawarehouseprj_spark.operators import temporal
+
+    ev = _t(spark, sf_dir, "events")
+    return temporal.range_join_bands(
+        ev.select("event_id", "value"), "value", band_width=10.0, num_bands=50
+    ).select("event_id", "band_id", "lo", "hi")
