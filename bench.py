@@ -37,6 +37,7 @@ HEADLINE = [
     "setops_daily_users",
     "cte_hourly_active_users",
     "time_dimension_build",
+    "time_rollup_multigrain",
     "sparkify_fct_build",
     "tpch_q1_pricing_summary",
     "dedup_exact",
@@ -61,6 +62,7 @@ HEADLINE = [
     "sessionize_events",
     "tpch_q3_shipping_priority",
     "text_token_stats",
+    "text_tfidf",
     "text_quality_score",
     "text_lang_id",
     "doc_fingerprint_rolling",

@@ -131,3 +131,27 @@ def test_parquet_sink_exactly_once(spark, tmp_path, stream_rows):
     q2 = events_stream.run_hourly_stream_to_parquet(spark, src, ckpt, out)
     q2.awaitTermination(120)
     assert len(spark.read.parquet(out).collect()) == len(first)
+
+
+def test_stream_stream_attribution_join(spark, tmp_path):
+    def ts(h, m):
+        return f"2024-03-01T{h:02d}:{m:02d}:00.000Z"
+
+    rows = [
+        {"event_id": 1, "ts": ts(1, 0), "user_id": 1, "event_type": "view", "value": 1.0, "props": "{}"},
+        {"event_id": 2, "ts": ts(1, 30), "user_id": 1, "event_type": "view", "value": 1.0, "props": "{}"},
+        {"event_id": 3, "ts": ts(1, 45), "user_id": 1, "event_type": "purchase", "value": 9.0, "props": "{}"},
+        # view outside the 1h lookback of the purchase below
+        {"event_id": 4, "ts": ts(2, 0), "user_id": 2, "event_type": "view", "value": 1.0, "props": "{}"},
+        {"event_id": 5, "ts": ts(4, 0), "user_id": 2, "event_type": "purchase", "value": 9.0, "props": "{}"},
+    ]
+    src = str(tmp_path / "landing")
+    _write_events(src, rows)
+    q = events_stream.run_purchase_attribution_stream(
+        spark, src, str(tmp_path / "ckpt"), sink_table="t_attr",
+    )
+    q.awaitTermination(120)
+    got = {(r.purchase_id, r.view_id)
+           for r in spark.sql("SELECT * FROM t_attr").collect()}
+    # purchase 3 attributes to both in-window views; purchase 5 to none
+    assert got == {(3, 1), (3, 2)}

@@ -1570,3 +1570,120 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.range_join_bands(
         ev.select("event_id", "value"), "value", band_width=10.0, num_bands=50
     ).select("event_id", "band_id", "lo", "hi")
+
+
+@_register(
+    "text_tfidf",
+    oracle="""
+    WITH terms AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2
+    ),
+    df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS doc_freq FROM terms GROUP BY 1
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term, tf.tf,
+           ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / doc_freq), 6) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    """,
+    doc="TF-IDF scoring (SURVEY §7 M6 text-analysis list): term"
+        " frequencies per doc, document frequencies, idf = ln(N/df)."
+        " Two aggregations + a broadcast of the tiny df/N sides; the"
+        " term explode is the only wide relation.",
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    terms = S.spread(docs, ("doc_id",)).select(
+        "doc_id", F.explode(dedup.tokens_expr("text")).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = terms.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("doc_freq")
+    )
+    n_docs = docs.count()
+    return tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 6
+        ).alias("tfidf"),
+    )
+
+
+@_register(
+    "time_rollup_multigrain",
+    oracle="""
+    WITH base AS (
+        SELECT date_trunc('hour', ts) AS hour_b,
+               date_trunc('day', ts) AS day_b,
+               date_trunc('month', ts) AS month_b,
+               value
+        FROM events
+    )
+    SELECT hour_b, day_b, month_b, COUNT(*) AS n_events,
+           CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4)
+                AS DECIMAL(18,4)) AS DOUBLE) AS total_value
+    FROM base
+    GROUP BY GROUPING SETS ((hour_b), (day_b), (month_b))
+    """,
+    doc="Hypertable-style continuous-aggregate rollup: hour, day, and"
+        " month grains materialized in ONE pass via GROUPING SETS (one"
+        " Expand + one shuffle) instead of three scans — the"
+        " multi-resolution time rollup a time-series store maintains.",
+)
+def time_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "events").createOrReplaceTempView("_rollup_events")
+    return spark.sql(
+        """
+        WITH base AS (
+            SELECT date_trunc('hour', ts) AS hour_b,
+                   date_trunc('day', ts) AS day_b,
+                   date_trunc('month', ts) AS month_b,
+                   value
+            FROM _rollup_events
+        )
+        SELECT hour_b, day_b, month_b, COUNT(*) AS n_events,
+               CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4)
+                    AS DECIMAL(18,4)) AS DOUBLE) AS total_value
+        FROM base
+        GROUP BY GROUPING SETS ((hour_b), (day_b), (month_b))
+        """
+    )
+
+
+@_register(
+    "stratified_sample",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM (
+        SELECT event_id, user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY event_id) AS rn
+        FROM events
+    ) WHERE rn % 10 = 1
+    """,
+    doc="Stratified deterministic sampling: every 10th row per stratum"
+        " (event_type) under a stable order — the reproducible form of"
+        " sampleBy for building balanced subsets/holdouts.",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window as W
+
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.row_number()
+            .over(W.partitionBy("event_type").orderBy("event_id"))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") % 10 == 1)
+        .drop("rn")
+    )

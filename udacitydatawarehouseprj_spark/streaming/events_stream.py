@@ -218,3 +218,58 @@ def run_hourly_stream_to_parquet(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_purchase_attribution_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    sink_table: str = "attribution_stream",
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+    fmt: str = "json",
+    available_now: bool = True,
+):
+    """Stream-stream join: each purchase joined to the same user's view
+    events within the preceding ``lookback`` window (attribution).
+
+    Both sides carry watermarks and the join condition bounds event time,
+    so Spark can expire join state — the canonical bounded-state
+    stream-stream join. Inner join: a purchase emits once per qualifying
+    view (the as-of/latest-only variant is the batch
+    ``asof_join_purchase_view``)."""
+    src = read_events_stream(spark, source_dir, fmt=fmt)
+    purchases = (
+        src.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    views = (
+        src.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("view_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    joined = purchases.join(
+        views,
+        (F.col("user_id") == F.col("view_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}")),
+        "inner",
+    ).select("purchase_id", "user_id", "purchase_ts", "view_id", "view_ts")
+    writer = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink_table)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
