@@ -61,6 +61,11 @@ SMOKE = [
     "text_quality_score",
     "doc_fingerprint_rolling",
     "multimodal_byte_features",
+    "asof_join_purchase_view",
+    "range_join_value_bands",
+    "text_tfidf",
+    "time_rollup_multigrain",
+    "decontaminate_overlap",
 ]
 
 
