@@ -12,6 +12,7 @@ from __future__ import annotations
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from udacitydatawarehouseprj_spark import queries as Q
 
@@ -111,3 +112,41 @@ def test_aggregates_have_map_side_combine(spark, sf_dir):
         )
         plan = df._jdf.queryExecution().explainString(mode)
         assert _re.search(r"partial_(sum|count)", plan), name
+
+
+def test_star_join_correct_without_broadcast(spark, sf_dir):
+    """Plan independence: disabling broadcast (AQE falls back to shuffle
+    joins) must not change any value — the determinism rules hold under
+    arbitrary physical plans."""
+    name = "star_join_region_revenue"
+    baseline = {tuple(r) for r in Q.queries()[name](spark, sf_dir).collect()}
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        no_bcast = {tuple(r) for r in Q.queries()[name](spark, sf_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert no_bcast == baseline
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    """Hive-style partitioned layout (the other half of the Redshift
+    distkey story): write partitioned by a column, read with a filter on
+    it, and assert the scan prunes partitions instead of reading all."""
+    from udacitydatawarehouseprj_spark import session as S
+
+    out = str(tmp_path / "li_parted")
+    li = S.load_table(spark, sf_dir, "lineitem")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "l_returnflag" in m.group(1)
+    # pruning is real: only the matching partition's rows are read
+    r_rows = li.filter(F.col("l_returnflag") == "R").count()
+    assert df.count() == r_rows

@@ -15,7 +15,7 @@ ETL for the "Sparkify" music-streaming dataset), re-expressed Spark-first:
 Layout:
     session.py    SparkSession factory + testdata table registry
     schemas.py    explicit StructTypes (Sparkify staging/star + testdata)
-    functions/    scalar Column-level function library (datetime/text/vectors)
+    functions/    scalar Column-level function library (datetime semantics)
     operators/    relational + dedup + similarity + text + multimodal operators
     sources/      JSON/Parquet readers and layout-aware writers
     plans/        the star-schema build (the reference's etl.py equivalent)
