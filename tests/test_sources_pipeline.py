@@ -85,6 +85,12 @@ def test_bucketed_table_write(spark):
     df = spark.range(100).withColumnRenamed("id", "song_id")
     layout = sinks.TableLayout(dist_key="song_id", buckets=4)
     sinks.drop_table(spark, "t_bucketed")
+    # a stale warehouse dir from a previous SESSION is invisible to the
+    # catalog but still blocks the managed-table write — clear it
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(os.path.join(warehouse, "t_bucketed"), ignore_errors=True)
     sinks.write_table(df, "t_bucketed", layout)
     desc = {r.col_name: r.data_type
             for r in spark.sql("DESCRIBE TABLE EXTENDED t_bucketed").collect()}
