@@ -57,3 +57,10 @@ def test_image_decode_stub_raises(spark):
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+def test_arrow_variant_matches_pandas_variant(spark):
+    src = mm.attach_payload(_docs(spark))
+    via_pandas = {tuple(r) for r in mm.extract_byte_features(src).collect()}
+    via_arrow = {tuple(r) for r in mm.extract_byte_features_arrow(src).collect()}
+    assert via_arrow == via_pandas and len(via_arrow) == 2
