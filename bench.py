@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from udacitydatawarehouseprj_spark import queries as Q  # noqa: E402
 from udacitydatawarehouseprj_spark import session as S  # noqa: E402
+from udacitydatawarehouseprj_spark.operators import dedup  # noqa: E402
 
 #: benched subset: every operator family, weighted toward the
 #: shuffle/join/explode-heavy queries that dominate at scale.
@@ -88,6 +89,7 @@ def main() -> None:
         t0 = time.perf_counter()
         run_one(registry[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        dedup.release_caches()  # drop per-query shingle caches
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(

@@ -123,3 +123,27 @@ def test_decontaminate_flags_planted_overlap(spark):
     out = dedup.decontaminate_overlap(train, evals, min_overlap=5).collect()
     assert [(r.train_id, r.eval_id) for r in out] == [(100, 1)]
     assert out[0].n_overlap >= 5
+
+
+def test_prefix_circuit_breaker_falls_back(spark):
+    """Tiny-vocabulary corpus: the candidate estimate blows past the cap,
+    the operator falls back to the naive shingle join, and the output is
+    still exact (identical to ngram_jaccard_pairs)."""
+    rows = [(i, "alpha beta gamma delta epsilon") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    guarded = dedup.ngram_jaccard_pairs_prefix(
+        df, threshold=0.5, max_candidate_ratio=1.0
+    )
+    naive = dedup.ngram_jaccard_pairs(df, threshold=0.5)
+    assert {(r.doc_a, r.doc_b) for r in guarded.collect()} == {
+        (r.doc_a, r.doc_b) for r in naive.collect()
+    }
+    dedup.release_caches()
+
+
+def test_release_caches_unpersists(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert len(dedup._ACTIVE_CACHES) >= 1
+    dedup.release_caches()
+    assert dedup._ACTIVE_CACHES == []

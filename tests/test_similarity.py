@@ -139,3 +139,44 @@ def test_expression_lsh_bucket_no_driver_collect(spark, sf_dir):
         per_q.setdefault(r.query_id, []).append(r.rank)
     for ranks in per_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_pairs_tiled_equals_fold_no_collect(spark, sf_dir):
+    """Tiled block matmul == exact fold pairs, and the plan contains no
+    driver-side corpus materialization (no broadcast of a collected
+    matrix — the tile shuffle is the only data movement)."""
+    emb = _emb(spark, sf_dir)
+    fold = {(r.id_a, r.id_b, r.cosine)
+            for r in similarity.cosine_pairs(emb, threshold=0.4).collect()}
+    tiled_df = similarity.cosine_pairs_blas_tiled(emb, threshold=0.4)
+    tiled = {(r.id_a, r.id_b, r.cosine) for r in tiled_df.collect()}
+    assert fold == tiled
+    assert len(tiled) > 0
+    # plan sanity: FlatMapGroupsInPandas over the tile grid, no cartesian
+    plan = tiled_df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pairs_tiled_block_count_param(spark, sf_dir):
+    """Output is invariant to the tiling granularity."""
+    emb = _emb(spark, sf_dir).limit(200)
+    a = {(r.id_a, r.id_b) for r in
+         similarity.cosine_pairs_blas_tiled(emb, 0.35, num_blocks=2).collect()}
+    b = {(r.id_a, r.id_b) for r in
+         similarity.cosine_pairs_blas_tiled(emb, 0.35, num_blocks=7).collect()}
+    assert a == b
+
+
+def test_exact_topk_partial_candidates_before_final_rank(spark, sf_dir):
+    """cosine_topk now reduces each partition to <=|Q|*k candidates via a
+    selection-only pandas stage BEFORE the rank shuffle: the plan shows
+    MapInPandas feeding the window, and results still match BLAS."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter("vec_id < 10")
+    df = similarity.cosine_topk(emb, q, k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert _key(df.collect()) == _key(
+        similarity.cosine_topk_blas(emb, q, k=5).collect()
+    )

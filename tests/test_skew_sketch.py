@@ -72,3 +72,14 @@ def test_sessionize_gap_semantics(spark):
         (1, datetime(2024, 1, 1, 11, 30), 1),
         (2, datetime(2024, 1, 1, 10, 5), 1),
     }
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest
+
+    from udacitydatawarehouseprj_spark.operators.skew import salted_join
+
+    big = spark.range(10).withColumnRenamed("id", "k")
+    small = spark.range(3).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(big, small, "k", "k", how="full")

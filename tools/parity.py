@@ -23,6 +23,7 @@ sys.path.insert(0, ".")
 
 from udacitydatawarehouseprj_spark import queries as Q  # noqa: E402
 from udacitydatawarehouseprj_spark import session as S  # noqa: E402
+from udacitydatawarehouseprj_spark.operators import dedup  # noqa: E402
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -95,6 +96,8 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             failures += 1
             continue
+        finally:
+            dedup.release_caches()  # per-query shingle caches
         if name not in oracles:
             print(f"skip  {name}: no oracle (rows-only) — {len(sdf)} rows")
             continue

@@ -37,6 +37,25 @@ from pyspark.sql.window import Window
 
 #: word n-gram size for shingling
 DEFAULT_SHINGLE = 3
+
+# Shingle relations are cached because they feed several subplans (sizes +
+# both join sides). A long-lived session running many dedup queries would
+# otherwise accumulate cached blocks until LRU eviction — callers that loop
+# over corpora should call release_caches() after each final action.
+_ACTIVE_CACHES: list[DataFrame] = []
+
+
+def _cache(df: DataFrame) -> DataFrame:
+    df = df.cache()
+    _ACTIVE_CACHES.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every shingle relation cached by dedup operators since the
+    last release. Safe to call any time after the consuming action."""
+    while _ACTIVE_CACHES:
+        _ACTIVE_CACHES.pop().unpersist()
 #: MinHash parameters: 64 permutations → 32 bands × 2 rows. At Jaccard 0.5
 #: the per-pair miss probability is (1 - 0.5²)³² ≈ 1e-4.
 NUM_PERM = 64
@@ -93,7 +112,7 @@ def _jaccard_from_shingles(sh: DataFrame, id_col: str, threshold: float) -> Data
 
     The shingle relation feeds three subplans (sizes + both join sides) —
     cache it so the tokenize/shingle explode runs once, not three times."""
-    sh = sh.cache()
+    sh = _cache(sh)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -165,7 +184,7 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_perm // num_bands
     # cached: feeds the signature build plus three verification subplans
-    sh = shingles(df, id_col, text_col, n).cache()
+    sh = _cache(shingles(df, id_col, text_col, n))
     sig = minhash_signatures(sh, id_col, num_perm)
 
     band_cols = [
@@ -240,6 +259,7 @@ def ngram_jaccard_pairs_prefix(
     text_col: str = "text",
     n: int = DEFAULT_SHINGLE,
     threshold: float = 0.5,
+    max_candidate_ratio: float | None = 64.0,
 ) -> DataFrame:
     """EXACT near-dup pairs via prefix filtering (AllPairs/PPJoin family).
 
@@ -253,8 +273,18 @@ def ngram_jaccard_pairs_prefix(
 
     Cost: one extra shingle-frequency aggregation + a window rank; the
     candidate join shrinks by ~(1−t)² with rare-first skew on top.
+
+    Circuit breaker: on a tiny-vocabulary corpus every prefix shares the
+    same few shingles and the candidate join degenerates (measured 7.5×
+    WORSE than the naive join on an adversarial 10× corpus — SCALE.md).
+    Before running the join we bound its size exactly from per-shingle
+    prefix frequencies (Σ c·(c−1)/2 — one linear aggregation, no join);
+    if that exceeds ``max_candidate_ratio × |corpus|`` the prefixes are
+    not discriminating and we fall back to the naive shingle join, which
+    is the cheaper plan precisely in that regime. ``None`` disables the
+    guard (keeps the plan fully lazy / action-free).
     """
-    sh = shingles(df, id_col, text_col, n).cache()
+    sh = _cache(shingles(df, id_col, text_col, n))
     freq = sh.groupBy("shingle").agg(F.count("*").alias("df_freq"))
     ranked = (
         sh.join(freq, "shingle")
@@ -271,6 +301,22 @@ def ngram_jaccard_pairs_prefix(
     prefix = ranked.filter(
         F.col("_rank") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
     ).select(id_col, "shingle")
+    if max_candidate_ratio is not None:
+        prefix = _cache(prefix)
+        est_row = (
+            prefix.groupBy("shingle")
+            .agg(F.count("*").alias("c"))
+            .agg(
+                F.sum(
+                    F.col("c") * (F.col("c") - 1) / F.lit(2.0)
+                ).alias("est_pairs")
+            )
+            .collect()[0]
+        )
+        est_pairs = float(est_row["est_pairs"] or 0.0)
+        n_docs = sh.select(id_col).distinct().count()
+        if est_pairs > max_candidate_ratio * max(n_docs, 1):
+            return _jaccard_from_shingles(sh, id_col, threshold)
     a = prefix.alias("a")
     b = prefix.alias("b")
     candidates = (

@@ -86,13 +86,44 @@ def cosine_topk(
     """Exact brute-force cosine top-k per query (the ANN baseline).
 
     Deterministic: rank orders by (cosine desc, neighbor_id) — ties cannot
-    flip the output."""
+    flip the output.
+
+    Scale shape: the |C|×|Q| scored pairs are produced map-side (queries
+    broadcast, fold dot product) and immediately reduced to ≤ |Q|·k
+    candidates *per partition* by a pure row-selection pandas stage — the
+    cosine doubles pass through Arrow untouched, so the fold's
+    bit-exactness vs the SQL oracle is preserved. Only the tiny candidate
+    set (partitions × |Q| × k rows) is shuffled for the final exact rank;
+    the full pair relation never crosses the wire.
+    """
     pairs = _pairs_with_cosine(corpus, queries, id_col, vec_col)
+
+    def partial_topk(it):
+        import pandas as pd
+
+        carry = None
+        for pdf in it:
+            carry = pdf if carry is None else pd.concat([carry, pdf])
+            # prune to top-k per query with the SAME tie-break as the
+            # final rank (cosine desc, neighbor_id asc) — selection only,
+            # values untouched
+            carry = (
+                carry.sort_values(
+                    ["query_id", "cosine", "neighbor_id"],
+                    ascending=[True, False, True],
+                )
+                .groupby("query_id", sort=False)
+                .head(k)
+            )
+        if carry is not None and len(carry):
+            yield carry
+
+    cands = pairs.mapInPandas(partial_topk, schema=_topk_candidates_schema())
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        cands.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             "query_id",
@@ -360,6 +391,108 @@ def cosine_pairs_blas(
                 )
 
     return df.mapInPandas(block, schema="id_a long, id_b long, cosine double")
+
+
+def cosine_pairs_blas_tiled(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_blocks: int | None = None,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold with NO driver-side collect —
+    the corpus-scale form of ``cosine_pairs_blas``.
+
+    Vectors are hashed into B blocks; the B(B+1)/2 block-pair tiles are
+    materialized by replicating each vector to its B tiles (left role for
+    tiles (b, j≥b), right role for (i<b, b)), and each tile computes its
+    pairs with one BLAS matmul inside ``applyInPandas``. Every unordered
+    pair of blocks meets in exactly one tile, so output pairs are emitted
+    exactly once. Total shuffle is N·B rows and a task holds at most two
+    blocks (≈2N/B vectors) — pick B so a block fits comfortably in executor
+    memory; default B ≈ √(2·parallelism) keeps every core busy. The driver
+    never sees a vector. Same output contract (and 6-decimal rounding) as
+    cosine_pairs / cosine_pairs_blas."""
+    import numpy as np
+
+    if num_blocks is None:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        num_blocks = max(2, int(np.ceil(np.sqrt(2.0 * par))))
+    B = num_blocks
+
+    e = df.select(
+        F.col(id_col).alias("id"), as_double(vec_col).alias("emb")
+    ).withColumn("block", F.pmod(F.xxhash64(F.col("id")), F.lit(B)).cast("int"))
+    rep = e.select(
+        "id", "emb", "block",
+        F.explode(F.array(*[F.lit(i) for i in range(B)])).alias("other"),
+    )
+    left = rep.filter(F.col("other") >= F.col("block")).select(
+        F.col("block").alias("bi"), F.col("other").alias("bj"),
+        F.lit(0).alias("side"), "id", "emb",
+    )
+    right = rep.filter(F.col("other") < F.col("block")).select(
+        F.col("other").alias("bi"), F.col("block").alias("bj"),
+        F.lit(1).alias("side"), "id", "emb",
+    )
+    tiles = left.unionByName(right)
+
+    def tile(key, pdf):
+        import pandas as pd
+
+        bi, bj = int(key[0]), int(key[1])
+        empty = pd.DataFrame(
+            {
+                "id_a": np.empty(0, "int64"),
+                "id_b": np.empty(0, "int64"),
+                "cosine": np.empty(0, "float64"),
+            }
+        )
+        if bi == bj:
+            # diagonal tile: self pairs within one block, position order =
+            # id order after the sort so the upper triangle is id_a < id_b
+            pdf = pdf.sort_values("id")
+            ids = pdf["id"].to_numpy("int64")
+            if len(ids) < 2:
+                return empty
+            m = np.vstack(pdf["emb"].to_numpy()).astype("float64")
+            nrm = np.sqrt((m * m).sum(axis=1))
+            sims = (m @ m.T) / np.outer(nrm, nrm)
+            ia, ib = np.triu_indices(len(ids), k=1)
+            mask = sims[ia, ib] >= threshold
+            ia, ib = ia[mask], ib[mask]
+            if not len(ia):
+                return empty
+            return pd.DataFrame(
+                {
+                    "id_a": ids[ia],
+                    "id_b": ids[ib],
+                    "cosine": _round6(sims[ia, ib]),
+                }
+            )
+        lhs = pdf[pdf["side"] == 0]
+        rhs = pdf[pdf["side"] == 1]
+        if not len(lhs) or not len(rhs):
+            return empty
+        lid = lhs["id"].to_numpy("int64")
+        rid = rhs["id"].to_numpy("int64")
+        lm = np.vstack(lhs["emb"].to_numpy()).astype("float64")
+        rm = np.vstack(rhs["emb"].to_numpy()).astype("float64")
+        ln = np.sqrt((lm * lm).sum(axis=1))
+        rn = np.sqrt((rm * rm).sum(axis=1))
+        sims = (lm @ rm.T) / np.outer(ln, rn)
+        li, ri = np.nonzero(sims >= threshold)
+        if not len(li):
+            return empty
+        a, b = lid[li], rid[ri]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "cosine": _round6(sims[li, ri])}
+        )
+
+    return tiles.groupBy("bi", "bj").applyInPandas(
+        tile, schema="id_a long, id_b long, cosine double"
+    )
 
 
 def _topk_candidates_schema():

@@ -40,9 +40,18 @@ def salted_join(
     (dimension-sized); the join itself is then a plain equi-join on
     (on, salt) with no hot partitions.
 
-    Result is row-identical to ``large.join(small, on, how)`` — salt only
-    changes physical distribution.
+    Result is row-identical to ``large.join(small, on, how)`` for
+    ``inner``/``left`` joins — salt only changes physical distribution.
+    Right/full outer joins are rejected: an unmatched small-side row exists
+    once per salt replica, so the null-padded output rows would be
+    duplicated ``num_salts``×. (Salting the large side cannot help a
+    right/full outer anyway — the skew lives on the large side.)
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got how={how!r}: "
+            "unmatched small-side rows would be replicated once per salt"
+        )
     salted_large = large.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(unique_col)), F.lit(num_salts)).cast("int")
     )

@@ -700,7 +700,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         " verified with exact Jaccard — same contract as"
         " dedup_ngram_jaccard (miss probability ≈1e-4 at j=0.5), at"
         " corpus-linear cost: signatures map-side, one bucket-join shuffle,"
-        " verification only on candidates.",
+        " verification only on candidates. NOTE the oracle asserts exact"
+        " equality with the exhaustive join: on a different corpus a"
+        " ~1e-4-probability LSH miss near the threshold would fail the"
+        " gate without any code bug (known, accepted flake mode —"
+        " verification makes false positives impossible, not misses).",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -830,12 +834,41 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM n a JOIN n b ON a.vec_id < b.vec_id
     WHERE {_DOT_SQL.format(a='a.emb', b='b.emb')} / (a.nrm * b.nrm) >= 0.4
     """,
-    doc="Embedding-cosine near-duplicate pairs (cosine ≥ 0.4), computed as"
-        " a distributed block matrix product (corpus broadcast, batches"
-        " streamed via Arrow): exact all-pairs at BLAS speed. At corpus"
-        " scale, tile via LSH buckets instead of broadcasting.",
+    doc="Embedding-cosine near-duplicate pairs (cosine ≥ 0.4) via TILED"
+        " block matmul: vectors hashed into B blocks, each of the B(B+1)/2"
+        " block-pair tiles BLAS-multiplied inside applyInPandas. NO"
+        " driver-side collect anywhere in the plan — shuffle is N·B rows,"
+        " a task holds ≤2 blocks, so the layout survives corpora far"
+        " beyond driver/broadcast range (the 100 TB shape).",
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs_blas_tiled(emb, threshold=0.4)
+
+
+@_register(
+    "embedding_near_dup_bcast",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, emb, sqrt({_DOT_SQL.format(a='emb', b='emb')}) AS nrm
+        FROM e
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_DOT_SQL.format(a='a.emb', b='b.emb')} / (a.nrm * b.nrm), 6) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE {_DOT_SQL.format(a='a.emb', b='b.emb')} / (a.nrm * b.nrm) >= 0.4
+    """,
+    doc="Same contract as embedding_near_dup via the BROADCAST block"
+        " matmul (corpus collected once to the driver, batches streamed"
+        " via Arrow): the right plan only when one side is genuinely"
+        " small (a dedup against a fixed reference set, a centroid table)."
+        " For corpus×corpus at scale use embedding_near_dup (tiled).",
+)
+def embedding_near_dup_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_pairs_blas(emb, threshold=0.4)
 
@@ -1314,13 +1347,18 @@ def dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "pandas_udaf_geomean",
     oracle="""
-    SELECT event_type, ROUND(exp(avg(ln(value))), 6) AS geomean
+    SELECT event_type,
+           ROUND(exp(avg(ln(CASE WHEN value > 0 THEN value END))), 6) AS geomean
     FROM events GROUP BY event_type
     """,
     doc="Custom aggregate via a GROUPED_AGG pandas UDF (the UDAF surface,"
         " SURVEY §2.9): per-event-type geometric mean computed in NumPy"
         " over Arrow-transferred groups, cross-checked against the"
-        " exp(avg(ln)) SQL identity.",
+        " exp(avg(ln)) SQL identity. Domain is explicitly positives-only"
+        " on BOTH sides (the CASE masks zeros/negatives to NULL, the UDAF"
+        " masks them in NumPy): DuckDB's ln(0) RAISES rather than"
+        " returning -inf, so an unguarded oracle dies on any corpus"
+        " containing a zero (observed at sf0.1).",
 )
 def pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
@@ -1330,7 +1368,11 @@ def pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # annotations`, which stringifies the type hints pandas_udf inspects
     @pandas_udf("double", PandasUDFType.GROUPED_AGG)
     def geomean(v):
-        return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
+        arr = v.to_numpy(dtype="float64")
+        arr = arr[arr > 0]  # match the oracle's CASE WHEN value > 0 mask
+        if not len(arr):
+            return None
+        return float(np.exp(np.log(arr).mean()))
 
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
@@ -1686,4 +1728,283 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") % 10 == 1)
         .drop("rn")
+    )
+
+
+# =====================================================================
+# Falsifiable invariants for the approximate / engine-native queries
+# (VERDICT r1 item 2): each rows-only query gets a companion whose output
+# is a data-derived scalar + boolean invariant the DuckDB oracle CAN
+# check. If the approximate operator regresses (recall collapse, sketch
+# error blowup, banding bug), the boolean flips and the hash gate fails.
+# =====================================================================
+
+@_register(
+    "ann_lsh_recall_check",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS recall_ge_085
+    FROM ({_ANN_ORACLE}) ex
+    """,
+    doc="Hard-signal invariant for ann_cosine_topk_lsh: joins the LSH"
+        " output against the exact (oracle-PASS) top-k and asserts overall"
+        " recall >= 0.85 as a boolean the oracle hashes (measured 0.90 at"
+        " sf0.1 / 0.92 at sf0.01 with 4 planes x 16 tables; deterministic"
+        " seed, so the measurement is reproducible, not flaky).",
+)
+def ann_lsh_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    approx = similarity.cosine_topk_lsh_blas(
+        emb, q, k=5, num_planes=4, num_tables=16
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(hits.agg(F.count("*").alias("n_hit")))
+        .select(
+            "n_exact",
+            (
+                F.col("n_hit").cast("double") / F.col("n_exact").cast("double")
+                >= 0.85
+            ).alias("recall_ge_085"),
+        )
+    )
+
+
+@_register(
+    "ann_ivf_recall_check",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS recall_ge_080
+    FROM ({_ANN_ORACLE}) ex
+    """,
+    doc="Hard-signal invariant for ann_ivf_topk: recall of the trained-"
+        "centroid IVF (16 cells, 4-probe, 3 k-means rounds) against the"
+        " exact top-k must hold >= 0.80 (measured 0.88 at sf0.01, 0.92 at"
+        " sf0.1; deterministic seeding makes it reproducible).",
+)
+def ann_ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    approx = similarity.ivf_topk_kmeans(
+        emb, q, k=5, num_cells=16, n_probe=4, iters=3
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(hits.agg(F.count("*").alias("n_hit")))
+        .select(
+            "n_exact",
+            (
+                F.col("n_hit").cast("double") / F.col("n_exact").cast("double")
+                >= 0.80
+            ).alias("recall_ge_080"),
+        )
+    )
+
+
+@_register(
+    "approx_distinct_check",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_nd,
+           TRUE AS within_5pct
+    FROM events GROUP BY event_type
+    """,
+    doc="Hard-signal invariant for agg_approx_distinct: per-group"
+        " approx_count_distinct (HLL++, rsd 2%) must land within 5% of the"
+        " exact COUNT(DISTINCT) — the exact count and the boolean are"
+        " both oracle-checked, so a sketch regression fails the hash gate.",
+)
+def approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_nd"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
+        )
+        .select(
+            "event_type",
+            "exact_nd",
+            (
+                F.abs(F.col("_approx") - F.col("exact_nd")).cast("double")
+                / F.col("exact_nd").cast("double")
+                <= 0.05
+            ).alias("within_5pct"),
+        )
+    )
+
+
+@_register(
+    "simhash_band_complete_check",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, TRUE AS bands_complete
+    FROM documents
+    """,
+    doc="Hard-signal invariant for dedup_simhash (engine-native xxhash64"
+        " signatures, unorcalable directly): the 4x16-bit pigeonhole"
+        " banding must find EVERY pair within Hamming distance 3 — checked"
+        " by comparing the banded output against an exhaustive all-pairs"
+        " Hamming join over the same signatures. bands_complete flips if"
+        " banding ever drops a qualifying pair.",
+)
+def simhash_band_complete_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    banded = dedup.simhash_pairs(docs, max_hamming=3).select("doc_a", "doc_b")
+    sig = dedup.simhash_signatures(docs)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    exhaustive = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= 3
+        )
+        .select("doc_a", "doc_b")
+    )
+    missing = exhaustive.join(banded, ["doc_a", "doc_b"], "left_anti")
+    return (
+        docs.agg(F.count("*").alias("n_docs"))
+        .crossJoin(missing.agg(F.count("*").alias("_n_missing")))
+        .select("n_docs", (F.col("_n_missing") == 0).alias("bands_complete"))
+    )
+
+
+# =====================================================================
+# JSON ingestion under the hard signal (VERDICT r1 item 4): S1/S2 were
+# pytest-only; these queries put both COPY paths on the driver's oracle.
+# =====================================================================
+
+def _scratch_dir(sf_dir: str, tag: str) -> str:
+    """Deterministic per-(sf_dir, tag) scratch location for queries that
+    must materialize an intermediate landing zone (JSON round-trips,
+    streaming sinks). Rewritten on every run — never a cache."""
+    import hashlib
+    import os as _os
+    import tempfile
+
+    key = hashlib.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    return _os.path.join(
+        tempfile.gettempdir(), "udacitydatawarehouseprj_spark_scratch", f"{tag}_{key}"
+    )
+
+
+@_register(
+    "json_ingest_events_log",
+    oracle="""
+    SELECT event_type AS page,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           MIN(epoch_ms(ts)) AS min_ts_ms,
+           MAX(epoch_ms(ts)) AS max_ts_ms,
+           CAST(SUM(event_id) AS BIGINT) AS sum_session_id,
+           CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4)
+                AS DECIMAL(18,4)) AS DOUBLE) AS total_length
+    FROM events GROUP BY 1
+    """,
+    doc="S1 under the hard signal (reference sql_queries.py:138-143, COPY"
+        " + jsonpaths): events reshaped into the 18-column Sparkify log"
+        " layout, written as newline-delimited JSON (distributed write),"
+        " read back through read_events_json's explicit StructType"
+        " (the jsonpaths role: key mapping + type coercion, PERMISSIVE"
+        " malformed handling), then aggregated. The oracle computes the"
+        " same aggregates from the parquet events directly — any loss or"
+        " corruption in the JSON round-trip fails the hash gate."
+        " Longs/ints are exact through JSON text; the double column goes"
+        " through the exact-decimal sum.",
+)
+def json_ingest_events_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacitydatawarehouseprj_spark.sources import json_source
+
+    ev = _t(spark, sf_dir, "events")
+    millis = F.unix_millis(F.col("ts"))
+    log = ev.select(
+        F.lit(None).cast("string").alias("artist"),
+        F.lit("Logged In").alias("auth"),
+        F.lit(None).cast("string").alias("firstName"),
+        F.lit(None).cast("string").alias("gender"),
+        F.lit(0).cast("int").alias("itemInSession"),
+        F.lit(None).cast("string").alias("lastName"),
+        F.col("value").alias("length"),
+        F.lit("free").alias("level"),
+        F.lit(None).cast("string").alias("location"),
+        F.lit("PUT").alias("method"),
+        F.col("event_type").alias("page"),
+        millis.alias("registration"),
+        F.col("event_id").cast("int").alias("sessionId"),
+        F.lit(None).cast("string").alias("song"),
+        F.lit(200).cast("int").alias("status"),
+        millis.alias("ts"),
+        F.lit(None).cast("string").alias("userAgent"),
+        F.col("user_id").cast("int").alias("userId"),
+    )
+    landing = _scratch_dir(sf_dir, "s1_events_ndjson")
+    log.write.mode("overwrite").json(landing)
+    staged = json_source.read_events_json(spark, landing)
+    return staged.groupBy(F.col("page")).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("userId").alias("n_users"),
+        F.min("ts").alias("min_ts_ms"),
+        F.max("ts").alias("max_ts_ms"),
+        F.sum(F.col("sessionId").cast("long")).alias("sum_session_id"),
+        _dsum(F.col("length")).alias("total_length"),
+    )
+
+
+@_register(
+    "json_ingest_songs_catalog",
+    oracle="""
+    SELECT 'N' || CAST(n_nationkey AS VARCHAR) AS song_id,
+           n_name AS title,
+           CAST(n_nationkey AS INTEGER) AS year,
+           CAST(n_regionkey * 100 AS DOUBLE) AS duration
+    FROM nation
+    """,
+    doc="S2 under the hard signal (reference sql_queries.py:145-150, COPY"
+        " JSON 'auto' over song_data/A/A/A/…): the nation table is laid"
+        " down as ONE pretty-printed JSON object per file in a nested"
+        " prefix tree, read back via read_songs_json (recursiveFileLookup"
+        " + multiLine + auto key-mapping onto a declared catalog schema),"
+        " and projected. The oracle reads nation straight from parquet —"
+        " the round trip must be lossless. The fixture write is"
+        " driver-side by necessity (one file per record IS the layout"
+        " being tested); 25 rows, not a data path.",
+)
+def json_ingest_songs_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os as _os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from udacitydatawarehouseprj_spark.sources import json_source
+
+    nation = _t(spark, sf_dir, "nation")
+    rows = nation.select("n_nationkey", "n_name", "n_regionkey").collect()
+    landing = _scratch_dir(sf_dir, "s2_songs_tree")
+    shutil.rmtree(landing, ignore_errors=True)
+    for r in rows:
+        sub = _os.path.join(landing, chr(65 + r.n_nationkey % 3), chr(65 + r.n_nationkey % 5))
+        _os.makedirs(sub, exist_ok=True)
+        with open(_os.path.join(sub, f"N{r.n_nationkey}.json"), "w") as f:
+            _json.dump(
+                {
+                    "song_id": f"N{r.n_nationkey}",
+                    "title": r.n_name,
+                    "year": int(r.n_nationkey),
+                    "duration": float(r.n_regionkey * 100),
+                },
+                f,
+                indent=2,
+            )
+    catalog_schema = T.StructType(
+        [
+            T.StructField("song_id", T.StringType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("year", T.IntegerType()),
+            T.StructField("duration", T.DoubleType()),
+        ]
+    )
+    return json_source.read_songs_json(spark, landing, schema=catalog_schema).select(
+        "song_id", "title", "year", "duration"
     )

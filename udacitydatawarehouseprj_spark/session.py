@@ -104,17 +104,16 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-@functools.lru_cache(maxsize=None)
 def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
     """Columns stored as parquet TIMESTAMP(NANOS) — Spark reads these as
     long (see nanosAsLong conf); we restore TimestampType at micros
     precision, truncating exactly like DuckDB does (ns // 1000).
 
     ``path`` may be a single file or a Spark-written directory of part
-    files (all parts share one schema — read the first)."""
+    files (all parts share one schema — read the first). The schema probe
+    is cached on (file, mtime) so a rewritten file is re-probed while
+    repeated reads of a stable path stay free."""
     import glob
-
-    import pyarrow.parquet as pq
 
     probe = path
     if os.path.isdir(path):
@@ -122,6 +121,13 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
         if not parts:
             return ()
         probe = parts[0]
+    return _nanos_cols_of(probe, os.path.getmtime(probe))
+
+
+@functools.lru_cache(maxsize=None)
+def _nanos_cols_of(probe: str, mtime: float) -> tuple[str, ...]:
+    import pyarrow.parquet as pq
+
     schema = pq.read_schema(probe)
     return tuple(f.name for f in schema if str(f.type) == "timestamp[ns]")
 

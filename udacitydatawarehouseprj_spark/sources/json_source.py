@@ -50,11 +50,12 @@ def read_events_json(
     return spark.read.schema(schema).option("mode", "DROPMALFORMED").json(path)
 
 
-def read_songs_json(spark: SparkSession, path: str) -> DataFrame:
+def read_songs_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """S2: one-object-per-file catalog under a recursive prefix, auto
-    key-mapping against the declared schema."""
+    key-mapping against the declared schema (STG_SONGS unless the caller
+    supplies another catalog shape)."""
     return (
-        spark.read.schema(schemas.STG_SONGS)
+        spark.read.schema(schema if schema is not None else schemas.STG_SONGS)
         .option("recursiveFileLookup", "true")
         .option("multiLine", "true")  # one object per file, possibly pretty-printed
         .json(path)
