@@ -70,6 +70,23 @@ HEADLINE = [
     "multimodal_byte_features",
 ]
 
+#: queries added after BENCH_r01 — timed separately so the headline total
+#: stays comparable round-over-round; value_all includes everything.
+NEW_QUERIES = [
+    "embedding_near_dup_bcast",
+    "ann_lsh_recall_check",
+    "ann_ivf_recall_check",
+    "approx_distinct_check",
+    "simhash_band_complete_check",
+    "json_ingest_events_log",
+    "json_ingest_songs_catalog",
+    "multimodal_image_decode",
+    "streaming_hourly_sink_readback",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_volume_customer",
+]
+
 
 def run_one(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -85,21 +102,25 @@ def main() -> None:
     run_one(registry["agg_count_star"](spark, sf_dir))
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + NEW_QUERIES:
         t0 = time.perf_counter()
         run_one(registry[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
         dedup.release_caches()  # drop per-query shingle caches
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    headline_total = round(sum(timings[n] for n in HEADLINE), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
+                "value": headline_total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "value_all": round(sum(timings.values()), 3),
+                "n_headline": len(HEADLINE),
+                "n_all": len(timings),
             }
         )
     )

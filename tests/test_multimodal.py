@@ -64,3 +64,34 @@ def test_arrow_variant_matches_pandas_variant(spark):
     via_pandas = {tuple(r) for r in mm.extract_byte_features(src).collect()}
     via_arrow = {tuple(r) for r in mm.extract_byte_features_arrow(src).collect()}
     assert via_arrow == via_pandas and len(via_arrow) == 2
+
+
+def test_ppm_roundtrip_decodes_exactly(spark):
+    """encode_ppm → decode_image_features recovers the analytic means."""
+    df = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    out = {
+        r.doc_id: r
+        for r in mm.decode_image_features(mm.attach_ppm_payload(df)).collect()
+    }
+    for did in range(4):
+        vals = [
+            (31 * did + 7 * x + 13 * y + 5 * c) % 256
+            for y in range(8)
+            for x in range(16)
+            for c in range(3)
+        ]
+        r = out[did]
+        assert (r.width, r.height) == (16, 8)
+        assert r.mean_luma == sum(vals) / len(vals)
+        assert r.mean_r == sum(vals[0::3]) / 128
+        assert r.mean_b == sum(vals[2::3]) / 128
+
+
+def test_ppm_parser_handles_comments():
+    from udacitydatawarehouseprj_spark.operators.multimodal import _decode_ppm
+
+    body = bytes(range(2 * 1 * 3))
+    buf = b"P6\n# a comment\n2 1\n# more\n255\n" + body
+    w, h, px = _decode_ppm(buf)
+    assert (w, h) == (2, 1)
+    assert px.tobytes() == body

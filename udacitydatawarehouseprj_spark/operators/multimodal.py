@@ -87,36 +87,135 @@ def extract_byte_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.mapInPandas(batches, schema=BYTE_FEATURES_SCHEMA)
 
 
-# --- stubbed decoders: real signature/schema/partitioning, gated codecs ---
+# --- image decode: pure-stdlib PPM(P6) codec + gated fallback ------------
+#
+# Binary PPM is decodable with nothing but header parsing + a byte buffer,
+# so the decode path is EXECUTABLE in this codec-free container (the
+# former stub). Non-PPM payloads still gate on PIL: the plumbing is the
+# same, only the codec import differs.
 
 IMAGE_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
         T.StructField("mean_luma", T.DoubleType()),
     ]
 )
 
 
-def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Decode image payloads and emit (width, height, mean luminance).
+def encode_ppm(doc_id: int, width: int = 16, height: int = 8) -> bytes:
+    """Deterministic synthetic P6 image: channel ``c`` of pixel ``(x, y)``
+    is ``(doc_id*31 + x*7 + y*13 + c*5) % 256`` — pure integer arithmetic
+    a SQL oracle can replay, emitted as REAL binary PPM bytes so the
+    decoder exercises actual header parsing + buffer decoding."""
+    import numpy as np
 
-    STUB: the container ships no image codec (no PIL/cv2). The
-    ``mapInPandas`` plumbing is identical to ``extract_byte_features``;
-    only the per-payload decode call is gated.
-    """
+    x = np.arange(width)[None, :, None]
+    y = np.arange(height)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    px = ((int(doc_id) * 31 + x * 7 + y * 13 + c * 5) % 256).astype(np.uint8)
+    header = f"P6\n{width} {height}\n255\n".encode("ascii")
+    return header + px.tobytes()
+
+
+def attach_ppm_payload(df: DataFrame, id_col: str = "doc_id",
+                       width: int = 16, height: int = 8) -> DataFrame:
+    """(doc_id, payload=P6 bytes) — the image-corpus adapter for testing
+    the decode path end-to-end without external media files."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            from PIL import Image  # noqa: F401
-        except ImportError as e:  # pragma: no cover - no codec in container
-            raise NotImplementedError(
-                "image decode requires an image codec (PIL/cv2); the Spark "
-                "plumbing (schema, Arrow batching, partitioning) is real — "
-                "plug a decoder into this function body."
-            ) from e
-        raise NotImplementedError("decoder body intentionally stubbed")
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [encode_ppm(i, width, height) for i in ids],
+                }
+            )
+
+    return df.mapInPandas(batches, schema="doc_id long, payload binary")
+
+
+def _decode_ppm(buf: bytes):
+    """Parse binary PPM (P6): header is ASCII tokens (magic, width,
+    height, maxval; '#' comments allowed) followed by one whitespace byte
+    and the raw RGB buffer. Returns (width, height, uint8 array [h,w,3])."""
+    import numpy as np
+
+    if buf[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if buf[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(buf) and buf[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(buf[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 PPM supported, got {maxval}")
+    n = width * height * 3
+    px = np.frombuffer(buf, dtype=np.uint8, count=n, offset=pos)
+    return width, height, px.reshape(height, width, 3)
+
+
+def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode image payloads → (width, height, per-channel means, mean
+    luminance). PPM (P6) decodes with the pure-stdlib parser above; any
+    other format gates on PIL (absent in this container). Means are
+    integer channel sums over the pixel grid divided once (single IEEE
+    division of exact ints) — deterministic and oracle-checkable."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_id, out_w, out_h = [], [], []
+        out_r, out_g, out_b, out_l = [], [], [], []
+        for pdf in it:
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                buf = bytes(payload)
+                if buf[:2] == b"P6":
+                    w, h, px = _decode_ppm(buf)
+                else:
+                    try:
+                        from PIL import Image  # noqa: F401
+                    except ImportError as e:
+                        raise NotImplementedError(
+                            "non-PPM image decode requires a codec "
+                            "(PIL/cv2); PPM(P6) decodes natively"
+                        ) from e
+                    raise NotImplementedError(
+                        "non-PPM decode via PIL not wired in this build"
+                    )
+                n_px = w * h
+                sums = px.astype("int64").sum(axis=(0, 1))  # per-channel
+                out_id.append(int(did))
+                out_w.append(w)
+                out_h.append(h)
+                out_r.append(int(sums[0]) / n_px)
+                out_g.append(int(sums[1]) / n_px)
+                out_b.append(int(sums[2]) / n_px)
+                out_l.append(int(sums.sum()) / (3 * n_px))
+        if out_id:
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_id,
+                    "width": pd.array(out_w, dtype="int32"),
+                    "height": pd.array(out_h, dtype="int32"),
+                    "mean_r": out_r,
+                    "mean_g": out_g,
+                    "mean_b": out_b,
+                    "mean_luma": out_l,
+                }
+            )
 
     return df.mapInPandas(batches, schema=IMAGE_FEATURES_SCHEMA)
 

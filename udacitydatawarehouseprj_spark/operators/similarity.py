@@ -58,8 +58,12 @@ def norm(a: Column) -> Column:
 
 def _pairs_with_cosine(corpus: DataFrame, queries: DataFrame,
                        id_col: str, vec_col: str) -> DataFrame:
-    """(query, candidate, cosine) via broadcast cross join."""
-    c = corpus.select(
+    """(query, candidate, cosine) via broadcast cross join. The corpus is
+    spread to session parallelism first: a single-file corpus would
+    otherwise evaluate the (CPU-heavy) fold dot products on one core."""
+    from udacitydatawarehouseprj_spark.session import spread
+
+    c = spread(corpus, (id_col,)).select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("c_emb")
     ).withColumn("c_norm", norm(F.col("c_emb")))
     q = queries.select(
