@@ -85,6 +85,12 @@ NEW_QUERIES = [
     "tpch_q5_local_supplier_volume",
     "tpch_q10_returned_items",
     "tpch_q18_large_volume_customer",
+    "pivot_event_type_daily",
+    "agg_cube",
+    "exists_customers_with_orders",
+    "window_rolling_hour_stats",
+    "merge_upsert_customers",
+    "array_functions_suite",
 ]
 
 

@@ -150,3 +150,51 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     # pruning is real: only the matching partition's rows are read
     r_rows = li.filter(F.col("l_returnflag") == "R").count()
     assert df.count() == r_rows
+
+
+def test_tpch_q5_broadcasts_dims_and_pushes_date_filter(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q5_local_supplier_volume")
+    # nation + region (and typically supplier/customer via AQE) broadcast;
+    # the lineitem<->orders join is the only allowed big shuffle
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # date range pushed to the orders parquet scan
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(o_orderdate", plan)
+
+
+def test_tpch_q10_topk_and_pushdown(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+    assert re.search(r"PushedFilters:.*EqualTo\(l_returnflag,R\)", plan)
+
+
+def test_merge_upsert_is_single_key_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "merge_upsert_customers")
+    assert "CartesianProduct" not in plan
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
+
+
+def test_pivot_is_single_pass(spark, sf_dir):
+    """Explicit pivot values -> no distinct-values pre-job and one shuffle."""
+    plan = plan_of(spark, sf_dir, "pivot_event_type_daily")
+    assert count_exchanges(plan) <= 1
+
+
+def test_pivot_api_matches_conditional_agg(spark, sf_dir):
+    """DataFrame.pivot() returns the same relation as the registered
+    conditional-aggregation form (which uses half the shuffles)."""
+    from udacitydatawarehouseprj_spark import session as S
+
+    ev = S.load_table(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    via_pivot = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day_b"))
+        .pivot("event_type", kinds)
+        .count()
+        .select("day_b", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds])
+    )
+    registered = Q.queries()["pivot_event_type_daily"](spark, sf_dir)
+    assert {tuple(r) for r in via_pivot.collect()} == {
+        tuple(r) for r in registered.collect()
+    }

@@ -83,3 +83,16 @@ def test_salted_join_rejects_outer(spark):
     small = spark.range(3).withColumnRenamed("id", "k")
     with pytest.raises(ValueError, match="inner/left"):
         salted_join(big, small, "k", "k", how="full")
+
+
+def test_merge_upsert_semantics(spark):
+    from udacitydatawarehouseprj_spark.operators.relational import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, name string, v double"
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 99.0), (4, "d", 40.0)], "k long, name string, v double"
+    )
+    out = {r.k: (r.name, r.v) for r in merge_upsert(target, updates, "k").collect()}
+    assert out == {1: ("a", 10.0), 2: ("b2", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}

@@ -48,3 +48,30 @@ def grouped_top_k(
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key: str,
+) -> DataFrame:
+    """SCD-1 upsert (MERGE INTO … WHEN MATCHED UPDATE / WHEN NOT MATCHED
+    INSERT) composed Spark-first: full outer join on the key, updates win
+    on conflict (COALESCE per column). Plain parquet has no transactional
+    MERGE; the engine-level semantics are this relation, which a sink can
+    then atomically swap in.
+
+    Scale: one hash shuffle on the key for each side (or broadcast when
+    the updates batch is small — the common CDC shape, left to AQE).
+    Columns must match between target and updates.
+    """
+    cols = target.columns
+    assert updates.columns == cols, "target/updates schemas must match"
+    t, u = target.alias("t"), updates.alias("u")
+    joined = t.join(u, F.col(f"t.{key}") == F.col(f"u.{key}"), "full_outer")
+    return joined.select(
+        *[
+            F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c)
+            for c in cols
+        ]
+    )

@@ -1878,15 +1878,14 @@ def simhash_band_complete_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _scratch_dir(sf_dir: str, tag: str) -> str:
     """Deterministic per-(sf_dir, tag) scratch location for queries that
     must materialize an intermediate landing zone (JSON round-trips,
-    streaming sinks). Rewritten on every run — never a cache."""
+    streaming sinks). Rewritten on every run — never a cache. Lives under
+    the repo's gitignored .scratch/ next to the scale-smoke data."""
     import hashlib
     import os as _os
-    import tempfile
 
     key = hashlib.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    return _os.path.join(
-        tempfile.gettempdir(), "udacitydatawarehouseprj_spark_scratch", f"{tag}_{key}"
-    )
+    repo_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    return _os.path.join(repo_root, ".scratch", "landing", f"{tag}_{key}")
 
 
 @_register(
@@ -2266,4 +2265,219 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
         .limit(100)
         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
                 "o_totalprice", "total_qty")
+    )
+
+
+# =====================================================================
+# Round-2 breadth: pivot, CUBE, EXISTS, time-range windows, MERGE-style
+# upsert, array functions — the remaining relational surface a warehouse
+# user expects, each under the oracle.
+# =====================================================================
+
+@_register(
+    "pivot_event_type_daily",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day_b,
+           SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS click,
+           SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS error,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+           SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS signup,
+           SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS view
+    FROM events GROUP BY 1
+    """,
+    doc="PIVOT (long→wide reshape): daily counts per event type as"
+        " columns, expressed as conditional aggregation — ONE shuffle with"
+        " map-side partials. Deliberately NOT DataFrame.pivot(): even with"
+        " an explicit value list, .pivot() plans a pre-aggregation on"
+        " (key, pivot-col) plus a second pivotfirst exchange (two"
+        " shuffles, verified in test_plan_quality); the conditional-sum"
+        " form is the plan you want at scale and is what the SQL oracle"
+        " spells. Equivalence of the two forms is unit-tested.",
+)
+def pivot_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    return ev.groupBy(F.date_trunc("day", "ts").alias("day_b")).agg(
+        *[
+            F.sum(
+                F.when(F.col("event_type") == k, F.lit(1)).otherwise(F.lit(0))
+            ).alias(k)
+            for k in kinds
+        ]
+    )
+
+
+@_register(
+    "agg_cube",
+    oracle="""
+    SELECT event_type,
+           CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+           COUNT(*) AS n,
+           CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4)
+                AS DECIMAL(18,4)) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY CUBE (event_type, CAST(dayofweek(ts) + 1 AS INTEGER))
+    """,
+    doc="CUBE completes the grouping-sets family (GROUPING SETS and ROLLUP"
+        " are already registered): all four (event_type × day-of-week)"
+        " marginals in one pass — one Expand (4 replicas) + one shuffle,"
+        " not four scans. DOW numbering normalized to the engine's 1=Sun"
+        " convention on both sides.",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.dayofweek("ts").cast("int").alias("dow"),
+            "value",
+        )
+        .cube("event_type", "dow")
+        .agg(F.count("*").alias("n"), _dsum(F.col("value")).alias("total_value"))
+    )
+
+
+@_register(
+    "exists_customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND c.c_acctbal > 0
+    """,
+    doc="EXISTS / semi-join surface: customers holding at least one order."
+        " Spark-native left_semi join — probe side streams, no"
+        " duplication, no post-join dedup (the naive IN/DISTINCT form"
+        " would shuffle orders twice).",
+)
+def exists_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.filter(F.col("c_acctbal") > 0)
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@_register(
+    "window_rolling_hour_stats",
+    oracle="""
+    SELECT event_id, user_id,
+           epoch_ms(ts) // 1000 AS ts_sec,
+           COUNT(*) OVER w AS roll_n,
+           CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))) OVER w, 4)
+                AS DECIMAL(18,4)) AS DOUBLE) AS roll_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts) // 1000
+                 RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Time-range sliding window (RANGE BETWEEN INTERVAL): per-user"
+        " trailing-hour event count and exact-decimal value sum — the"
+        " rolling-feature shape of a behavioral pipeline. One shuffle on"
+        " user_id; the frame is second-granular on both engines (epoch"
+        " seconds as the range key), and the windowed SUM stays in"
+        " DECIMAL so frame-order differences cannot drift the double.",
+)
+def window_rolling_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    sec = (F.unix_millis(F.col("ts")) / F.lit(1000)).cast("long")
+    base = ev.select("event_id", "user_id", sec.alias("ts_sec"), "value")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-3599, W.currentRow)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts_sec",
+        F.count("*").over(w).alias("roll_n"),
+        _narrow(F.sum(F.col("value").cast("decimal(18,6)")).over(w)).alias(
+            "roll_sum"
+        ),
+    )
+
+
+@_register(
+    "merge_upsert_customers",
+    oracle="""
+    WITH updates AS (
+        SELECT c_custkey, c_name,
+               c_acctbal + 1000.0 AS c_acctbal, 'UPGRADED' AS c_mktsegment
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 'new-' || CAST(c_custkey AS VARCHAR),
+               0.0, 'NEW'
+        FROM customer WHERE c_custkey % 97 = 0
+    )
+    SELECT COALESCE(u.c_custkey, t.c_custkey) AS c_custkey,
+           COALESCE(u.c_name, t.c_name) AS c_name,
+           COALESCE(u.c_acctbal, t.c_acctbal) AS c_acctbal,
+           COALESCE(u.c_mktsegment, t.c_mktsegment) AS c_mktsegment
+    FROM customer t FULL OUTER JOIN updates u ON t.c_custkey = u.c_custkey
+    """,
+    doc="MERGE INTO semantics (SCD-1 upsert) composed Spark-first"
+        " (operators/relational.py merge_upsert): CDC batch = updated"
+        " rows for every 10th customer + brand-new rows, full-outer join"
+        " on the key, updates win via COALESCE. c_acctbal+1000 is a single"
+        " IEEE addition — deterministic cross-engine.",
+)
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    updated = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_name",
+        (F.col("c_acctbal") + F.lit(1000.0)).alias("c_acctbal"),
+        F.lit("UPGRADED").alias("c_mktsegment"),
+    )
+    inserted = cust.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + F.lit(1000000)).alias("c_custkey"),
+        F.concat(F.lit("new-"), F.col("c_custkey").cast("string")).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    return rel.merge_upsert(cust, updated.unionByName(inserted), "c_custkey")
+
+
+@_register(
+    "array_functions_suite",
+    oracle="""
+    WITH per_order AS (
+        SELECT l_orderkey,
+               list_sort(list(l_linenumber)) AS line_nums,
+               list_sort(list(DISTINCT l_returnflag)) AS flags
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           len(line_nums) AS n_lines,
+           line_nums[1] AS first_line,
+           line_nums[-1] AS last_line,
+           array_to_string(flags, ',') AS flag_csv,
+           list_contains(flags, 'R') AS has_return
+    FROM per_order
+    """,
+    doc="Array/higher-order function surface over grouped data:"
+        " collect_list + sort_array (sorting makes the collected array"
+        " deterministic — bare collect_list order is engine/partition-"
+        "dependent), element_at head/tail, array_join, array_contains."
+        " The struct stays columnar end-to-end; no UDFs.",
+)
+def array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_linenumber")).alias("line_nums"),
+        F.sort_array(F.collect_set("l_returnflag")).alias("flags"),
+    )
+    return per_order.select(
+        "l_orderkey",
+        F.size("line_nums").alias("n_lines"),
+        F.element_at("line_nums", 1).alias("first_line"),
+        F.element_at("line_nums", -1).alias("last_line"),
+        F.array_join("flags", ",").alias("flag_csv"),
+        F.array_contains("flags", "R").alias("has_return"),
     )
