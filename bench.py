@@ -91,6 +91,10 @@ NEW_QUERIES = [
     "window_rolling_hour_stats",
     "merge_upsert_customers",
     "array_functions_suite",
+    "dedup_near_dup_clusters",
+    "corpus_clean_pipeline",
+    "doc_length_histogram",
+    "pack_context_windows",
 ]
 
 

@@ -2481,3 +2481,164 @@ def array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("flags", ",").alias("flag_csv"),
         F.array_contains("flags", "R").alias("has_return"),
     )
+
+
+# =====================================================================
+# LLM-pipeline composites (round 2): the operators above wired into the
+# shapes a training-data pipeline actually runs.
+# =====================================================================
+
+@_register(
+    "dedup_near_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE p AS ({_JACCARD_ORACLE}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM p
+        UNION
+        SELECT doc_b, doc_a FROM p
+    ),
+    nodes AS (SELECT DISTINCT a AS n FROM edges),
+    reach(s, t) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a
+    )
+    SELECT s AS doc_id, MIN(t) AS cluster_id FROM reach GROUP BY s
+    """,
+    doc="Near-dup CLUSTER assignment (operators/dedup.py"
+        " connected_components): pair output collapsed to components via"
+        " iterative min-label propagation (driver loop over join+agg"
+        " rounds — the iterative shape SQL can't express; the oracle"
+        " replays it as a recursive CTE). This is what pair-level dedup"
+        " misses: transitive duplicates A~B~C collapse to one cluster"
+        " even when A~C was never emitted. cluster_id = min doc_id in"
+        " the component (the canonical keeper).",
+)
+def dedup_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    return dedup.connected_components(pairs)
+
+
+@_register(
+    "corpus_clean_pipeline",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, text, length(text) AS n,
+               length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                   AS alpha,
+               len(string_split_regex(lower(text), '\\s+')) AS n_tokens
+        FROM documents
+    ),
+    filtered AS (
+        SELECT doc_id, text, n_tokens,
+               CAST(alpha AS DOUBLE) / CAST(n AS DOUBLE) AS alpha_ratio
+        FROM t
+        WHERE n_tokens >= 5
+          AND CAST(alpha AS DOUBLE) / CAST(n AS DOUBLE) >= 0.5
+    )
+    SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, alpha_ratio
+    FROM filtered
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+    """,
+    doc="The canonical corpus-cleaning pass, end-to-end in ONE declarative"
+        " plan: quality gate (token count + alpha ratio — the"
+        " length/punctuation filter family) → exact dedup (min-doc_id"
+        " winner per distinct text). Catalyst fuses the quality"
+        " expressions into the scan; the dedup window is the only"
+        " shuffle. The shape every pretraining pipeline runs before"
+        " tokenization.",
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n = F.length("text")
+    alpha = n - F.length(F.regexp_replace("text", "[A-Za-z]", ""))
+    n_tokens = F.size(F.split(F.lower(F.col("text")), r"\s+"))
+    base = docs.select(
+        "doc_id",
+        "text",
+        n_tokens.alias("n_tokens"),
+        (alpha.cast("double") / n.cast("double")).alias("alpha_ratio"),
+    )
+    filtered = base.filter(
+        (F.col("n_tokens") >= 5) & (F.col("alpha_ratio") >= 0.5)
+    )
+    return dedup.exact_dedup(filtered, ["text"], "doc_id").select(
+        "doc_id", F.col("n_tokens").cast("int").alias("n_tokens"), "alpha_ratio"
+    )
+
+
+@_register(
+    "doc_length_histogram",
+    oracle="""
+    SELECT CAST(least(n_chars // 50, 19) AS INTEGER) AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(MIN(n_chars) AS INTEGER) AS min_chars,
+           CAST(MAX(n_chars) AS INTEGER) AS max_chars
+    FROM documents GROUP BY 1
+    """,
+    doc="Corpus length histogram (fixed-width buckets, clamped tail) —"
+        " the distribution profile run before choosing packing/truncation"
+        " lengths. Pure map-side bucket derivation + one aggregation.",
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.least(F.expr("n_chars div 50"), F.lit(19)).cast("int")
+    return docs.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").cast("int").alias("min_chars"),
+        F.max("n_chars").cast("int").alias("max_chars"),
+    )
+
+
+@_register(
+    "pack_context_windows",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, doc_id // 100 AS shard,
+               len(string_split_regex(lower(text), '\\s+')) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, shard, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM t
+    )
+    SELECT doc_id, shard,
+           CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS window_in_shard,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           cum_tokens
+    FROM c
+    """,
+    doc="Context-window packing: assign documents to fixed-token-budget"
+        " training windows (512 here) by cumulative token count in a"
+        " stable order — the sequence-packing step between cleaning and"
+        " tokenization. Packing is SHARD-LOCAL (contiguous doc_id // 100"
+        " shards): a global cumulative sum would serialize into one"
+        " partition, while shard-local packing is one window shuffle and"
+        " scales with the corpus; cross-shard padding waste is bounded by"
+        " one window per shard.",
+)
+def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.expr("doc_id div 100").alias("shard"),
+        F.size(F.split(F.lower(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return c.select(
+        "doc_id",
+        "shard",
+        F.expr("(cum_tokens - n_tokens) div 512").alias("window_in_shard"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "cum_tokens",
+    )
