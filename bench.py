@@ -95,6 +95,14 @@ NEW_QUERIES = [
     "corpus_clean_pipeline",
     "doc_length_histogram",
     "pack_context_windows",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_global_sales_opportunity",
 ]
 
 
