@@ -103,6 +103,7 @@ NEW_QUERIES = [
     "tpch_q17_small_quantity_revenue",
     "tpch_q19_disjunctive_revenue",
     "tpch_q22_global_sales_opportunity",
+    "incremental_dedup_new_docs",
 ]
 
 

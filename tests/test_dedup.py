@@ -169,3 +169,29 @@ def test_connected_components_long_path_converges(spark):
     out = {r.doc_id: r.cluster_id
            for r in dedup.connected_components(pairs).collect()}
     assert set(out.values()) == {20} and len(out) == 13
+
+
+def test_incremental_dedup_kill_rules(spark):
+    """One batch doc per kill rule: exact-vs-corpus, near-vs-corpus,
+    within-batch exact (larger id dies), plus a unique survivor."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tonight"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely unrelated corpus document about spark")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (101, base),          # exact dup of corpus 1 → killed
+            (102, near),          # near dup of corpus 1 → killed
+            (103, "a genuinely novel batch document nothing matches it"),
+            (104, "a genuinely novel batch document nothing matches it"),
+            # 104 = exact dup of batch 103 → killed, 103 survives
+        ],
+        "doc_id long, text string",
+    )
+    index = dedup.build_dedup_index(corpus)
+    out = sorted(
+        r.doc_id for r in dedup.incremental_dedup(batch, corpus, index).collect()
+    )
+    assert out == [103]

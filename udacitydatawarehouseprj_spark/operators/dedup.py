@@ -166,6 +166,36 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*mins)
 
 
+def band_hashes(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = NUM_PERM,
+    num_bands: int = NUM_BANDS,
+) -> DataFrame:
+    """(doc, band_id, band_hash) from a MinHash signature relation: each
+    band's rows are hashed together so one equal band ⇒ LSH candidate.
+    Shared by the self-join path (``minhash_lsh_pairs``) and the
+    incremental index (``build_dedup_index``) so both sides of an
+    incremental join derive identical band hashes."""
+    rows_per_band = num_perm // num_bands
+    band_cols = [
+        F.xxhash64(
+            F.lit(band),
+            *[F.col(f"h{band * rows_per_band + r}") for r in range(rows_per_band)],
+        ).alias(f"b{band}")
+        for band in range(num_bands)
+    ]
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(b) for b in range(num_bands)]),
+                F.array(*band_cols),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -182,27 +212,10 @@ def minhash_lsh_pairs(
     up to LSH recall (see NUM_PERM note); verification removes all false
     positives, so precision is exact.
     """
-    rows_per_band = num_perm // num_bands
     # cached: feeds the signature build plus three verification subplans
     sh = _cache(shingles(df, id_col, text_col, n))
     sig = minhash_signatures(sh, id_col, num_perm)
-
-    band_cols = [
-        F.xxhash64(
-            F.lit(band),
-            *[F.col(f"h{band * rows_per_band + r}") for r in range(rows_per_band)],
-        ).alias(f"b{band}")
-        for band in range(num_bands)
-    ]
-    bands = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.map_from_arrays(
-                F.array(*[F.lit(b) for b in range(num_bands)]),
-                F.array(*band_cols),
-            )
-        ).alias("band_id", "band_hash"),
-    )
+    bands = band_hashes(sig, id_col, num_perm, num_bands)
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (
@@ -621,3 +634,157 @@ def connected_components(
             break
     edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def build_dedup_index(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+    num_perm: int = NUM_PERM,
+    num_bands: int = NUM_BANDS,
+) -> DataFrame:
+    """Persistent dedup index for a corpus: one row per (doc, band_id,
+    band_hash) carrying the doc's exact-text hash.
+
+    This is the artifact that makes dedup INCREMENTAL at 100 TB: the
+    corpus is shingled/signed ONCE, the index (tiny relative to text —
+    num_bands longs + one hash per doc) is persisted (ideally bucketed
+    by band_hash), and every new crawl batch joins against it without
+    touching corpus text again. Corpus text is only fetched afterwards,
+    by id, for the candidate pairs that survive banding.
+    """
+    sh = shingles(corpus, id_col, text_col, n)
+    sig = minhash_signatures(sh, id_col, num_perm)
+    bands = band_hashes(sig, id_col, num_perm, num_bands)
+    th = corpus.select(
+        F.col(id_col), F.xxhash64(F.col(text_col)).alias("text_hash")
+    )
+    return bands.join(th, id_col)
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+    threshold: float = 0.5,
+    num_perm: int = NUM_PERM,
+    num_bands: int = NUM_BANDS,
+) -> DataFrame:
+    """Survivors of ``batch`` after dedup against an indexed corpus and
+    within the batch itself.
+
+    A batch doc is KILLED iff any of:
+      1. exact text match with a corpus doc (index text_hash candidates,
+         confirmed on real text fetched by id — hash collisions can't
+         produce a false kill);
+      2. verified near-dup (exact Jaccard ≥ threshold on LSH band
+         candidates) with a corpus doc;
+      3. exact or verified-near duplicate of a SMALLER-id batch doc
+         (deterministic canonical keeper), regardless of that partner's
+         own fate.
+
+    Scale shape: the corpus side contributes only its (small) index to
+    the band join plus id-targeted text fetches for candidates; the
+    batch side (daily crawl ≪ corpus) is fully processed but never
+    self-joined against the corpus text. LSH recall caveats are the
+    same as ``minhash_lsh_pairs`` (per-pair miss ~1e-4 at j=0.5).
+    """
+    batch_sh = _cache(shingles(batch, id_col, text_col, n))
+    batch_sig = minhash_signatures(batch_sh, id_col, num_perm)
+    batch_bands = band_hashes(batch_sig, id_col, num_perm, num_bands)
+    batch_th = batch.select(
+        F.col(id_col).alias("b_id"),
+        F.xxhash64(F.col(text_col)).alias("b_text_hash"),
+        F.col(text_col).alias("b_text"),
+    )
+
+    # --- rule 1: exact-vs-corpus (hash candidates, text-confirmed) ----
+    exact_cand = (
+        batch_th.join(
+            index.select(
+                F.col(id_col).alias("c_id"), F.col("text_hash")
+            ).distinct(),
+            F.col("b_text_hash") == F.col("text_hash"),
+        )
+        .select("b_id", "c_id", "b_text")
+    )
+    corpus_text = corpus.select(
+        F.col(id_col).alias("c_id"), F.col(text_col).alias("c_text")
+    )
+    exact_kill = (
+        exact_cand.join(corpus_text, "c_id")
+        .filter(F.col("b_text") == F.col("c_text"))
+        .select(F.col("b_id").alias(id_col))
+        .distinct()
+    )
+
+    # --- rule 2: near-vs-corpus (band join against the index) ---------
+    near_cand = (
+        batch_bands.alias("nb")
+        .join(
+            index.alias("ix"),
+            (F.col("nb.band_id") == F.col("ix.band_id"))
+            & (F.col("nb.band_hash") == F.col("ix.band_hash")),
+        )
+        .select(
+            F.col(f"nb.{id_col}").alias("doc_a"),
+            F.col(f"ix.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    # verification needs shingles for BOTH sides; corpus shingles are
+    # rebuilt only for candidate docs (id-targeted semi-join + shingle)
+    cand_corpus_docs = corpus.join(
+        near_cand.select(F.col("doc_b").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    )
+    both_sh = batch_sh.union(shingles(cand_corpus_docs, id_col, text_col, n))
+    near_kill = (
+        _verify_candidate_pairs(both_sh, near_cand, id_col, threshold)
+        .select(F.col("doc_a").alias(id_col))
+        .distinct()
+    )
+
+    # --- rule 3: within-batch (exact + verified-near, min-id keeper) --
+    batch_exact_pairs = (
+        batch_th.alias("x")
+        .join(
+            batch_th.alias("y"),
+            (F.col("x.b_text_hash") == F.col("y.b_text_hash"))
+            & (F.col("x.b_id") < F.col("y.b_id")),
+        )
+        .filter(F.col("x.b_text") == F.col("y.b_text"))
+        .select(F.col("y.b_id").alias(id_col))
+    )
+    bb = batch_bands.alias("p")
+    batch_near_cand = (
+        bb.join(
+            batch_bands.alias("q"),
+            (F.col("p.band_id") == F.col("q.band_id"))
+            & (F.col("p.band_hash") == F.col("q.band_hash"))
+            & (F.col(f"p.{id_col}") < F.col(f"q.{id_col}")),
+        )
+        .select(
+            F.col(f"p.{id_col}").alias("doc_a"),
+            F.col(f"q.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    batch_near_kill = (
+        _verify_candidate_pairs(batch_sh, batch_near_cand, id_col, threshold)
+        .select(F.col("doc_b").alias(id_col))
+        .distinct()
+    )
+
+    kills = (
+        exact_kill.union(near_kill)
+        .union(batch_exact_pairs)
+        .union(batch_near_kill)
+        .distinct()
+    )
+    return batch.select(id_col).join(kills, id_col, "left_anti")

@@ -3035,3 +3035,51 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
             _dsum(F.col("c_acctbal"), "decimal(18,6)").alias("totacctbal"),
         )
     )
+
+
+@_register(
+    "incremental_dedup_new_docs",
+    oracle=f"""
+    WITH pairs AS ({_JACCARD_ORACLE}),
+    batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4),
+    corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4),
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    kills AS (
+        SELECT b.doc_id FROM batch b JOIN corpus c ON b.text = c.text
+        UNION
+        SELECT s.a AS doc_id FROM sym s
+        JOIN batch b ON s.a = b.doc_id
+        JOIN corpus c ON s.b = c.doc_id
+        UNION
+        SELECT y.doc_id FROM batch x
+        JOIN batch y ON x.text = y.text AND x.doc_id < y.doc_id
+        UNION
+        SELECT p.doc_b AS doc_id FROM pairs p
+        JOIN batch x ON p.doc_a = x.doc_id
+        JOIN batch y ON p.doc_b = y.doc_id
+    )
+    SELECT b.doc_id FROM batch b
+    WHERE b.doc_id NOT IN (SELECT doc_id FROM kills)
+    """,
+    doc="Incremental dedup (operators/dedup.py build_dedup_index +"
+        " incremental_dedup): documents split into an indexed 'corpus'"
+        " (doc_id % 5 ≠ 4) and a new 'batch' (doc_id % 5 = 4); survivors"
+        " are batch docs with no exact or verified-near (Jaccard ≥ 0.5)"
+        " duplicate in the corpus and no smaller-id duplicate within the"
+        " batch. The corpus contributes only its band/text-hash index to"
+        " the joins — corpus text is fetched by id for surviving"
+        " candidates only, which is what makes daily-crawl dedup against"
+        " a 100 TB corpus feasible without re-shingling it. Oracle"
+        " replays the kill rules with exact Jaccard; LSH recall caveat"
+        " as dedup_minhash_lsh (per-pair miss ~1e-4 at j=0.5).",
+)
+def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 4)
+    corpus = docs.filter(F.col("doc_id") % 5 != 4)
+    index = dedup.build_dedup_index(corpus)
+    return dedup.incremental_dedup(batch, corpus, index)
