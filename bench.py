@@ -104,6 +104,8 @@ NEW_QUERIES = [
     "tpch_q19_disjunctive_revenue",
     "tpch_q22_global_sales_opportunity",
     "incremental_dedup_new_docs",
+    "text_trigram_lm_score",
+    "zorder_key_orders",
 ]
 
 

@@ -148,3 +148,56 @@ def fingerprint_fast(df: DataFrame, id_col: str = "doc_id",
     """Engine-native fingerprint: xxhash64 of the text — the right tool at
     100 TB (single expression, no explode, no shuffle)."""
     return df.select(F.col(id_col), F.xxhash64(F.col(text_col)).alias("fingerprint"))
+
+
+def trigram_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Character-trigram language-model score per doc: train trigram
+    frequencies on the corpus itself (one pass), then score each doc by
+    the mean log-probability of its trigrams — the self-supervised
+    'perplexity filter' that drops boilerplate/garbage before expensive
+    model-based scoring.
+
+    Two aggregations: (1) global trigram counts (map-side partial, the
+    model is |V|³-bounded and broadcast back), (2) per-doc mean over an
+    equi-join of doc trigrams to the model. No Python anywhere; the
+    trigram explode is a codegen'd sequence/substring expression.
+
+    Determinism: every scored trigram exists in the model (trained on
+    the same corpus) so ln() never sees 0; per-trigram log-probs are
+    rounded to 6 before an exact DECIMAL sum so accumulation order
+    can't drift the mean.
+    """
+    from udacitydatawarehouseprj_spark.session import spread
+
+    tri = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - 2, 0)),"
+        f" i -> substring({text_col}, i, 3))"
+    )
+    grams = spread(df, (id_col,)).select(
+        F.col(id_col), F.explode(tri).alias("gram")
+    )
+    model = grams.groupBy("gram").agg(F.count("*").alias("cnt"))
+    total = model.agg(F.sum("cnt").alias("total"))
+    scored = (
+        grams.join(F.broadcast(model), "gram")
+        .join(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.round(
+                F.log(F.col("cnt").cast("double") / F.col("total").cast("double")), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("logp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        (
+            F.round(F.sum("logp"), 4).cast("decimal(18,4)").cast("double")
+            / F.count("*")
+        ).alias("mean_logp"),
+        F.count("*").cast("long").alias("n_grams"),
+    )

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from udacitydatawarehouseprj_spark import session as S
 from udacitydatawarehouseprj_spark.functions import datetime as dtf
-from udacitydatawarehouseprj_spark.operators import dedup, similarity, textops
+from udacitydatawarehouseprj_spark.operators import dedup, layout, similarity, textops
 from udacitydatawarehouseprj_spark.operators import multimodal as mm
 from udacitydatawarehouseprj_spark.operators import relational as rel
 from udacitydatawarehouseprj_spark.plans import star_schema
@@ -3083,3 +3083,65 @@ def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 5 != 4)
     index = dedup.build_dedup_index(corpus)
     return dedup.incremental_dedup(batch, corpus, index)
+
+
+@_register(
+    "text_trigram_lm_score",
+    oracle="""
+    WITH grams AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(length(text) - 2, 0) + 1),
+                   i -> text[i:i+2])) AS gram
+        FROM documents
+    ),
+    model AS (SELECT gram, COUNT(*) AS cnt FROM grams GROUP BY 1),
+    total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM model),
+    scored AS (
+        SELECT g.doc_id,
+               CAST(ROUND(LN(CAST(m.cnt AS DOUBLE) / CAST(t.total AS DOUBLE)), 6)
+                    AS DECIMAL(18,6)) AS logp
+        FROM grams g JOIN model m USING (gram), total t
+    )
+    SELECT doc_id,
+           CAST(CAST(ROUND(SUM(logp), 4) AS DECIMAL(18,4)) AS DOUBLE)
+               / COUNT(*) AS mean_logp,
+           COUNT(*) AS n_grams
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Self-trained char-trigram LM score (operators/textops.py"
+        " trigram_lm_score): global trigram counts (one partial-agg pass,"
+        " model broadcast back) → per-doc mean log-probability — the"
+        " perplexity-style quality filter run before model-based scoring."
+        " Per-trigram log-probs round to 6 then sum in exact DECIMAL so"
+        " accumulation order can't drift the mean; ln never sees zero"
+        " because every scored trigram is in the model by construction.",
+)
+def text_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return textops.trigram_lm_score(docs)
+
+
+@_register(
+    "zorder_key_orders",
+    oracle=f"""
+    SELECT o_orderkey,
+           {layout.zorder_key_sql(['o_orderkey % 256', 'o_custkey % 256'], 8)} AS z_key
+    FROM orders
+    """,
+    doc="Morton Z-order clustering key (operators/layout.py): interleave"
+        " the low 8 bits of two order dimensions — the write-time layout"
+        " key that makes parquet min-max stats prune BOX predicates on"
+        " both columns instead of one. Pure shift/and/sum integer"
+        " Column arithmetic, bit-identical to the SQL oracle;"
+        " zorder_layout pairs it with repartitionByRange + in-partition"
+        " sort for the actual write.",
+)
+def zorder_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        layout.zorder_key_expr(["o_orderkey % 256", "o_custkey % 256"], 8).alias(
+            "z_key"
+        ),
+    )
