@@ -106,6 +106,7 @@ NEW_QUERIES = [
     "incremental_dedup_new_docs",
     "text_trigram_lm_score",
     "zorder_key_orders",
+    "streaming_corpus_dedup_readback",
 ]
 
 

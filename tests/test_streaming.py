@@ -155,3 +155,47 @@ def test_stream_stream_attribution_join(spark, tmp_path):
            for r in spark.sql("SELECT * FROM t_attr").collect()}
     # purchase 3 attributes to both in-window views; purchase 5 to none
     assert got == {(3, 1), (3, 2)}
+
+
+def _write_docs(path, fname, rows):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, fname), "w") as f:
+        for doc_id, text in rows:
+            f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+
+def test_incremental_dedup_stream_across_batches(spark, tmp_path):
+    """Two micro-batches (two stream runs over one checkpoint): batch 2's
+    exact and near duplicates of batch-1 docs are dropped by the index
+    built from batch 1; its genuinely new doc survives."""
+    from udacitydatawarehouseprj_spark.streaming import corpus_stream
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tonight"
+
+    _write_docs(src, "b1.json", [
+        (1, base),
+        (2, "an entirely different first-batch document about streaming"),
+        (3, "an entirely different first-batch document about streaming"),  # in-batch exact dup
+    ])
+    q = corpus_stream.run_incremental_dedup_stream(spark, src, ckpt, corpus, index)
+    q.awaitTermination(120)
+    got1 = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert got1 == {1, 2}
+
+    _write_docs(src, "b2.json", [
+        (11, base),   # exact dup of accepted doc 1 → dropped
+        (12, near),   # near dup of accepted doc 1 → dropped
+        (13, "a brand new second-batch document unlike anything before"),
+    ])
+    q2 = corpus_stream.run_incremental_dedup_stream(spark, src, ckpt, corpus, index)
+    q2.awaitTermination(120)
+    got2 = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert got2 == {1, 2, 13}
+    # index rows accumulated for every accepted doc, none for dropped
+    idx_ids = {r.doc_id for r in spark.read.parquet(index).collect()}
+    assert idx_ids == {1, 2, 13}

@@ -3145,3 +3145,78 @@ def zorder_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z_key"
         ),
     )
+
+
+@_register(
+    "streaming_corpus_dedup_readback",
+    oracle=f"""
+    WITH pairs AS ({_JACCARD_ORACLE}),
+    c AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4),
+    b AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4),
+    c_kill AS (
+        SELECT p.doc_b AS doc_id FROM pairs p
+        JOIN c x ON p.doc_a = x.doc_id JOIN c y ON p.doc_b = y.doc_id
+        UNION
+        SELECT y.doc_id FROM c x
+        JOIN c y ON x.text = y.text AND x.doc_id < y.doc_id
+    ),
+    s1 AS (SELECT doc_id, text FROM c
+           WHERE doc_id NOT IN (SELECT doc_id FROM c_kill)),
+    sym AS (
+        SELECT doc_a AS a, doc_b AS bb FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    b_kill AS (
+        SELECT x.doc_id FROM b x JOIN s1 ON x.text = s1.text
+        UNION
+        SELECT s.a AS doc_id FROM sym s
+        JOIN b ON s.a = b.doc_id JOIN s1 ON s.bb = s1.doc_id
+        UNION
+        SELECT y.doc_id FROM b x
+        JOIN b y ON x.text = y.text AND x.doc_id < y.doc_id
+        UNION
+        SELECT p.doc_b AS doc_id FROM pairs p
+        JOIN b x ON p.doc_a = x.doc_id JOIN b y ON p.doc_b = y.doc_id
+    )
+    SELECT doc_id, CAST(0 AS BIGINT) AS batch_id FROM s1
+    UNION ALL
+    SELECT doc_id, CAST(1 AS BIGINT) AS batch_id FROM b
+    WHERE doc_id NOT IN (SELECT doc_id FROM b_kill)
+    """,
+    doc="The streaming crawl-ingest pipeline under the hard signal:"
+        " documents land as two ndjson drops (corpus docs then batch"
+        " docs), run_incremental_dedup_stream drains each with"
+        " foreachBatch incremental dedup against the accumulating"
+        " band/text-hash index, and the accepted-corpus parquet is read"
+        " BACK with its batch_id provenance. The oracle replays the"
+        " two-phase semantics exactly: phase 1 = within-drop dedup of"
+        " the corpus docs, phase 2 = batch docs vs phase-1 SURVIVORS"
+        " (docs killed in phase 1 don't kill anyone later) plus"
+        " within-drop rules. LSH recall caveat as dedup_minhash_lsh.",
+)
+def streaming_corpus_dedup_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from udacitydatawarehouseprj_spark.streaming import corpus_stream
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = _scratch_dir(sf_dir, "stream_corpus")
+    shutil.rmtree(base, ignore_errors=True)
+    src = f"{base}/landing"
+    corpus_dir = f"{base}/corpus"
+    index_dir = f"{base}/index"
+    ckpt = f"{base}/ckpt"
+
+    docs.filter(F.col("doc_id") % 5 != 4).write.mode("overwrite").json(src)
+    q = corpus_stream.run_incremental_dedup_stream(
+        spark, src, ckpt, corpus_dir, index_dir
+    )
+    q.awaitTermination(600)
+    docs.filter(F.col("doc_id") % 5 == 4).write.mode("append").json(src)
+    q2 = corpus_stream.run_incremental_dedup_stream(
+        spark, src, ckpt, corpus_dir, index_dir
+    )
+    q2.awaitTermination(600)
+    return spark.read.parquet(corpus_dir).select(
+        "doc_id", F.col("batch_id").cast("long").alias("batch_id")
+    )
