@@ -107,6 +107,7 @@ NEW_QUERIES = [
     "text_trigram_lm_score",
     "zorder_key_orders",
     "streaming_corpus_dedup_readback",
+    "heavy_hitters_check",
 ]
 
 

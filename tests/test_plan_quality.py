@@ -198,3 +198,51 @@ def test_pivot_api_matches_conditional_agg(spark, sf_dir):
     assert {tuple(r) for r in via_pivot.collect()} == {
         tuple(r) for r in registered.collect()
     }
+
+
+def test_q6_all_predicates_push_to_scan(spark, sf_dir):
+    """TPC-H Q6 is the pushdown probe: every filter (shipdate range,
+    discount band, quantity cap) must reach the parquet scan, and the
+    scan must read only the four touched columns."""
+    plan = plan_of(spark, sf_dir, "tpch_q6_forecast_revenue")
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan).group(1)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
+def test_q19_disjunction_pushes_to_part_scan(spark, sf_dir):
+    """The brand/size OR-of-ANDs must reach the part scan (Catalyst
+    extracts the per-table disjunction) — not evaluate post-join."""
+    plan = plan_of(spark, sf_dir, "tpch_q19_disjunctive_revenue")
+    assert re.search(r"PushedFilters: \[[^\]]*Or\(.*p_brand", plan) or (
+        "Brand#1" in plan and plan.index("Brand#1") < plan.index("BroadcastHashJoin")
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_q7_nations_broadcast_fact_shuffles_once_per_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q7_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 2  # both nation copies
+    assert "CartesianProduct" not in plan
+
+
+def test_corpus_clean_single_shuffle(spark, sf_dir):
+    """Quality gate + exact dedup must fuse into scan → one window
+    shuffle: the filters are map-side, the dedup window is the only
+    exchange."""
+    plan = plan_of(spark, sf_dir, "corpus_clean_pipeline")
+    assert count_exchanges(plan) == 1, plan
+
+
+def test_zorder_key_is_scan_side(spark, sf_dir):
+    """The Z-key is pure projection arithmetic — no exchange at all."""
+    plan = plan_of(spark, sf_dir, "zorder_key_orders")
+    assert count_exchanges(plan) == 0, plan
+
+
+def test_incremental_dedup_no_cartesian_no_corpus_rescan_explosion(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "incremental_dedup_new_docs")
+    assert "CartesianProduct" not in plan

@@ -3220,3 +3220,36 @@ def streaming_corpus_dedup_readback(spark: SparkSession, sf_dir: str) -> DataFra
     return spark.read.parquet(corpus_dir).select(
         "doc_id", F.col("batch_id").cast("long").alias("batch_id")
     )
+
+
+@_register(
+    "heavy_hitters_check",
+    oracle="""
+    WITH tot AS (SELECT COUNT(*) AS n FROM events)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_heavy, TRUE AS all_covered
+    FROM (SELECT event_type, COUNT(*) AS c FROM events GROUP BY 1), tot
+    WHERE c > tot.n * 0.15
+    """,
+    doc="Hard-signal invariant for the heavy-hitters sketch"
+        " (DataFrame.stat.freqItems — distributed single-pass"
+        " Karp/Misra-Gries family): every item with true frequency"
+        " > support MUST appear in the sketch output (the algorithm's"
+        " no-false-negative guarantee). n_heavy is the exact count of"
+        " true heavy hitters; all_covered goes FALSE if the sketch"
+        " ever drops one. The sketch summary itself is the only thing"
+        " that touches the driver (bounded by 1/support items).",
+)
+def heavy_hitters_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sketch = set(ev.stat.freqItems(["event_type"], support=0.15).collect()[0][0])
+    exact = ev.groupBy("event_type").agg(F.count("*").alias("c"))
+    heavy = exact.crossJoin(ev.agg(F.count("*").alias("n"))).filter(
+        F.col("c") > F.col("n") * 0.15
+    )
+    heavy = heavy.cache()
+    missing = heavy.filter(~F.col("event_type").isin(list(sketch)))
+    return (
+        heavy.agg(F.count("*").alias("n_heavy"))
+        .crossJoin(missing.agg(F.count("*").alias("n_missing")))
+        .select("n_heavy", (F.col("n_missing") == 0).alias("all_covered"))
+    )
