@@ -121,8 +121,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = Q.queries()
 
-    # JVM/codegen warmup on an unmeasured small query
+    # Unmeasured warmup: JVM/codegen via a small query, plus one trivial
+    # mapInPandas pass so the Arrow serializers and the pool of Python
+    # worker processes exist before any timed query — otherwise the first
+    # Pandas-UDF query is charged ~7 s of interpreter spawn that has
+    # nothing to do with the operator being measured.
     run_one(registry["agg_count_star"](spark, sf_dir))
+    spark.range(0, 1000, 1, int(spark.sparkContext.defaultParallelism)).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE + NEW_QUERIES:
