@@ -206,19 +206,37 @@ def minhash_signatures(
     One aggregation — num_perm mins computed map-side-partial in a single
     pass (no per-permutation shuffles).
     """
-    mins = []
-    for p in range(num_perm):
-        # distinct odd-spaced xor constants; wraparound via masking into
-        # the signed-64 domain keeps ANSI arithmetic happy
-        c = (-7046029254386353131 + p * 2654435761) & 0xFFFFFFFFFFFFFFFF
-        if c >= 1 << 63:
-            c -= 1 << 64
-        x = F.col("shingle").bitwiseXOR(F.lit(c))
-        x = x.bitwiseXOR(F.shiftleft(x, 13))
-        x = x.bitwiseXOR(F.shiftrightunsigned(x, 7))
-        x = x.bitwiseXOR(F.shiftleft(x, 17))
-        mins.append(F.min(x).alias(f"h{p}"))
+    mins = [
+        F.min(F.col("shingle").bitwiseXOR(F.lit(_XOR_PERM[p]))).alias(f"h{p}")
+        for p in range(num_perm)
+    ]
     return sh.groupBy(id_col).agg(*mins)
+
+
+def _splitmix64(seed: int) -> list[int]:
+    """Deterministic full-64-bit xor constants (splitmix64 stream), as
+    signed longs. Computed plan-side in Python so the per-permutation
+    Spark expression stays a single XOR — a 64-min aggregate built from
+    multi-step mixing chains octuples each expression subtree and was
+    measured to cost ~6 s of whole-stage-codegen JIT compile on first
+    execution. Full-width constants matter: constants that differ only in
+    low bits would leave the argmin (driven by high bits) identical
+    across permutations."""
+    out, x = [], seed & 0xFFFFFFFFFFFFFFFF
+    for _ in range(256):
+        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = x
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        z ^= z >> 31
+        out.append(z - (1 << 64) if z >= 1 << 63 else z)
+    return out
+
+
+#: xor-permutation constants: h_p(s) = s XOR r_p over the xxhash64-uniform
+#: shingle space — the standard cheap minhash permutation family; the
+#: LSH recall this yields is validated by the exact-Jaccard oracle gate.
+_XOR_PERM = _splitmix64(0x5EED_0F_5EED)
 
 
 def band_hashes(
@@ -754,6 +772,11 @@ def incremental_dedup(
     self-joined against the corpus text. LSH recall caveats are the
     same as ``minhash_lsh_pairs`` (per-pair miss ~1e-4 at j=0.5).
     """
+    # the index is a persisted artifact in production (built once, read
+    # from storage); here it arrives as a plan, and it feeds BOTH the
+    # exact-hash join and the band join — cache it so the corpus
+    # shingle/signature pipeline runs once, not once per consumer
+    index = _cache(index)
     batch_sh = _cache(hashed_shingles(batch, id_col, text_col, n))
     batch_sig = minhash_signatures(batch_sh, id_col, num_perm)
     batch_bands = band_hashes(batch_sig, id_col, num_perm, num_bands)
@@ -797,6 +820,9 @@ def incremental_dedup(
         )
         .distinct()
     )
+    # candidate pairs feed the corpus-text semi-join AND the verification
+    # join; cached so the band join runs once (tiny: surviving pairs only)
+    near_cand = _cache(near_cand)
     # verification needs shingles for BOTH sides; corpus shingles are
     # rebuilt only for candidate docs (id-targeted semi-join + shingle)
     cand_corpus_docs = corpus.join(
@@ -804,8 +830,10 @@ def incremental_dedup(
         id_col,
         "left_semi",
     )
-    both_sh = batch_sh.union(
-        hashed_shingles(cand_corpus_docs, id_col, text_col, n)
+    # the union feeds three verification subplans (sizes + both join
+    # sides) — cache it or the candidate-doc shingling runs three times
+    both_sh = _cache(
+        batch_sh.union(hashed_shingles(cand_corpus_docs, id_col, text_col, n))
     )
     near_kill = (
         _verify_candidate_pairs(both_sh, near_cand, id_col, threshold)
