@@ -752,7 +752,8 @@ def incremental_dedup(
     threshold: float = 0.5,
     num_perm: int = NUM_PERM,
     num_bands: int = NUM_BANDS,
-) -> DataFrame:
+    _with_index: bool = False,
+):
     """Survivors of ``batch`` after dedup against an indexed corpus and
     within the batch itself.
 
@@ -779,7 +780,10 @@ def incremental_dedup(
     index = _cache(index)
     batch_sh = _cache(hashed_shingles(batch, id_col, text_col, n))
     batch_sig = minhash_signatures(batch_sh, id_col, num_perm)
-    batch_bands = band_hashes(batch_sig, id_col, num_perm, num_bands)
+    # bands feed the corpus band join, BOTH sides of the within-batch
+    # band self-join, and (in the _with_index variant) the survivor
+    # index rows — cache or the signature aggregate runs per consumer
+    batch_bands = _cache(band_hashes(batch_sig, id_col, num_perm, num_bands))
     batch_th = batch.select(
         F.col(id_col).alias("b_id"),
         F.xxhash64(F.col(text_col)).alias("b_text_hash"),
@@ -878,4 +882,49 @@ def incremental_dedup(
         .union(batch_near_kill)
         .distinct()
     )
-    return batch.select(id_col).join(kills, id_col, "left_anti")
+    survivors = batch.select(id_col).join(kills, id_col, "left_anti")
+    if not _with_index:
+        return survivors
+    # Survivor index rows (the ingest loop's persistent-index append)
+    # derived from the ALREADY-CACHED batch bands + text hashes — without
+    # this, callers re-run the whole shingle→signature→band pipeline on
+    # survivors just to index them (measured: doubles per-batch cost in
+    # the streaming ingest loop).
+    survivors = _cache(survivors)
+    surv_index = batch_bands.join(survivors, id_col, "left_semi").join(
+        batch_th.select(
+            F.col("b_id").alias(id_col), F.col("b_text_hash").alias("text_hash")
+        ),
+        id_col,
+    )
+    return survivors, surv_index
+
+
+def incremental_dedup_with_index(
+    batch: DataFrame,
+    corpus: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+    threshold: float = 0.5,
+    num_perm: int = NUM_PERM,
+    num_bands: int = NUM_BANDS,
+) -> tuple[DataFrame, DataFrame]:
+    """``incremental_dedup`` plus the survivors' index rows
+    ``(id, band_id, band_hash, text_hash)`` for appending to the
+    persistent corpus index — computed from the batch's cached
+    bands/hashes, not by re-signing the survivors. This is the call the
+    streaming ingest loop makes once per micro-batch."""
+    return incremental_dedup(
+        batch,
+        corpus,
+        index,
+        id_col,
+        text_col,
+        n,
+        threshold,
+        num_perm,
+        num_bands,
+        _with_index=True,
+    )

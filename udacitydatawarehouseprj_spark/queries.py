@@ -25,6 +25,7 @@ Cross-engine determinism rules used throughout (SURVEY §5.1):
 from __future__ import annotations
 
 from collections.abc import Callable
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1888,6 +1889,25 @@ def _scratch_dir(sf_dir: str, tag: str) -> str:
     return _os.path.join(repo_root, ".scratch", "landing", f"{tag}_{key}")
 
 
+@contextmanager
+def _state_partitions(spark: SparkSession, n: int):
+    """Temporarily size ``spark.sql.shuffle.partitions`` for a streaming
+    query started (AND awaited) inside the block. Stateful streaming locks
+    the state-store partition count to the shuffle-partition conf at
+    checkpoint creation; the right number scales with stream volume, not
+    with the session's batch default — a megabyte-scale micro-batch with 32
+    HDFS-backed state stores pays 32 store open/commit/snapshot cycles per
+    batch for no parallelism gain (measured ~18 s of summed commit time at
+    sf0.1). Production sizing: partitions ≈ peak keys-in-state / the
+    per-store comfort zone, set once when the checkpoint is created."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 @_register(
     "json_ingest_events_log",
     oracle="""
@@ -2087,10 +2107,11 @@ def streaming_hourly_sink_readback(spark: SparkSession, sf_dir: str) -> DataFram
         schema=stream_in.schema,
     )
     stream_in.unionByName(sentinel).write.mode("overwrite").json(src)
-    q = events_stream.run_hourly_stream_to_parquet(
-        spark, src, f"{base}/ckpt", f"{base}/out"
-    )
-    q.awaitTermination(600)
+    with _state_partitions(spark, 8):
+        q = events_stream.run_hourly_stream_to_parquet(
+            spark, src, f"{base}/ckpt", f"{base}/out"
+        )
+        q.awaitTermination(600)
     sink = spark.read.parquet(f"{base}/out").filter(
         F.col("event_type") != "_sentinel"
     )
@@ -3208,15 +3229,16 @@ def streaming_corpus_dedup_readback(spark: SparkSession, sf_dir: str) -> DataFra
     ckpt = f"{base}/ckpt"
 
     docs.filter(F.col("doc_id") % 5 != 4).write.mode("overwrite").json(src)
-    q = corpus_stream.run_incremental_dedup_stream(
-        spark, src, ckpt, corpus_dir, index_dir
-    )
-    q.awaitTermination(600)
-    docs.filter(F.col("doc_id") % 5 == 4).write.mode("append").json(src)
-    q2 = corpus_stream.run_incremental_dedup_stream(
-        spark, src, ckpt, corpus_dir, index_dir
-    )
-    q2.awaitTermination(600)
+    with _state_partitions(spark, 8):
+        q = corpus_stream.run_incremental_dedup_stream(
+            spark, src, ckpt, corpus_dir, index_dir
+        )
+        q.awaitTermination(600)
+        docs.filter(F.col("doc_id") % 5 == 4).write.mode("append").json(src)
+        q2 = corpus_stream.run_incremental_dedup_stream(
+            spark, src, ckpt, corpus_dir, index_dir
+        )
+        q2.awaitTermination(600)
     return spark.read.parquet(corpus_dir).select(
         "doc_id", F.col("batch_id").cast("long").alias("batch_id")
     )

@@ -88,17 +88,17 @@ def run_incremental_dedup_stream(
         index = _read_or_empty(sess, index_dir, index_schema).select(
             "doc_id", "band_id", "band_hash", "text_hash"
         )
+        surv_ids, surv_index = dedup.incremental_dedup_with_index(
+            docs, corpus, index
+        )
         survivors = (
-            docs.join(
-                dedup.incremental_dedup(docs, corpus, index), "doc_id", "left_semi"
-            )
+            docs.join(surv_ids, "doc_id", "left_semi")
             .withColumn("batch_id", F.lit(batch_id))
             .persist()
         )
         survivors.write.mode("overwrite").partitionBy("batch_id").parquet(corpus_dir)
         (
-            dedup.build_dedup_index(survivors.select("doc_id", "text"))
-            .select(
+            surv_index.select(
                 "doc_id",
                 F.col("band_id").cast("int").alias("band_id"),
                 "band_hash",

