@@ -103,6 +103,10 @@ NEW_QUERIES = [
     "tpch_q17_small_quantity_revenue",
     "tpch_q19_disjunctive_revenue",
     "tpch_q22_global_sales_opportunity",
+    "tpch_q4_order_priority",
+    "tpch_q12_ship_class_priority",
+    "tpch_q15_top_supplier",
+    "tpch_q21_waiting_supplier",
     "incremental_dedup_new_docs",
     "text_trigram_lm_score",
     "zorder_key_orders",

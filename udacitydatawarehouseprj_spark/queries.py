@@ -3059,6 +3059,217 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @_register(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4 order-priority checking: correlated EXISTS → left-semi"
+        " join with a non-equi residual (testdata has no"
+        " l_commitdate/l_receiptdate, so 'late' = shipped >60 days after"
+        " order date; same semi-join-with-inequality shape as the spec's"
+        " commitdate<receiptdate). The quarter filter pushes to the"
+        " orders scan before the semi-join, so the l_orderkey shuffle"
+        " carries one quarter of orders, not all of them; the semi-join"
+        " short-circuits per order (no match-count inflation to dedup).",
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    d0 = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    d1 = F.lit("1996-04-01 00:00:00").cast("timestamp")
+    late = li.select(
+        F.col("l_orderkey").alias("lk"), F.col("l_shipdate").alias("sd")
+    )
+    return (
+        orders.filter((F.col("o_orderdate") >= d0) & (F.col("o_orderdate") < d1))
+        .join(
+            late,
+            (F.col("o_orderkey") == F.col("lk"))
+            & (F.col("sd") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@_register(
+    "tpch_q12_ship_class_priority",
+    oracle="""
+    SELECT l.l_returnflag AS ship_class,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    """,
+    doc="TPC-H Q12 shipping modes / order priority: fact↔fact equi-join"
+        " with conditional CASE-sums partitioned by priority class"
+        " (testdata has no l_shipmode, so l_returnflag stands in as the"
+        " grouping 'mode'; the CASE-pivot-on-join shape is the spec's)."
+        " Ship-date year filter pushes to the lineitem scan; the CASE"
+        " sums combine map-side so the single l_orderkey shuffle carries"
+        " partial (flag, hi, lo) triples.",
+)
+def tpch_q12_ship_class_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    d0 = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    d1 = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter((F.col("l_shipdate") >= d0) & (F.col("l_shipdate") < d1))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@_register(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               {_SQL_DSUM(_REVENUE_TERM_SQL, "DECIMAL(30,10)")} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    doc="TPC-H Q15 top supplier: a derived revenue view consumed twice —"
+        " once for the per-supplier totals, once for the scalar MAX —"
+        " i.e. the argmax-over-aggregate shape. The revenue agg is ONE"
+        " shuffle over the quarter's lineitems (partial sums map-side);"
+        " the MAX reduces that already-tiny per-supplier relation and"
+        " broadcasts back as a 1-row join, so the view is computed once"
+        " per branch over post-agg data, never re-scanning lineitem."
+        " Exact-decimal totals make the MAX equality bit-stable"
+        " cross-engine (a raw double sum would make ties/argmax"
+        " order-dependent).",
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    d0 = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    d1 = F.lit("1996-04-01 00:00:00").cast("timestamp")
+    revenue = (
+        li.filter((F.col("l_shipdate") >= d0) & (F.col("l_shipdate") < d1))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            _narrow(
+                F.sum(_revenue_term().cast("decimal(30,10)"))
+            ).alias("total_revenue")
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        revenue.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@_register(
+    "tpch_q21_waiting_supplier",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND n.n_name = 'NATION_1'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 10
+    """,
+    doc="TPC-H Q21 suppliers who kept orders waiting: the triple"
+        " self-reference on lineitem — EXISTS (another supplier touched"
+        " the order) AND NOT EXISTS (another supplier also failed) — as"
+        " one left-semi plus one left-anti join, both with a non-equi"
+        " suppkey<>suppkey residual (testdata lacks receipt/commit dates,"
+        " so 'failed' = l_returnflag='R'; the sole-blamed-supplier logic"
+        " is the spec's). All three lineitem branches shuffle on"
+        " l_orderkey — one exchange reused across the semi/anti probes"
+        " under AQE; nation filter broadcasts and prunes suppliers before"
+        " the fact join. Top-10 with (numwait, s_name) tie-break plans as"
+        " TakeOrderedAndProject.",
+)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    others = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    failed_others = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    n1 = nat.filter(F.col("n_name") == "NATION_1").select("n_nationkey")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .join(
+            orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            others,
+            (F.col("l_orderkey") == F.col("k2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            failed_others,
+            (F.col("l_orderkey") == F.col("k3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(10)
+    )
+
+
+@_register(
     "incremental_dedup_new_docs",
     oracle=f"""
     WITH pairs AS ({_JACCARD_ORACLE}),
