@@ -103,6 +103,10 @@ NEW_QUERIES = [
     "tpch_q17_small_quantity_revenue",
     "tpch_q19_disjunctive_revenue",
     "tpch_q22_global_sales_opportunity",
+    "text_pii_redact",
+    "text_repetition_gopher",
+    "train_val_test_split",
+    "training_shuffle_buckets",
     "tpch_q4_order_priority",
     "tpch_q12_ship_class_priority",
     "tpch_q15_top_supplier",

@@ -63,3 +63,51 @@ def test_zorder_locality_beats_single_column_sort(spark):
     ]
     x_sorted = sorted(rows)
     assert mean_step(z_sorted) < 0.5 * mean_step(x_sorted)
+
+
+def _py_portable_hash(i: int) -> int:
+    return ((i % 2147483647) * 2654435761 + 40503) % 2147483647
+
+
+def test_split_assign_matches_python_and_is_stable(spark):
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    got = {r.doc_id: (r.split_pct, r.split) for r in layout.split_assign(df).collect()}
+    for i in range(1000):
+        pct = _py_portable_hash(i) % 100
+        want = "train" if pct < 80 else ("val" if pct < 90 else "test")
+        assert got[i] == (pct, want)
+    # appending new ids must not move existing assignments
+    df2 = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    got2 = {r.doc_id: r.split for r in layout.split_assign(df2).collect()}
+    assert all(got2[i] == got[i][1] for i in range(1000))
+
+
+def test_split_assign_proportions(spark):
+    df = spark.createDataFrame([(i,) for i in range(5000)], "doc_id long")
+    counts = {
+        r.split: r.c
+        for r in layout.split_assign(df).groupBy("split").agg(
+            F.count("*").alias("c")
+        ).collect()
+    }
+    assert abs(counts["train"] / 5000 - 0.80) < 0.03
+    assert abs(counts["val"] / 5000 - 0.10) < 0.02
+    assert abs(counts["test"] / 5000 - 0.10) < 0.02
+
+
+def test_shuffle_buckets_is_permutation(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    out = layout.shuffle_buckets(df, n_buckets=8).collect()
+    assert len(out) == 500
+    assert len({r.doc_id for r in out}) == 500
+    # positions within each bucket are 1..n contiguous
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r.pos)
+    for b, ps in by_bucket.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), b
+    # deterministic across invocations
+    again = layout.shuffle_buckets(df, n_buckets=8).collect()
+    assert {(r.doc_id, r.bucket, r.pos) for r in again} == {
+        (r.doc_id, r.bucket, r.pos) for r in out
+    }

@@ -59,3 +59,43 @@ def test_fingerprint_fast_detects_equal_text(spark):
     fps = {r.doc_id: r.fingerprint
            for r in textops.fingerprint_fast(docs).collect()}
     assert fps[0] == fps[1] != fps[2]
+
+
+def test_pii_redact_masks_and_counts(spark):
+    row = textops.pii_redact(
+        _doc(spark, "mail a.b+c@x-y.co or 10.0.0.1 call 555-867-5309 end")
+    ).collect()[0]
+    assert row.redacted == "mail <EMAIL> or <IP> call <PHONE> end"
+    assert (row.n_emails, row.n_ips, row.n_phones) == (1, 1, 1)
+
+
+def test_pii_redact_email_digits_not_double_counted(spark):
+    # digits/dots inside the email must not count as an IP (email masked
+    # first), and an IP must not count as a phone
+    row = textops.pii_redact(_doc(spark, "v1.2.3.4@host.org and 1.2.3.4")).collect()[0]
+    assert row.n_emails == 1
+    assert row.n_ips == 1
+    assert row.n_phones == 0
+    assert row.redacted == "<EMAIL> and <IP>"
+
+
+def test_pii_redact_clean_text_untouched(spark):
+    row = textops.pii_redact(_doc(spark, "no pii here at all")).collect()[0]
+    assert row.redacted == "no pii here at all"
+    assert (row.n_emails, row.n_ips, row.n_phones) == (0, 0, 0)
+
+
+def test_repetition_stats_hand_computed(spark):
+    # "a b a b a" → 2-grams: [a b, b a, a b, b a] → total 4, distinct 2,
+    # top count 2
+    row = textops.repetition_stats(_doc(spark, "a b a b a")).collect()[0]
+    assert row.n_2grams == 4
+    assert row.n_distinct_2grams == 2
+    assert row.dup_2gram_frac == 0.5
+    assert row.top_2gram_frac == 0.5
+
+
+def test_repetition_stats_all_unique(spark):
+    row = textops.repetition_stats(_doc(spark, "a b c d")).collect()[0]
+    assert row.n_2grams == 3
+    assert row.dup_2gram_frac == 0.0

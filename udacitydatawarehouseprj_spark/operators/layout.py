@@ -71,3 +71,71 @@ def zorder_layout(
     out = df.withColumn(key_col, zorder_key_expr(cols, bits))
     parts = [num_partitions] if num_partitions else []
     return out.repartitionByRange(*parts, key_col).sortWithinPartitions(key_col)
+
+
+# --- Deterministic training-data layout --------------------------------
+#
+# Portable multiplicative hash for split/shuffle decisions: pure int64
+# arithmetic with an explicit pre-reduction so no intermediate exceeds
+# 2^62 — bit-identical in any engine (Spark, DuckDB, anything with int64),
+# unlike engine-native hashes (xxhash64/murmur). (id % MOD) < 2^31 and
+# MULT < 2^32, so (id % MOD) * MULT < 2^63.
+SPLIT_HASH_MULT = 2_654_435_761  # Knuth 2^32 / golden ratio
+SPLIT_HASH_ADD = 40_503
+SPLIT_HASH_MOD = 2_147_483_647  # 2^31 - 1
+
+
+def portable_hash_expr(id_col: str) -> F.Column:
+    return (
+        (F.col(id_col).cast("long") % SPLIT_HASH_MOD) * SPLIT_HASH_MULT
+        + SPLIT_HASH_ADD
+    ) % SPLIT_HASH_MOD
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment.
+
+    The split decision is a pure function of the id — stable across
+    runs, engines, and re-partitioning, so a growing 100 TB corpus keeps
+    every existing document in its original split (no leakage when data
+    is appended). A per-row map: zero shuffles.
+    """
+    pct = portable_hash_expr(id_col) % 100
+    return df.select(
+        F.col(id_col),
+        pct.cast("int").alias("split_pct"),
+        F.when(pct < train_pct, "train")
+        .when(pct < train_pct + val_pct, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def shuffle_buckets(
+    df: DataFrame, id_col: str = "doc_id", n_buckets: int = 16
+) -> DataFrame:
+    """Deterministic global training shuffle, bucketed.
+
+    A total order over 100 TB is an anti-pattern (one giant range sort);
+    instead: bucket = hash(id) % n_buckets, position = rank of hash
+    within the bucket. Readers stream buckets in any order and rows
+    within a bucket sequentially — a reproducible permutation with ONE
+    hash-partitioned shuffle and per-bucket (not global) sorts. Size
+    n_buckets so a bucket fits an executor's sort budget (at 100 TB,
+    thousands of buckets; 16 is the small-SF default).
+    """
+    from pyspark.sql import Window
+
+    h = portable_hash_expr(id_col)
+    bucket = (h % n_buckets).cast("int")
+    w = Window.partitionBy("bucket").orderBy("h", id_col)
+    return (
+        df.select(F.col(id_col), h.alias("h"), bucket.alias("bucket"))
+        .withColumn("pos", F.row_number().over(w))
+        .select(id_col, "bucket", "pos")
+    )

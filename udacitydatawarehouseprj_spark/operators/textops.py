@@ -201,3 +201,100 @@ def trigram_lm_score(
         ).alias("mean_logp"),
         F.count("*").cast("long").alias("n_grams"),
     )
+
+
+# --- PII redaction -----------------------------------------------------
+#
+# Regex patterns restricted to syntax with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB): char classes, bounded repetition, no
+# backrefs/lookaround. Redaction order matters and is fixed:
+# email → IPv4 → phone (an email can contain digits/dots; redacting it
+# first keeps the IP/phone counts from double-counting inside it).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+PII_PHONE_RE = r"\d{3}-\d{3,4}-\d{4}"
+
+
+def pii_redact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Detect-and-mask PII (emails, IPv4 addresses, phone-shaped numbers).
+
+    The scrubbing stage every training-data pipeline runs before text
+    lands in a corpus. Pure codegen'd Column expressions — a per-row map
+    with zero shuffles, so at 100 TB it runs at scan speed fused into
+    whatever else the pass does (no extra stage, no Python).
+
+    Counts are taken BEFORE masking; masks applied in the fixed
+    email → ip → phone order.
+    """
+    t = F.col(text_col)
+    n_emails = F.regexp_count(t, F.lit(PII_EMAIL_RE))
+    n_ips = F.regexp_count(
+        F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"), F.lit(PII_IPV4_RE)
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+            PII_IPV4_RE,
+            "<IP>",
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    n_phones = F.regexp_count(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"), PII_IPV4_RE, "<IP>"
+        ),
+        F.lit(PII_PHONE_RE),
+    )
+    return df.select(
+        F.col(id_col),
+        redacted.alias("redacted"),
+        n_emails.cast("int").alias("n_emails"),
+        n_ips.cast("int").alias("n_ips"),
+        n_phones.cast("int").alias("n_phones"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document token-2-gram repetition metrics (the Gopher/C4-family
+    repetition filters: a document whose mass concentrates in few
+    repeated n-grams is boilerplate/spam).
+
+    dup_2gram_frac  = 1 − distinct/total 2-grams
+    top_2gram_frac  = occurrences of the most frequent 2-gram / total
+
+    Shape: explode the (non-distinct) 2-gram stream, then ONE two-level
+    aggregation — (doc, gram) counts combine map-side before the single
+    doc_id shuffle, so the shuffled volume is per-doc-distinct grams, not
+    the raw token stream. No self-joins, no windows.
+    """
+    from udacitydatawarehouseprj_spark.session import spread
+
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    grams = F.when(
+        F.size("_toks") >= 2,
+        F.expr(
+            "transform(sequence(1, size(_toks) - 1),"
+            " i -> array_join(slice(_toks, i, 2), ' '))"
+        ),
+    ).otherwise(F.array())
+    per_gram = (
+        spread(df, (id_col,))
+        .select(F.col(id_col), toks.alias("_toks"))
+        .select(F.col(id_col), F.explode(grams).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("c"))
+    )
+    total = F.sum("c").cast("double")
+    return per_gram.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_2grams"),
+        F.count("*").cast("long").alias("n_distinct_2grams"),
+        (F.lit(1.0) - F.count("*").cast("double") / total).alias(
+            "dup_2gram_frac"
+        ),
+        (F.max("c").cast("double") / total).alias("top_2gram_frac"),
+    )

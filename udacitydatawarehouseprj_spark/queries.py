@@ -3486,3 +3486,146 @@ def heavy_hitters_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(missing.agg(F.count("*").alias("n_missing")))
         .select("n_heavy", (F.col("n_missing") == 0).alias("all_covered"))
     )
+
+
+# =====================================================================
+# Training-data layout + scrubbing (round 2): PII redaction, repetition
+# quality filters, deterministic splits, bucketed training shuffle.
+# =====================================================================
+
+#: deterministically inject PII into the synthetic corpus so the
+#: redaction path has real matches to find (identical expression on both
+#: engines; the corpus itself contains none).
+_PII_AUG_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com"
+    " from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.'"
+    " || CAST(doc_id % 250 AS VARCHAR) || ' call 555-867-'"
+    " || CAST(1000 + doc_id % 9000 AS VARCHAR)"
+)
+
+
+@_register(
+    "text_pii_redact",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+               '\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}', '<IP>', 'g'),
+               '\\d{{3}}-\\d{{3,4}}-\\d{{4}}', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+               '\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}')) AS INTEGER) AS n_ips,
+           CAST(len(regexp_extract_all(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+               '\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}', '<IP>', 'g'),
+               '\\d{{3}}-\\d{{3,4}}-\\d{{4}}')) AS INTEGER) AS n_phones
+    FROM aug
+    """,
+    doc="PII scrub stage (operators/textops.py pii_redact): mask emails,"
+        " IPv4s, phone-shaped numbers and count matches, patterns"
+        " restricted to the Java-regex ∩ RE2 common subset. The corpus"
+        " is augmented with deterministic synthetic PII (same expression"
+        " both engines) so every row exercises all three patterns."
+        " Per-row codegen'd map — zero shuffles, runs at scan speed.",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.expr(
+            "text || ' contact user' || CAST(doc_id AS STRING) ||"
+            " '@example.com from 10.' || CAST(doc_id % 200 AS STRING) ||"
+            " '.0.' || CAST(doc_id % 250 AS STRING) || ' call 555-867-' ||"
+            " CAST(1000 + doc_id % 9000 AS STRING)"
+        ).alias("text"),
+    )
+    return textops.pii_redact(aug)
+
+
+@_register(
+    "text_repetition_gopher",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i+1])) AS gram
+        FROM t
+    ),
+    pg AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_2grams,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_2grams,
+           1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+               AS dup_2gram_frac,
+           CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+               AS top_2gram_frac
+    FROM pg
+    GROUP BY doc_id
+    """,
+    doc="Gopher/C4-family repetition filter (operators/textops.py"
+        " repetition_stats): per-doc duplicate-2-gram fraction and"
+        " top-2-gram mass. Explode → (doc, gram) partial-agg → doc agg:"
+        " the map-side combine means the one shuffle carries per-doc"
+        " DISTINCT gram counts, not the raw token stream.",
+)
+def text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "train_val_test_split",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id,
+               ((doc_id % 2147483647) * 2654435761 + 40503) % 2147483647
+                   AS hh
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(hh % 100 AS INTEGER) AS split_pct,
+           CASE WHEN hh % 100 < 80 THEN 'train'
+                WHEN hh % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+    doc="Deterministic hash train/val/test split (operators/layout.py"
+        " split_assign): portable int64 multiplicative hash — the split"
+        " is a pure function of doc_id, so appended data never moves"
+        " existing docs between splits (no eval leakage on a growing"
+        " corpus). Per-row map, zero shuffles, engine-independent.",
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return layout.split_assign(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "training_shuffle_buckets",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id,
+               ((doc_id % 2147483647) * 2654435761 + 40503) % 2147483647
+                   AS hh
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(hh % 16 AS INTEGER) AS bucket,
+           CAST(ROW_NUMBER() OVER (PARTITION BY hh % 16
+                                   ORDER BY hh, doc_id) AS INTEGER) AS pos
+    FROM h
+    """,
+    doc="Bucketed deterministic training shuffle (operators/layout.py"
+        " shuffle_buckets): reproducible global permutation as"
+        " hash-bucket + rank-within-bucket — one hash-partitioned"
+        " shuffle with per-bucket sorts, never a global total order."
+        " At 100 TB, n_buckets scales so each bucket fits an executor's"
+        " sort budget; readers stream buckets independently.",
+)
+def training_shuffle_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return layout.shuffle_buckets(_t(spark, sf_dir, "documents"))
