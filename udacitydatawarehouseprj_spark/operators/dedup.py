@@ -464,14 +464,22 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``.
 
     Bucket on 4 × 16-bit bands (pigeonhole: any pair within distance 3
     agrees on ≥1 band), join within buckets, verify exact Hamming distance
     via bit_count(xor). Linear-ish; the band join is the only shuffle.
+
+    ``signatures`` lets callers that also consume the signature relation
+    (e.g. the band-completeness invariant) compute it once and share it.
     """
-    sig = simhash_signatures(df, id_col, text_col)
+    sig = (
+        signatures
+        if signatures is not None
+        else simhash_signatures(df, id_col, text_col)
+    )
     bands = sig.select(
         F.col(id_col),
         F.col("simhash"),

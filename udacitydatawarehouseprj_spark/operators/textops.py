@@ -177,29 +177,41 @@ def trigram_lm_score(
         f"transform(sequence(1, greatest(length({text_col}) - 2, 0)),"
         f" i -> substring({text_col}, i, 3))"
     )
-    grams = spread(df, (id_col,)).select(
-        F.col(id_col), F.explode(tri).alias("gram")
+    # One explode pass reduced immediately to per-(doc, gram) counts:
+    # map-side combine collapses the raw gram stream (|docs|·|chars| rows)
+    # to distinct pairs before anything shuffles. The model and the
+    # scoring both derive from this small relation (cached — it is read
+    # twice), and the scoring join carries a count-weighted row per
+    # DISTINCT doc-gram instead of one row per occurrence.
+    doc_gram = (
+        spread(df, (id_col,))
+        .select(F.col(id_col), F.explode(tri).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("c"))
+        .cache()
     )
-    model = grams.groupBy("gram").agg(F.count("*").alias("cnt"))
+    model = doc_gram.groupBy("gram").agg(F.sum("c").alias("cnt"))
     total = model.agg(F.sum("cnt").alias("total"))
+    # logp·c in exact decimal ≡ summing c per-occurrence copies, so the
+    # result is bit-identical to the unweighted per-occurrence sum.
+    logp = F.round(
+        F.log(F.col("cnt").cast("double") / F.col("total").cast("double")), 6
+    ).cast("decimal(18,6)")
     scored = (
-        grams.join(F.broadcast(model), "gram")
+        doc_gram.join(F.broadcast(model), "gram")
         .join(F.broadcast(total))
         .select(
             F.col(id_col),
-            F.round(
-                F.log(F.col("cnt").cast("double") / F.col("total").cast("double")), 6
-            )
-            .cast("decimal(18,6)")
-            .alias("logp"),
+            F.col("c"),
+            (logp * F.col("c").cast("decimal(12,0)")).alias("logp_c"),
         )
     )
     return scored.groupBy(id_col).agg(
         (
-            F.round(F.sum("logp"), 4).cast("decimal(18,4)").cast("double")
-            / F.count("*")
+            F.round(F.sum("logp_c"), 4).cast("decimal(18,4)").cast("double")
+            / F.sum("c")
         ).alias("mean_logp"),
-        F.count("*").cast("long").alias("n_grams"),
+        F.sum("c").cast("long").alias("n_grams"),
     )
 
 

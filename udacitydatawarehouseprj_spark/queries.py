@@ -1852,8 +1852,12 @@ def approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def simhash_band_complete_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    banded = dedup.simhash_pairs(docs, max_hamming=3).select("doc_a", "doc_b")
-    sig = dedup.simhash_signatures(docs)
+    # signatures feed BOTH the banded path and the exhaustive all-pairs
+    # side — compute the per-doc tokenize+hash+bit-agg once and share it
+    sig = dedup.simhash_signatures(docs).cache()
+    banded = dedup.simhash_pairs(docs, max_hamming=3, signatures=sig).select(
+        "doc_a", "doc_b"
+    )
     a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
     b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
     exhaustive = (
