@@ -116,6 +116,11 @@ NEW_QUERIES = [
     "zorder_key_orders",
     "streaming_corpus_dedup_readback",
     "heavy_hitters_check",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_part_count",
+    "tpch_q20_promotion_candidates",
 ]
 
 

@@ -246,3 +246,43 @@ def test_zorder_key_is_scan_side(spark, sf_dir):
 def test_incremental_dedup_no_cartesian_no_corpus_rescan_explosion(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "incremental_dedup_new_docs")
     assert "CartesianProduct" not in plan
+
+
+def test_q2_min_cost_broadcasts_dims_topk_no_global_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q2_min_cost_supplier")
+    # supplier/nation/region/part never shuffle the part-supplier relation
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q9_only_big_joins_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q9_product_profit")
+    # part/supplier/nation broadcast; lineitem↔partsupp and
+    # lineitem↔orders are the only shuffle-joins
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    # the p_name LIKE filter prunes the part scan, not post-join
+    assert re.search(r"PushedFilters:.*StringContains\(p_name,bolt\)", plan) or \
+        re.search(r"Contains\(p_name, bolt\)", plan)
+
+
+def test_q11_total_broadcasts_back(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q11_important_stock")
+    # the 1-row grand total joins back as a broadcast, never a shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_exclusion_is_broadcast_anti(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q16_supplier_part_count")
+    assert re.search(r"BroadcastHashJoin.*LeftAnti", plan)
+    # part filters push to the part scan
+    assert re.search(r"PushedFilters:.*Not\(EqualTo\(p_brand,Brand#17\)\)", plan)
+
+
+def test_q20_semi_joins_and_exchange_reuse(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q20_promotion_candidates")
+    assert plan.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in plan

@@ -3633,3 +3633,598 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def training_shuffle_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return layout.shuffle_buckets(_t(spark, sf_dir, "documents"))
+
+
+# =====================================================================
+# TPC-H partsupp family (Q2/Q9/Q11/Q16/Q20). The testdata ships no
+# partsupp table, so a part-supplier relation is DERIVED from lineitem
+# (per (l_partkey, l_suppkey): min unit price as supplycost, exact
+# decimal quantity totals as availqty, max single-shipment quantity).
+# What each query keeps from the spec is its relational SHAPE —
+# correlated scalar MIN (Q2), profit expression over a 6-way join (Q9),
+# HAVING against a scalar fraction subquery (Q11), NOT-IN + COUNT
+# DISTINCT (Q16), correlated aggregate comparison (Q20) — which is the
+# part that stresses the optimizer. Completes the 22-query TPC-H sweep
+# (ref has no benchmark suite; sql_queries.py:1-150 is star-schema DDL).
+# =====================================================================
+
+_PARTSUPP_SQL = """
+    partsupp AS (
+        SELECT l_partkey AS ps_partkey,
+               l_suppkey AS ps_suppkey,
+               MIN(CAST(FLOOR(l_extendedprice * 1000000.0 / l_quantity)
+                        AS BIGINT)) AS ps_supplycost_micro,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
+                    AS DECIMAL(18,2)) AS ps_availqty,
+               CAST(MAX(CAST(l_quantity AS DECIMAL(12,2)))
+                    AS DECIMAL(12,2)) AS ps_max_qty
+        FROM lineitem
+        GROUP BY 1, 2
+    )
+"""
+
+#: exact 1e-6 rescale factor for micro-unit costs (decimal mult is exact;
+#: a double division here would reintroduce rounding drift)
+_MICRO_SQL = "CAST(0.000001 AS DECIMAL(7,6))"
+
+
+def _micro() -> F.Column:
+    return F.lit(0.000001).cast("decimal(7,6)")
+
+
+def _derived_partsupp(li: DataFrame) -> DataFrame:
+    """partsupp stand-in derived from lineitem (see section comment).
+
+    One shuffle on (l_partkey, l_suppkey) with full map-side combine.
+    Unit cost is kept in FIXED-POINT MICRO-UNITS (floor(price·1e6/qty)
+    as BIGINT): the raw double ratio has no finite decimal expansion,
+    and engines disagree on double→decimal rounding at the ulp level
+    (Spark rounds the shortest decimal string, DuckDB the exact binary
+    expansion — 22k/60k lineitems diverge at 6dp on the sf0.01 data),
+    while mul/div/floor on identical doubles is bit-identical IEEE 754
+    everywhere. Quantity totals are exact decimals for the same reason.
+    """
+    micro_cost = F.floor(
+        F.col("l_extendedprice") * F.lit(1000000.0) / F.col("l_quantity")
+    ).cast("long")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(micro_cost).alias("ps_supplycost_micro"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+        .cast("decimal(18,2)")
+        .alias("ps_availqty"),
+        F.max(F.col("l_quantity").cast("decimal(12,2)"))
+        .cast("decimal(12,2)")
+        .alias("ps_max_qty"),
+    )
+
+
+@_register(
+    "tpch_q2_min_cost_supplier",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    euro AS (
+        SELECT ps.ps_partkey, ps.ps_supplycost_micro,
+               s.s_acctbal, s.s_name, n.n_name
+        FROM partsupp ps
+        JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+    )
+    SELECT e.s_acctbal, e.s_name, e.n_name,
+           p.p_partkey, p.p_name, e.ps_supplycost_micro
+    FROM part p
+    JOIN euro e ON e.ps_partkey = p.p_partkey
+    WHERE p.p_size = 15 AND p.p_type LIKE '%O'
+      AND e.ps_supplycost_micro = (
+          SELECT MIN(e2.ps_supplycost_micro) FROM euro e2
+          WHERE e2.ps_partkey = p.p_partkey
+      )
+    ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 minimum-cost supplier: the correlated scalar-MIN"
+        " subquery decorrelated as a per-part MIN aggregate joined back"
+        " on (partkey, cost = min). supplier/nation/region prune the"
+        " part-supplier relation via broadcast joins BEFORE the min agg;"
+        " both the agg and the equality join partition on ps_partkey, so"
+        " AQE reuses one exchange. Deterministic top-100 via the full"
+        " (acctbal DESC, nation, supplier, part) tie-break chain —"
+        " plans as TakeOrderedAndProject, never a global sort.",
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    euro = (
+        _derived_partsupp(li)
+        .join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(reg.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            "ps_partkey", "ps_supplycost_micro",
+            "s_acctbal", "s_name", "n_name",
+        )
+    )
+    mins = euro.groupBy(F.col("ps_partkey").alias("_min_pk")).agg(
+        F.min("ps_supplycost_micro").alias("_min_cost")
+    )
+    wanted = part.filter(
+        (F.col("p_size") == 15) & F.col("p_type").like("%O")
+    ).select("p_partkey", "p_name")
+    return (
+        euro.join(
+            mins,
+            (F.col("ps_partkey") == F.col("_min_pk"))
+            & (F.col("ps_supplycost_micro") == F.col("_min_cost")),
+        )
+        .drop("_min_pk")
+        .join(F.broadcast(wanted), F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            "ps_supplycost_micro",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@_register(
+    "tpch_q9_product_profit",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL}
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           {_SQL_DSUM(
+               _REVENUE_TERM_SQL
+               + " - CAST(ps.ps_supplycost_micro AS DECIMAL(12,0))"
+               + " * CAST(l.l_quantity AS DECIMAL(12,2))"
+               + " * CAST(0.000001 AS DECIMAL(7,6))",
+               "DECIMAL(30,10)",
+           )} AS sum_profit
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN partsupp ps ON ps.ps_partkey = l.l_partkey
+                    AND ps.ps_suppkey = l.l_suppkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%bolt%'
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q9 product-type profit: nation × order-year profit where"
+        " profit = revenue − supplycost·qty over a 6-way join. The only"
+        " big↔big joins are lineitem↔partsupp (co-partitioned on"
+        " (partkey, suppkey) — partsupp is derived BY that key, so its"
+        " agg exchange is reused as the join exchange) and"
+        " lineitem↔orders on orderkey; part (pre-filtered by the LIKE),"
+        " supplier and nation broadcast. Exact-decimal profit sums keep"
+        " the cross-engine hash stable; year extraction stays in"
+        " codegen.",
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    ps = _derived_partsupp(li).select(
+        "ps_partkey", "ps_suppkey", "ps_supplycost_micro"
+    )
+    bolts = part.filter(F.col("p_name").like("%bolt%")).select("p_partkey")
+    profit = _revenue_term() - (
+        F.col("ps_supplycost_micro").cast("decimal(12,0)")
+        * F.col("l_quantity").cast("decimal(12,2)")
+        * _micro()
+    )
+    return (
+        li.join(F.broadcast(bolts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            ps,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(_narrow(F.sum(profit.cast("decimal(30,10)"))).alias("sum_profit"))
+    )
+
+
+@_register(
+    "tpch_q11_important_stock",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    natps AS (
+        SELECT ps.ps_partkey,
+               CAST(ps.ps_supplycost_micro AS DECIMAL(12,0))
+                   * CAST(ps.ps_availqty AS DECIMAL(14,2))
+                   * CAST(0.000001 AS DECIMAL(7,6)) AS v
+        FROM partsupp ps
+        JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_3'
+    )
+    SELECT ps_partkey,
+           CAST(CAST(ROUND(SUM(v), 4) AS DECIMAL(18,4)) AS DOUBLE)
+               AS part_value
+    FROM natps
+    GROUP BY 1
+    HAVING CAST(CAST(ROUND(SUM(v), 4) AS DECIMAL(18,4)) AS DOUBLE)
+         > (SELECT CAST(CAST(ROUND(SUM(v), 4) AS DECIMAL(18,4)) AS DOUBLE)
+                   * 0.001
+            FROM natps)
+    """,
+    doc="TPC-H Q11 important stock: per-part inventory value in one"
+        " nation, kept only when the part's share exceeds a fixed"
+        " fraction of the nation total — the HAVING-against-scalar-"
+        "subquery shape. The nation-filtered relation is computed once"
+        " and aggregated twice (per-part and grand total); the 1-row"
+        " total broadcasts back as a join, so no second scan and no"
+        " driver round-trip. All value arithmetic in exact decimals —"
+        " the share comparison is bit-stable cross-engine, which a"
+        " double Σ would not be.",
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    n3 = nat.filter(F.col("n_name") == "NATION_3").select("n_nationkey")
+    natps = (
+        _derived_partsupp(li)
+        .join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n3), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "ps_partkey",
+            (
+                F.col("ps_supplycost_micro").cast("decimal(12,0)")
+                * F.col("ps_availqty").cast("decimal(14,2)")
+                * _micro()
+            ).alias("v"),
+        )
+    )
+    per_part = natps.groupBy("ps_partkey").agg(
+        _narrow(F.sum("v")).alias("part_value")
+    )
+    total = natps.agg((_narrow(F.sum("v")) * F.lit(0.001)).alias("_thr"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("_thr"))
+        .select("ps_partkey", "part_value")
+    )
+
+
+@_register(
+    "tpch_q16_supplier_part_count",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL}
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#17'
+      AND p.p_type NOT LIKE 'SMALL%'
+      AND p.p_size IN (1, 5, 11, 15, 21, 28, 37, 42)
+      AND ps.ps_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q16 parts/supplier relationship: COUNT(DISTINCT suppkey)"
+        " per (brand, type, size) with a NOT-IN exclusion (spec excludes"
+        " complaint suppliers; testdata has no s_comment, so negative"
+        " acctbal stands in). NOT IN → broadcast left-anti join (the"
+        " exclusion list is tiny); part filters broadcast-prune before"
+        " the distinct agg. The distinct lands as a two-phase"
+        " partial-distinct then count — the shuffle carries distinct"
+        " (brand,type,size,suppkey) tuples, not raw pairs.",
+)
+def tpch_q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    bad = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    wanted = part.filter(
+        (F.col("p_brand") != "Brand#17")
+        & ~F.col("p_type").like("SMALL%")
+        & F.col("p_size").isin(1, 5, 11, 15, 21, 28, 37, 42)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        _derived_partsupp(li)
+        .select("ps_partkey", "ps_suppkey")
+        .join(
+            F.broadcast(bad),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(wanted), F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@_register(
+    "tpch_q20_promotion_candidates",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    shipped AS (
+        SELECT l_partkey, l_suppkey,
+               SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty_1997
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY 1, 2
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_2'
+      AND s.s_suppkey IN (
+          SELECT ps.ps_suppkey
+          FROM partsupp ps
+          JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
+                         AND sh.l_suppkey = ps.ps_suppkey
+          WHERE ps.ps_partkey IN (
+                    SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+                )
+            AND ps.ps_max_qty > CAST(0.5 AS DECIMAL(2,1)) * sh.qty_1997
+      )
+    """,
+    doc="TPC-H Q20 promotion candidates: the nested correlated-aggregate"
+        " shape — suppliers holding a part whose biggest single shipment"
+        " exceeds half that part-supplier's 1997 volume (spec compares"
+        " availqty to half the year's shipments; the derived relation"
+        " uses max-single-shipment so the predicate stays selective)."
+        " Both sides of the correlation aggregate lineitem on"
+        " (partkey, suppkey) — same key, one exchange reused under AQE;"
+        " the part-name IN prunes via broadcast semi-join; the final"
+        " supplier IN is a left-semi against the tiny candidate set."
+        " Exact-decimal comparison keeps the predicate bit-stable.",
+)
+def tpch_q20_promotion_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    d0 = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    d1 = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    smalls = part.filter(F.col("p_name").like("small%")).select("p_partkey")
+    shipped = (
+        li.filter((F.col("l_shipdate") >= d0) & (F.col("l_shipdate") < d1))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty_1997"))
+    )
+    candidates = (
+        _derived_partsupp(li)
+        .select("ps_partkey", "ps_suppkey", "ps_max_qty")
+        .join(
+            F.broadcast(smalls),
+            F.col("ps_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .filter(
+            F.col("ps_max_qty")
+            > F.lit(0.5).cast("decimal(2,1)") * F.col("qty_1997")
+        )
+        .select("ps_suppkey")
+    )
+    n2 = nat.filter(F.col("n_name") == "NATION_2").select("n_nationkey")
+    return (
+        supp.join(F.broadcast(n2), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            candidates,
+            F.col("s_suppkey") == F.col("ps_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+    )
+
+
+# =====================================================================
+# Relational breadth wave 2: window-function suite, unpivot/melt,
+# full-outer join, argmax/argmin + conditional-boolean aggregates.
+# Extends SURVEY §2's P/J/A families the same way Q1/Q2 extended CTEs.
+# =====================================================================
+
+@_register(
+    "window_functions_suite",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           LAG(value)  OVER w AS prev_value,
+           LEAD(value) OVER w AS next_value,
+           FIRST_VALUE(event_type) OVER w AS first_type,
+           LAST_VALUE(event_type)  OVER w AS running_last_type,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+           PERCENT_RANK() OVER w AS pr,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="Window-function breadth: lag/lead/first/last/ntile/"
+        "percent_rank/row_number over one (user, time) window. All nine"
+        " functions share a single window spec, so the plan is ONE"
+        " hash-partition shuffle on user_id + one per-partition sort —"
+        " adding window functions over the same spec is free at scale;"
+        " a second spec would double the shuffles. The (ts, event_id)"
+        " order key is unique per user, which makes last_value's"
+        " running frame and ntile assignment deterministic cross-engine.",
+)
+def window_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("running_last_type"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.row_number().over(w).cast("long").alias("rn"),
+    )
+
+
+@_register(
+    "unpivot_lineitem_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, val FROM (
+        SELECT l_orderkey, l_linenumber,
+               'quantity' AS measure, l_quantity AS val
+        FROM lineitem WHERE l_orderkey < 1000
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+        FROM lineitem WHERE l_orderkey < 1000
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount', l_discount
+        FROM lineitem WHERE l_orderkey < 1000
+    )
+    """,
+    doc="Unpivot/melt (wide→long): three lineitem measures to"
+        " (key, measure, val) rows via the native DataFrame.unpivot —"
+        " a single-pass Expand node that emits 3 rows per input row"
+        " inside one codegen stage, NOT a 3-way self-union (which would"
+        " scan the table three times; the SQL oracle spells the union"
+        " because portable SQL lacks UNPIVOT). Shuffle-free; the"
+        " orderkey filter pushes to the one scan.",
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") < 1000)
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+                "l_extendedprice", "l_discount")
+        .withColumnsRenamed(
+            {"l_quantity": "quantity", "l_extendedprice": "extendedprice",
+             "l_discount": "discount"}
+        )
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["quantity", "extendedprice", "discount"],
+            "measure",
+            "val",
+        )
+    )
+
+
+@_register(
+    "join_full_outer",
+    oracle="""
+    WITH negcust AS (
+        SELECT c_custkey, c_name FROM customer WHERE c_acctbal < 0
+    ),
+    o97 AS (
+        SELECT o_custkey, COUNT(*) AS n_orders_1997
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY 1
+    )
+    SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+           c.c_name,
+           CAST(o.n_orders_1997 AS BIGINT) AS n_orders_1997
+    FROM negcust c
+    FULL OUTER JOIN o97 o ON c.c_custkey = o.o_custkey
+    """,
+    doc="FULL OUTER equi-join with unmatched rows on BOTH sides"
+        " (negative-balance customers ⟗ 1997 order counts): exercises"
+        " null-padding in each direction plus COALESCE key merge."
+        " Full-outer cannot broadcast (an unmatched-row pass needs the"
+        " whole side), so the right plan is the sort-merge join on the"
+        " key both inputs already shuffle on — the orders side arrives"
+        " pre-partitioned by its groupBy exchange and AQE reuses it.",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    d0 = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    d1 = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    neg = cust.filter(F.col("c_acctbal") < 0).select("c_custkey", "c_name")
+    o97 = (
+        orders.filter((F.col("o_orderdate") >= d0) & (F.col("o_orderdate") < d1))
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders_1997"))
+    )
+    return (
+        neg.join(o97, neg["c_custkey"] == o97["o_custkey"], "full_outer")
+        .select(
+            F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+            "c_name",
+            F.col("n_orders_1997").cast("long"),
+        )
+    )
+
+
+@_register(
+    "agg_argmax_suite",
+    oracle="""
+    WITH e AS (SELECT * FROM events WHERE value IS NOT NULL),
+    ranked AS (
+        SELECT event_type, user_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value DESC, user_id DESC)
+                   AS r_max,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value ASC, user_id ASC)
+                   AS r_min
+        FROM e
+    ),
+    base AS (
+        SELECT event_type,
+               CAST(COUNT(*) FILTER (WHERE value > 100) AS BIGINT)
+                   AS n_over_100,
+               BOOL_OR(value > 1000) AS any_over_1000,
+               BOOL_AND(value >= 0) AS all_nonneg
+        FROM e
+        GROUP BY 1
+    )
+    SELECT b.event_type,
+           mx.user_id AS top_value_user,
+           mn.user_id AS bottom_value_user,
+           b.n_over_100, b.any_over_1000, b.all_nonneg
+    FROM base b
+    JOIN (SELECT event_type, user_id FROM ranked WHERE r_max = 1) mx
+      USING (event_type)
+    JOIN (SELECT event_type, user_id FROM ranked WHERE r_min = 1) mn
+      USING (event_type)
+    """,
+    doc="Argmax/argmin + conditional-boolean aggregate family: max_by/"
+        "min_by with a (value, user_id) struct ordering key — the"
+        " tie-break makes the argmax deterministic cross-engine, which"
+        " bare max_by(user, value) is not — plus count_if, bool_or,"
+        " bool_and. All six are hash-aggregates with full map-side"
+        " combine: the shuffle carries one partial struct per"
+        " (partition, event_type), never raw events.",
+)
+def agg_argmax_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    order_key = F.struct(F.col("value"), F.col("user_id"))
+    return ev.groupBy("event_type").agg(
+        F.max_by("user_id", order_key).alias("top_value_user"),
+        F.min_by("user_id", order_key).alias("bottom_value_user"),
+        F.count_if(F.col("value") > 100).cast("long").alias("n_over_100"),
+        F.bool_or(F.col("value") > 1000).alias("any_over_1000"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+    )
