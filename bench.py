@@ -121,6 +121,15 @@ NEW_QUERIES = [
     "tpch_q11_important_stock",
     "tpch_q16_supplier_part_count",
     "tpch_q20_promotion_candidates",
+    "window_functions_suite",
+    "unpivot_lineitem_measures",
+    "join_full_outer",
+    "agg_argmax_suite",
+    "chunk_documents_windows",
+    "vocab_build_topk",
+    "embedding_quantize_int8",
+    "weighted_sample_chars",
+    "knn_label_vote",
 ]
 
 

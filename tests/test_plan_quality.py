@@ -286,3 +286,34 @@ def test_q20_semi_joins_and_exchange_reuse(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "tpch_q20_promotion_candidates")
     assert plan.count("LeftSemi") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "chunk_documents_windows")
+    assert count_exchanges(plan) == 0
+    assert "Generate" in plan and "explode(sequence" in plan
+
+
+def test_weighted_sample_is_takeordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "weighted_sample_chars")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_quantize_is_pure_projection(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "embedding_quantize_int8")
+    assert count_exchanges(plan) == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_window_suite_single_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "window_functions_suite")
+    # nine window functions, one spec → exactly one hash exchange + sort
+    assert count_exchanges(plan) == 1
+
+
+def test_unpivot_is_single_scan_expand(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "unpivot_lineitem_measures")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Expand" in plan
+    assert "Union" not in plan

@@ -139,3 +139,36 @@ def shuffle_buckets(
         .withColumn("pos", F.row_number().over(w))
         .select(id_col, "bucket", "pos")
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    k: int = 100,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-Res).
+
+    Efraimidis–Spirakis: draw u ∈ (0,1] per row, keep the k largest
+    priorities u^(1/w) — equivalently the k largest ln(u)/w, which
+    avoids the pow. u comes from the portable integer hash of the id,
+    not a RNG, so the sample is reproducible across runs, engines, and
+    partitionings — the property that matters when a 100 TB corpus is
+    resampled incrementally. Plans as TakeOrderedAndProject over a
+    per-row map: no global sort, no shuffle beyond the final top-k
+    merge. The priority itself is not part of the output contract
+    (libm ``ln`` is not guaranteed correctly rounded, so its low bits
+    are implementation-defined; the SELECTION is stable because
+    priorities of distinct hashes differ by ≫ 1 ulp).
+    """
+    u = (portable_hash_expr(id_col).cast("double") + F.lit(1.0)) / F.lit(
+        float(SPLIT_HASH_MOD)
+    )
+    priority = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .select(F.col(id_col), F.col(weight_col), priority.alias("_p"))
+        .orderBy(F.col("_p").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, weight_col)
+    )

@@ -792,3 +792,67 @@ def ivf_topk_kmeans(
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+def normalize_quantize(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 127,
+) -> DataFrame:
+    """L2-normalize then int8-quantize an embedding column.
+
+    The standard storage compression before ANN indexing (4× smaller
+    than float32, 8× smaller than the double intermediates). Pure
+    Column-expression transform — per-row map, zero shuffles, stays in
+    whole-stage codegen. Quantization is ``floor(x/‖v‖ · scale)``:
+    floor (not round) because IEEE mul/div/floor are correctly rounded
+    and therefore bit-identical across engines, while round-half rules
+    on arbitrary doubles are not. Norm is the index-order left fold
+    (module docstring) for the same reason.
+    """
+    v = as_double(vec_col)
+    nrm = norm(v)
+    quant = F.transform(v, lambda x: F.floor(x / nrm * scale).cast("int"))
+    return df.select(
+        F.col(id_col),
+        nrm.alias("l2_norm"),
+        quant.alias("q_vec"),
+    )
+
+
+def knn_label_vote(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-nearest-neighbor majority-vote classification.
+
+    Composes the exact cosine top-k (corpus-parallel, queries broadcast,
+    per-partition candidate pruning — see ``cosine_topk``) with a vote:
+    count labels among the k neighbors, pick the winner by
+    (votes DESC, label ASC) via ``max_by`` over a struct ordering key —
+    the tie-break makes the prediction deterministic. The vote is a
+    ≤ |Q|·k-row aggregation: negligible next to the scoring pass.
+    """
+    neighbors = cosine_topk(corpus, queries, k, id_col, vec_col)
+    labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col)
+    )
+    votes = (
+        neighbors.join(F.broadcast(labels), "neighbor_id")
+        .groupBy("query_id", label_col)
+        .agg(F.count("*").alias("n_votes"))
+    )
+    return votes.groupBy("query_id").agg(
+        F.max_by(
+            label_col,
+            F.struct(F.col("n_votes"), (-F.col(label_col)).alias("_neg")),
+        ).alias("predicted_label"),
+        F.max(
+            F.struct(F.col("n_votes"), (-F.col(label_col)).alias("_neg"))
+        )["n_votes"].alias("winning_votes"),
+    )

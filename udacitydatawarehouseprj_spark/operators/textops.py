@@ -310,3 +310,86 @@ def repetition_stats(
         ),
         (F.max("c").cast("double") / total).alias("top_2gram_frac"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 200,
+    overlap: int = 50,
+) -> DataFrame:
+    """Split documents into fixed-size character chunks with overlap —
+    the context-window preparation step of a training pipeline.
+
+    Chunks start every ``stride = size - overlap`` characters; the tail
+    chunk may be shorter. Pure generate-and-project: sequence → explode
+    → substring, all codegen'd Column expressions — zero shuffles, and
+    the explode multiplies rows ~len/stride× WITHOUT materializing the
+    text per chunk until the final substring projection. Chunk index is
+    derived arithmetically from the start offset ((start−1)/stride), so
+    the output is a pure function of (doc, offsets) — stable under any
+    partitioning.
+    """
+    if overlap >= size:
+        raise ValueError("overlap must be < size")
+    stride = size - overlap
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length(F.col(text_col)), F.lit(1)),
+        F.lit(stride),
+    )
+    chunk = F.col(text_col).substr(F.col("_start"), F.lit(size))
+    return (
+        df.select(F.col(id_col), F.col(text_col),
+                  F.explode(starts).alias("_start"))
+        .select(
+            F.col(id_col),
+            ((F.col("_start") - 1) / stride).cast("int").alias("chunk_idx"),
+            chunk.alias("chunk_text"),
+            F.length(chunk).cast("int").alias("n_chunk_chars"),
+        )
+    )
+
+
+def vocab_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 1000,
+    min_count: int = 1,
+) -> DataFrame:
+    """Frequency-ranked vocabulary with dense ids (token → id mapping).
+
+    Explode → per-token partial counts (map-side combine collapses the
+    token stream before the one shuffle) → deterministic rank by
+    (count DESC, token ASC) → top_n. The final rank is a single-
+    partition window — correct here because it runs over the POST-AGG
+    distinct-token relation, already cut by ``min_count``; at 100 TB
+    raise min_count (head tokens dominate training vocabularies anyway)
+    so the ranked relation stays millions, not billions. Ids are dense
+    0..top_n−1 in rank order, as tokenizers expect.
+    """
+    from udacitydatawarehouseprj_spark.session import spread
+
+    toks = _toks(text_col)
+    counts = (
+        spread(df.select(F.col(text_col)), ())
+        .select(F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+    from pyspark.sql.window import Window as W
+
+    rank = F.row_number().over(
+        W.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+    )
+    return (
+        counts.select("token", "n_occurrences", rank.alias("_r"))
+        .filter(F.col("_r") <= top_n)
+        .select(
+            (F.col("_r") - 1).cast("int").alias("token_id"),
+            "token",
+            "n_occurrences",
+        )
+    )

@@ -4228,3 +4228,210 @@ def agg_argmax_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("value") > 1000).alias("any_over_1000"),
         F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
     )
+
+
+# =====================================================================
+# Training-data pipeline wave 2: context-window chunking, vocabulary
+# build, embedding quantization, weighted sampling, kNN classification.
+# =====================================================================
+
+@_register(
+    "chunk_documents_windows",
+    oracle="""
+    SELECT doc_id,
+           CAST((start - 1) / 150 AS INTEGER) AS chunk_idx,
+           substring(text, CAST(start AS INTEGER), 200) AS chunk_text,
+           CAST(length(substring(text, CAST(start AS INTEGER), 200))
+                AS INTEGER) AS n_chunk_chars
+    FROM (
+        SELECT doc_id, text,
+               unnest(range(1, greatest(length(text), 1) + 1, 150))
+                   AS start
+        FROM documents
+    )
+    """,
+    doc="Context-window chunking (operators/textops.py chunk_documents):"
+        " 200-char chunks, 50-char overlap → chunks start every 150."
+        " sequence→explode→substring, all codegen'd — zero shuffles;"
+        " the row multiplication happens AFTER the scan so a 100 TB"
+        " corpus chunks partition-parallel with no data movement."
+        " Chunk ids derive arithmetically from offsets (exact integer"
+        " quotients — no engine-dependent rounding).",
+)
+def chunk_documents_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.chunk_documents(
+        _t(spark, sf_dir, "documents"), size=200, overlap=50
+    )
+
+
+@_register(
+    "vocab_build_topk",
+    oracle=r"""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+        FROM documents
+    ),
+    counts AS (
+        SELECT token, COUNT(*) AS n_occurrences
+        FROM toks WHERE token <> ''
+        GROUP BY 1 HAVING COUNT(*) >= 2
+    ),
+    ranked AS (
+        SELECT token, n_occurrences,
+               ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token) AS r
+        FROM counts
+    )
+    SELECT CAST(r - 1 AS INTEGER) AS token_id, token, n_occurrences
+    FROM ranked WHERE r <= 500
+    """,
+    doc="Vocabulary build (operators/textops.py vocab_topk): token"
+        " frequencies → deterministic (count DESC, token ASC) rank →"
+        " dense ids 0..N−1, the token→id mapping a tokenizer trains on."
+        " Map-side combine collapses the exploded token stream before"
+        " the single count shuffle; the rank window runs over the"
+        " post-agg distinct-token relation only (min_count cuts the"
+        " tail before ranking — the knob that keeps this small at"
+        " 100 TB).",
+)
+def vocab_build_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.vocab_topk(
+        _t(spark, sf_dir, "documents"), top_n=500, min_count=2
+    )
+
+
+@_register(
+    "embedding_quantize_int8",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, emb,
+               sqrt({_DOT_SQL.format(a='emb', b='emb')}) AS l2_norm
+        FROM e
+    ),
+    q AS (
+        SELECT vec_id, l2_norm,
+               list_transform(
+                   emb, x -> CAST(floor(x / l2_norm * 127) AS INTEGER)
+               ) AS qv
+        FROM n
+    )
+    SELECT vec_id, l2_norm,
+           CAST(list_reduce(qv, (a, b) -> a + b) AS BIGINT) AS q_sum,
+           CAST(list_min(qv) AS INTEGER) AS q_min,
+           CAST(list_max(qv) AS INTEGER) AS q_max
+    FROM q
+    """,
+    doc="Embedding L2-normalize + int8 quantization (operators/"
+        "similarity.py normalize_quantize): the 4× storage compression"
+        " applied before ANN indexing. Pure per-row Column transform in"
+        " whole-stage codegen — zero shuffles. floor-quantization and"
+        " fold-ordered norms keep every value bit-identical cross-"
+        "engine (mul/div/sqrt/floor are correctly-rounded IEEE ops;"
+        " round-half rules are not portable). The oracle checks the"
+        " quantized vector via its (sum, min, max) reduction — array"
+        " value formatting differs across engines, the contents don't.",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = similarity.normalize_quantize(emb)
+    return q.select(
+        "vec_id",
+        "l2_norm",
+        F.aggregate(
+            "q_vec", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("q_sum"),
+        F.array_min("q_vec").alias("q_min"),
+        F.array_max("q_vec").alias("q_max"),
+    )
+
+
+@_register(
+    "weighted_sample_chars",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, n_chars,
+               ((doc_id % 2147483647) * 2654435761 + 40503) % 2147483647
+                   AS hh
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars
+    FROM h
+    ORDER BY ln((hh + 1.0) / 2147483647.0) / n_chars DESC, doc_id
+    LIMIT 100
+    """,
+    doc="Weighted sampling without replacement (operators/layout.py"
+        " weighted_sample_topk): Efraimidis–Spirakis A-Res with the"
+        " portable id hash as the uniform draw — reproducible across"
+        " runs/engines/partitionings, which a RNG sample is not. Keeps"
+        " the 100 largest ln(u)/weight priorities (weight = n_chars):"
+        " plans as TakeOrderedAndProject over a per-row map — no global"
+        " sort, no shuffle except the top-k merge. Priorities are"
+        " selection keys only, never output (libm ln low bits are"
+        " implementation-defined).",
+)
+def weighted_sample_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return layout.weighted_sample_topk(
+        _t(spark, sf_dir, "documents"), k=100
+    )
+
+
+@_register(
+    "knn_label_vote",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, label, emb,
+               sqrt({_DOT_SQL.format(a='emb', b='emb')}) AS nrm
+        FROM e
+    ),
+    pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+               {_DOT_SQL.format(a='c.emb', b='q.emb')} / (c.nrm * q.nrm)
+                   AS cosine
+        FROM n c JOIN n q ON c.vec_id >= 50 AND q.vec_id < 50
+    ),
+    topk AS (
+        SELECT query_id, label FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS rnk
+            FROM pairs
+        ) WHERE rnk <= 5
+    ),
+    votes AS (
+        SELECT query_id, label, COUNT(*) AS n_votes
+        FROM topk GROUP BY 1, 2
+    )
+    SELECT query_id,
+           CAST(label AS INTEGER) AS predicted_label,
+           CAST(n_votes AS BIGINT) AS winning_votes
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY n_votes DESC, label ASC) AS r
+        FROM votes
+    ) WHERE r = 1
+    """,
+    doc="kNN majority-vote classification (operators/similarity.py"
+        " knn_label_vote): exact cosine top-5 neighbors from the"
+        " labeled corpus (vec_id ≥ 50) for each query (vec_id < 50),"
+        " then a deterministic (votes DESC, label ASC) vote via max_by"
+        " over a struct key. Scoring reuses cosine_topk's shape —"
+        " queries broadcast, corpus partition-parallel, per-partition"
+        " candidate pruning; the vote aggregates ≤ |Q|·k rows.",
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.knn_label_vote(
+        corpus=emb.filter(F.col("vec_id") >= 50),
+        queries=emb.filter(F.col("vec_id") < 50),
+        k=5,
+    )
