@@ -66,6 +66,15 @@ SMOKE = [
     "text_tfidf",
     "time_rollup_multigrain",
     "decontaminate_overlap",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q16_supplier_part_count",
+    "window_functions_suite",
+    "chunk_documents_windows",
+    "vocab_build_topk",
+    "embedding_quantize_int8",
+    "weighted_sample_chars",
+    "knn_label_vote",
 ]
 
 

@@ -393,3 +393,110 @@ def vocab_topk(
             "n_occurrences",
         )
     )
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    max_token_chars: int = 12,
+) -> "DataFrame":
+    """Learn byte-pair-encoding merges from a corpus — the tokenizer-
+    training loop, Spark-shaped.
+
+    Each word is a space-separated symbol sequence (padded with
+    sentinel spaces); one merge round = (1) count adjacent symbol
+    pairs corpus-wide — explode + map-side-combined groupBy, ONE
+    shuffle of (pair, count) partials, (2) pick the winner by
+    (count DESC, pair ASC) — a 1-row driver collect, the same
+    tiny-state driver loop as iterative k-means (centroids there, one
+    winning pair here), (3) rewrite sequences with a single
+    ``replace`` — non-overlapping left-to-right, exactly greedy BPE.
+    The corpus stays distributed throughout; only the argmax row ever
+    reaches the driver. Each round's rewritten corpus is cached and
+    the previous round's cache released (at 100 TB: checkpoint every
+    few rounds so the lineage doesn't deepen linearly in n_merges).
+
+    Words are weighted by occurrence count — the pair count shuffle
+    carries DISTINCT words, not the token stream (corpus vocabulary is
+    Zipfian: distinct words ≪ tokens). ``max_token_chars`` bounds the
+    symbol alphabet per word. Returns (merge_idx, left_sym, right_sym,
+    pair_count) — the ordered merge table a BPE tokenizer ships.
+    """
+    from udacitydatawarehouseprj_spark.session import spread
+
+    # distinct words + counts; symbol sequence = chars joined by ' ',
+    # sentinel-padded so ' a b ' matches symbol boundaries exactly
+    words = (
+        spread(df.select(F.col(text_col)), ())
+        .select(F.explode(_toks(text_col)).alias("w"))
+        .filter((F.col("w") != "") & (F.length("w") <= max_token_chars))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.concat(
+                F.lit(" "),
+                F.array_join(F.split(F.col("w"), ""), " "),
+                F.lit(" "),
+            ).alias("seq"),
+            "n",
+        )
+    )
+    spark = df.sparkSession
+    corpus = words.cache()
+    merges = []
+    try:
+        for i in range(n_merges):
+            syms = F.split(F.trim(F.col("seq")), " ")
+            pairs = (
+                corpus.select(
+                    F.explode(
+                        F.zip_with(
+                            F.slice(syms, 1, F.size(syms) - 1),
+                            F.slice(syms, 2, F.size(syms) - 1),
+                            lambda a, b: F.struct(
+                                a.alias("l"), b.alias("r")
+                            ),
+                        )
+                    ).alias("p"),
+                    "n",
+                )
+                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("n").alias("cnt"))
+            )
+            best = (
+                pairs.orderBy(
+                    F.col("cnt").desc(), F.col("l"), F.col("r")
+                )
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+            merges.append((i, l, r, cnt))
+            nxt = corpus.select(
+                F.regexp_replace(
+                    F.col("seq"),
+                    F.lit(f" {l} {r} "),
+                    F.lit(f" {l}{r} "),
+                    # NOTE: literal spaces make overlap impossible at the
+                    # match site, but regexp_replace consumes the trailing
+                    # space — run twice to catch odd/even alternations
+                ).alias("seq"),
+                "n",
+            ).select(
+                F.regexp_replace(
+                    F.col("seq"), F.lit(f" {l} {r} "), F.lit(f" {l}{r} ")
+                ).alias("seq"),
+                "n",
+            ).cache()
+            nxt.count()  # materialize before dropping the parent cache
+            corpus.unpersist()
+            corpus = nxt
+    finally:
+        corpus.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_idx int, left_sym string, right_sym string, pair_count bigint"
+    )

@@ -4435,3 +4435,76 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries=emb.filter(F.col("vec_id") < 50),
         k=5,
     )
+
+
+def _bpe_oracle(n_merges: int, max_chars: int = 12) -> str:
+    """DuckDB replay of the BPE merge loop, fully unrolled — one CTE
+    chain per round (corpus_i → pairs_i → best_i → corpus_{i+1}), so the
+    iterative driver loop becomes a single differential-checkable query.
+    Generated (like the portable-simhash oracle) so the round count and
+    filters stay in lockstep with the operator."""
+    parts = [rf"""
+    w0 AS (
+        SELECT w, COUNT(*) AS n FROM (
+            SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+            FROM documents
+        ) WHERE w <> '' AND length(w) <= {max_chars}
+              AND regexp_matches(w, '^[a-z]+$')
+        GROUP BY 1
+    ),
+    c0 AS (
+        SELECT ' ' || array_to_string(
+                   list_transform(range(1, length(w) + 1), i -> w[i]), ' '
+               ) || ' ' AS seq,
+               n
+        FROM w0
+    )"""]
+    for i in range(n_merges):
+        parts.append(f"""
+    p{i} AS (
+        SELECT u.l AS l, u.r AS r, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+            SELECT unnest(list_transform(
+                       range(1, len(s)),
+                       j -> struct_pack(l := s[j], r := s[j + 1])
+                   )) AS u,
+                   n
+            FROM (SELECT string_split(trim(seq), ' ') AS s, n FROM c{i})
+        ) GROUP BY 1, 2
+    ),
+    b{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
+    c{i + 1} AS (
+        SELECT replace(replace(seq,
+                   ' ' || b.l || ' ' || b.r || ' ',
+                   ' ' || b.l || b.r || ' '),
+                   ' ' || b.l || ' ' || b.r || ' ',
+                   ' ' || b.l || b.r || ' ') AS seq,
+               n
+        FROM c{i}, b{i} b
+    )""")
+    rounds = ",".join(parts)
+    union = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS merge_idx, l AS left_sym,"
+        f" r AS right_sym, cnt AS pair_count FROM b{i}"
+        for i in range(n_merges)
+    )
+    return f"WITH {rounds}\n    {union}"
+
+
+@_register(
+    "bpe_learn_merges",
+    oracle=_bpe_oracle(6),
+    doc="BPE tokenizer training (operators/textops.py bpe_learn_merges):"
+        " 6 merge rounds over the corpus vocabulary. Per round: adjacent-"
+        "pair counts over DISTINCT words weighted by occurrence (the"
+        " shuffle carries vocabulary-sized partials, not the token"
+        " stream), a 1-row argmax collect (the k-means tiny-state driver"
+        " pattern — only the winning pair leaves the cluster), and a"
+        " distributed two-pass replace rewrite, cached per round with"
+        " the parent cache released. The oracle unrolls the loop into a"
+        " 6-round CTE chain — the iterative algorithm is still fully"
+        " differential-checked, not rows-only.",
+)
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.bpe_learn_merges(
+        _t(spark, sf_dir, "documents"), n_merges=6
+    )
