@@ -537,7 +537,10 @@ def time_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def epoch_millis_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    millis = F.unix_millis(F.col("ts"))
+    # ts may arrive as TIMESTAMP_NTZ (parquet timestamp[us] without tz);
+    # with the session pinned to UTC the cast to LTZ is value-preserving
+    # and matches DuckDB's naive epoch_ms.
+    millis = F.unix_millis(F.col("ts").cast("timestamp"))
     return ev.select(
         "event_id",
         millis.alias("ts_millis"),
@@ -1940,7 +1943,7 @@ def json_ingest_events_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     from udacitydatawarehouseprj_spark.sources import json_source
 
     ev = _t(spark, sf_dir, "events")
-    millis = F.unix_millis(F.col("ts"))
+    millis = F.unix_millis(F.col("ts").cast("timestamp"))
     log = ev.select(
         F.lit(None).cast("string").alias("artist"),
         F.lit("Logged In").alias("auth"),
@@ -2408,7 +2411,7 @@ def window_rolling_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     ev = _t(spark, sf_dir, "events")
-    sec = (F.unix_millis(F.col("ts")) / F.lit(1000)).cast("long")
+    sec = (F.unix_millis(F.col("ts").cast("timestamp")) / F.lit(1000)).cast("long")
     base = ev.select("event_id", "user_id", sec.alias("ts_sec"), "value")
     w = (
         W.partitionBy("user_id")
