@@ -1,0 +1,40 @@
+"""Pin the driver-window policy (queries.WINDOW_PRIORITY).
+
+The driver's correctness harness records only the first DRIVER_WINDOW
+entries of ``queries()``; rounds 1-2 showed that accidental registration
+order silently decides which operators get the hard oracle signal. These
+tests make the ordering an explicit, reviewed policy:
+
+* the window is exactly WINDOW_PRIORITY (no accidental inserts/drops);
+* every window entry has a DuckDB oracle (no rows-only entry wastes a
+  hard-signal slot);
+* registry growth cannot push an entry out of the window unnoticed.
+"""
+
+from __future__ import annotations
+
+from udacitydatawarehouseprj_spark import queries as Q
+
+
+def test_window_is_explicit_and_full():
+    names = list(Q.queries())
+    assert len(Q.WINDOW_PRIORITY) == Q.DRIVER_WINDOW
+    assert len(set(Q.WINDOW_PRIORITY)) == Q.DRIVER_WINDOW, "duplicates"
+    assert names[: Q.DRIVER_WINDOW] == Q.WINDOW_PRIORITY
+
+
+def test_window_entries_exist_and_are_oracled():
+    oracles = Q.oracle_sql()
+    for name in Q.WINDOW_PRIORITY:
+        assert name in Q.REGISTRY, f"{name} not registered"
+        assert name in oracles, f"{name} has no oracle (rows-only) — a window slot must carry the full rows+schema+hash signal"
+
+
+def test_ordering_preserves_every_registered_query():
+    assert set(Q.queries()) == set(Q.REGISTRY)
+    assert len(Q.queries()) == len(Q.REGISTRY)
+
+
+def test_oracle_sql_order_matches_queries_order():
+    qnames = [n for n in Q.queries() if Q.REGISTRY[n].oracle]
+    assert list(Q.oracle_sql()) == qnames
