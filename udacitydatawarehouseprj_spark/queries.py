@@ -2621,11 +2621,18 @@ def array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         " replays it as a recursive CTE). This is what pair-level dedup"
         " misses: transitive duplicates A~B~C collapse to one cluster"
         " even when A~C was never emitted. cluster_id = min doc_id in"
-        " the component (the canonical keeper).",
+        " the component (the canonical keeper). Pairs come from the"
+        " SCALE path — MinHash+LSH with exact-Jaccard verification of"
+        " candidates (corpus-linear; no hot-shingle quadratic self-join"
+        " in the plan) — not the ground-truth ngram_jaccard_pairs,"
+        " which remains the oracle anchor: the recursive-CTE oracle"
+        " clusters the exact pairs, so any LSH recall loss on the"
+        " fixture fails the hash compare (it doesn't: dedup_minhash_lsh"
+        " is driver-PASS equal to the exact pair set).",
 )
 def dedup_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
     return dedup.connected_components(pairs)
 
 
