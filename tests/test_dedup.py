@@ -142,11 +142,14 @@ def test_prefix_circuit_breaker_falls_back(spark):
 
 
 def test_release_caches_unpersists(spark, sf_dir):
+    from udacitydatawarehouseprj_spark import session as S
+
+    S.release_tracked_caches()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
     dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
-    assert len(dedup._ACTIVE_CACHES) >= 1
+    assert len(S._TRACKED_CACHES) >= 1
     dedup.release_caches()
-    assert dedup._ACTIVE_CACHES == []
+    assert S._TRACKED_CACHES == []
 
 
 def test_connected_components_transitive_chain(spark):

@@ -39,23 +39,14 @@ from pyspark.sql.window import Window
 DEFAULT_SHINGLE = 3
 
 # Shingle relations are cached because they feed several subplans (sizes +
-# both join sides). A long-lived session running many dedup queries would
-# otherwise accumulate cached blocks until LRU eviction — callers that loop
-# over corpora should call release_caches() after each final action.
-_ACTIVE_CACHES: list[DataFrame] = []
-
-
-def _cache(df: DataFrame) -> DataFrame:
-    df = df.cache()
-    _ACTIVE_CACHES.append(df)
-    return df
-
-
-def release_caches() -> None:
-    """Unpersist every shingle relation cached by dedup operators since the
-    last release. Safe to call any time after the consuming action."""
-    while _ACTIVE_CACHES:
-        _ACTIVE_CACHES.pop().unpersist()
+# both join sides). Caching is routed through session.track_cache so the
+# query registry auto-releases them at the next query boundary; callers
+# that loop over corpora outside the registry call release_caches() after
+# each final action.
+from udacitydatawarehouseprj_spark.session import (  # noqa: E402
+    release_tracked_caches as release_caches,
+    track_cache as _cache,
+)
 #: MinHash parameters: 64 permutations → 32 bands × 2 rows. At Jaccard 0.5
 #: the per-pair miss probability is (1 - 0.5²)³² ≈ 1e-4.
 NUM_PERM = 64

@@ -183,12 +183,13 @@ def trigram_lm_score(
     # scoring both derive from this small relation (cached — it is read
     # twice), and the scoring join carries a count-weighted row per
     # DISTINCT doc-gram instead of one row per occurrence.
-    doc_gram = (
+    from udacitydatawarehouseprj_spark.session import track_cache
+
+    doc_gram = track_cache(
         spread(df, (id_col,))
         .select(F.col(id_col), F.explode(tri).alias("gram"))
         .groupBy(id_col, "gram")
         .agg(F.count("*").alias("c"))
-        .cache()
     )
     model = doc_gram.groupBy("gram").agg(F.sum("c").alias("cnt"))
     total = model.agg(F.sum("cnt").alias("total"))

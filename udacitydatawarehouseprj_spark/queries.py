@@ -24,6 +24,7 @@ Cross-engine determinism rules used throughout (SURVEY §5.1):
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from contextlib import contextmanager
 from dataclasses import dataclass
@@ -51,7 +52,17 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 def _register(name: str, oracle: str | None, doc: str):
     def wrap(fn):
-        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, doc=doc)
+        @functools.wraps(fn)
+        def at_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Query boundary: the previous query's action has run by the
+            # time the next query is built, so its operator caches
+            # (shingle sets, signatures — see session.track_cache) are
+            # released here. Bounds cached-block growth to ONE query's
+            # caches across an arbitrarily long session.
+            S.release_tracked_caches()
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = QuerySpec(fn=at_boundary, oracle=oracle, doc=doc)
         return fn
 
     return wrap
@@ -1938,7 +1949,7 @@ def simhash_band_complete_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     # signatures feed BOTH the banded path and the exhaustive all-pairs
     # side — compute the per-doc tokenize+hash+bit-agg once and share it
-    sig = dedup.simhash_signatures(docs).cache()
+    sig = S.track_cache(dedup.simhash_signatures(docs))
     banded = dedup.simhash_pairs(docs, max_hamming=3, signatures=sig).select(
         "doc_a", "doc_b"
     )
@@ -3574,7 +3585,7 @@ def heavy_hitters_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy = exact.crossJoin(ev.agg(F.count("*").alias("n"))).filter(
         F.col("c") > F.col("n") * 0.15
     )
-    heavy = heavy.cache()
+    heavy = S.track_cache(heavy)
     missing = heavy.filter(~F.col("event_type").isin(list(sketch)))
     return (
         heavy.agg(F.count("*").alias("n_heavy"))

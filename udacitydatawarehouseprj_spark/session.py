@@ -58,18 +58,59 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+# --- tracked caches ----------------------------------------------------
+#
+# Operators cache relations that feed several subplans (shingle sets,
+# signature tables, heavy-hitter sketches). The cache must outlive the
+# operator FUNCTION (plans are lazy — the consuming action happens in the
+# caller), so the operator can't unpersist locally; but a long-lived
+# session running many queries must not accumulate cached blocks until
+# LRU eviction either. Resolution: every operator cache is registered
+# here, and the query registry releases ALL tracked caches at the start
+# of the next query — by which point the previous query's action has run.
+# A released cache is never a correctness event (unpersist only removes
+# the materialized copy; re-execution recomputes the plan).
+_TRACKED_CACHES: list[DataFrame] = []
+
+
+def track_cache(df: DataFrame) -> DataFrame:
+    """``df.cache()`` + register for release at the next query boundary."""
+    df = df.cache()
+    _TRACKED_CACHES.append(df)
+    return df
+
+
+def release_tracked_caches() -> None:
+    """Unpersist every tracked cache. Safe any time after the consuming
+    action; called automatically at each registered-query entry."""
+    while _TRACKED_CACHES:
+        _TRACKED_CACHES.pop().unpersist()
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply runtime-mutable confs to any session (ours or the driver's).
 
     Query functions call this defensively so correctness-critical settings
     (UTC session timezone, AQE) hold even when the SparkSession was built
     elsewhere.
+
+    The session timezone is VERIFIED, not just requested: several queries
+    cast epoch-derived NTZ timestamps to LTZ, which is value-preserving
+    only under UTC. On a session where the conf is static and non-UTC a
+    silent pass would shift every epoch value and quietly diverge from the
+    DuckDB oracle — fail loudly instead.
     """
     for k, v in RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - conf may be static in some envs
             pass
+    tz = spark.conf.get("spark.sql.session.timeZone", "")
+    if tz != "UTC":  # pragma: no cover - only reachable on a static session
+        raise RuntimeError(
+            f"spark.sql.session.timeZone={tz!r} could not be set to UTC "
+            "(static conf?); timestamp semantics would silently diverge"
+        )
     return spark
 
 
