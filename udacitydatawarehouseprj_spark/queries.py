@@ -25,6 +25,7 @@ Cross-engine determinism rules used throughout (SURVEY §5.1):
 from __future__ import annotations
 
 import functools
+import os
 from collections.abc import Callable
 from contextlib import contextmanager
 from dataclasses import dataclass
@@ -38,6 +39,7 @@ from udacitydatawarehouseprj_spark.operators import dedup, layout, similarity, t
 from udacitydatawarehouseprj_spark.operators import multimodal as mm
 from udacitydatawarehouseprj_spark.operators import relational as rel
 from udacitydatawarehouseprj_spark.plans import star_schema
+from udacitydatawarehouseprj_spark.sources import sinks
 
 
 @dataclass(frozen=True)
@@ -3785,6 +3787,9 @@ def _derived_partsupp(li: DataFrame) -> DataFrame:
     expansion — 22k/60k lineitems diverge at 6dp on the sf0.01 data),
     while mul/div/floor on identical doubles is bit-identical IEEE 754
     everywhere. Quantity totals are exact decimals for the same reason.
+
+    Query entry points use :func:`_partsupp` (the bucketed
+    materialization) instead of calling this per query.
     """
     micro_cost = F.floor(
         F.col("l_extendedprice") * F.lit(1000000.0) / F.col("l_quantity")
@@ -3801,6 +3806,55 @@ def _derived_partsupp(li: DataFrame) -> DataFrame:
         .cast("decimal(12,2)")
         .alias("ps_max_qty"),
     )
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived partsupp, materialized ONCE per (catalog, sf_dir) as a
+    bucketed managed table and read back by every TPC-H query that needs
+    it (Q2/Q9/Q11/Q16/Q20).
+
+    Rationale (≙ the reference's ``distkey`` design, sql_queries.py:78,
+    100): five queries each rebuilding the combine-heavy lineitem
+    aggregation is four rebuilds too many. Bucketing by ``ps_partkey``
+    (sorted by ``ps_suppkey`` within buckets) makes the scan come back
+    pre-partitioned: per-part aggregations (Q2's min-cost, Q11's value
+    rollup) and the Q2 self-join need NO exchange at all, and joins on
+    (partkey, suppkey) can co-locate on the partkey subset. At 100 TB
+    this is the persisted-fact-table pattern: pay the layout shuffle
+    once at load, amortize it over the query mix.
+
+    The table is per-session-catalog (in-memory catalog → first query
+    per session builds it); overwrite semantics keep rebuilds idempotent.
+    """
+    import re
+
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+    name = f"partsupp_derived_{tag}"
+    if not spark.catalog.tableExists(name):
+        # A previous PROCESS may have left the managed-table files behind
+        # (the in-memory catalog dies with its session; the warehouse dir
+        # doesn't). saveAsTable refuses to adopt an existing location, so
+        # clear it — the rebuild is deterministic from lineitem.
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        )).path or "spark-warehouse"
+        leftover = os.path.join(wh, name)
+        if os.path.isdir(leftover):
+            shutil.rmtree(leftover, ignore_errors=True)
+        li = _t(spark, sf_dir, "lineitem")
+        sinks.write_table(
+            _derived_partsupp(li),
+            name,
+            sinks.TableLayout(
+                dist_key="ps_partkey",
+                sort_keys=("ps_partkey", "ps_suppkey"),
+                buckets=16,
+            ),
+        )
+    return spark.table(name)
 
 
 @_register(
@@ -3838,13 +3892,12 @@ def _derived_partsupp(li: DataFrame) -> DataFrame:
         " plans as TakeOrderedAndProject, never a global sort.",
 )
 def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     supp = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
     reg = _t(spark, sf_dir, "region")
     euro = (
-        _derived_partsupp(li)
+        _partsupp(spark, sf_dir)
         .join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(
@@ -3920,7 +3973,7 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
     supp = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
-    ps = _derived_partsupp(li).select(
+    ps = _partsupp(spark, sf_dir).select(
         "ps_partkey", "ps_suppkey", "ps_supplycost_micro"
     )
     bolts = part.filter(F.col("p_name").like("%bolt%")).select("p_partkey")
@@ -3982,12 +4035,11 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         " double Σ would not be.",
 )
 def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
     n3 = nat.filter(F.col("n_name") == "NATION_3").select("n_nationkey")
     natps = (
-        _derived_partsupp(li)
+        _partsupp(spark, sf_dir)
         .join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n3), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
@@ -4036,7 +4088,6 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         " (brand,type,size,suppkey) tuples, not raw pairs.",
 )
 def tpch_q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     supp = _t(spark, sf_dir, "supplier")
     bad = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
@@ -4046,7 +4097,7 @@ def tpch_q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").isin(1, 5, 11, 15, 21, 28, 37, 42)
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     return (
-        _derived_partsupp(li)
+        _partsupp(spark, sf_dir)
         .select("ps_partkey", "ps_suppkey")
         .join(
             F.broadcast(bad),
@@ -4111,7 +4162,7 @@ def tpch_q20_promotion_candidates(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty_1997"))
     )
     candidates = (
-        _derived_partsupp(li)
+        _partsupp(spark, sf_dir)
         .select("ps_partkey", "ps_suppkey", "ps_max_qty")
         .join(
             F.broadcast(smalls),

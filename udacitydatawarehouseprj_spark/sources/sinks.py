@@ -75,8 +75,18 @@ def write_table(
     mode: str = "overwrite",
 ) -> None:
     """Managed-table variant; with a layout dist_key + buckets this writes
-    a bucketed table, making later key-joins shuffle-free on both sides."""
-    writer = df.write.mode(mode).format("parquet")
+    a bucketed table, making later key-joins shuffle-free on both sides.
+
+    The frame is repartitioned on the bucket key into exactly ``buckets``
+    partitions first: a bucketed write otherwise emits one file per
+    (task × bucket) pair — up to tasks·buckets small files, the metadata
+    killer at scale — while pre-partitioning on the same hash puts each
+    bucket's rows in one task, so the table lands as exactly ``buckets``
+    files."""
+    out = df
+    if layout and layout.dist_key and layout.buckets:
+        out = df.repartition(layout.buckets, F.col(layout.dist_key))
+    writer = out.write.mode(mode).format("parquet")
     if layout and layout.dist_key and layout.buckets:
         writer = writer.bucketBy(layout.buckets, layout.dist_key)
         if layout.sort_keys:
