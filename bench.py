@@ -72,7 +72,7 @@ HEADLINE = [
 
 #: queries added after BENCH_r01 — timed separately so the headline total
 #: stays comparable round-over-round; value_all includes everything.
-NEW_QUERIES = [
+NEW_QUERIES_R02 = [
     "embedding_near_dup_bcast",
     "ann_lsh_recall_check",
     "ann_ivf_recall_check",
@@ -132,6 +132,18 @@ NEW_QUERIES = [
     "knn_label_vote",
 ]
 
+#: queries added in round 3 — their own bucket (value_new_r03) so every
+#: round's totals stay comparable to its predecessor's.
+NEW_QUERIES_R03 = [
+    "bpe_learn_merges",
+]
+
+#: queries whose bench time is dominated by fixture orchestration, not
+#: the operator: queries.PHASE_TIMINGS records their harness phases
+#: (landing-zone write, stream run) so the report splits harness cost
+#: from the readback/operator cost.
+PHASED = {"streaming_hourly_sink_readback", "streaming_corpus_dedup_readback"}
+
 
 def run_one(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -154,11 +166,16 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE + NEW_QUERIES:
+    phases: dict[str, dict[str, float]] = {}
+    for name in HEADLINE + NEW_QUERIES_R02 + NEW_QUERIES_R03:
         t0 = time.perf_counter()
         run_one(registry[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
         dedup.release_caches()  # drop per-query shingle caches
+        if name in PHASED and name in Q.PHASE_TIMINGS:
+            ph = dict(Q.PHASE_TIMINGS[name])
+            ph["readback_agg"] = round(timings[name] - sum(ph.values()), 3)
+            phases[name] = ph
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     headline_total = round(sum(timings[n] for n in HEADLINE), 3)
@@ -171,6 +188,13 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 "value_all": round(sum(timings.values()), 3),
+                "value_new_r02": round(
+                    sum(timings[n] for n in NEW_QUERIES_R02), 3
+                ),
+                "value_new_r03": round(
+                    sum(timings[n] for n in NEW_QUERIES_R03), 3
+                ),
+                "phases": phases,
                 "n_headline": len(HEADLINE),
                 "n_all": len(timings),
             }

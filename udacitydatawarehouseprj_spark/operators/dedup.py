@@ -669,6 +669,10 @@ def connected_components(
     loss can't sever the truncated lineage; local mode has no such
     failure domain.
     """
+    # The pair relation is usually an expensive pipeline (LSH + exact
+    # verification); cache it BEFORE the symmetrization union, which
+    # otherwise evaluates the full pipeline twice (once per union arm).
+    pairs = _cache(pairs.select(a_col, b_col))
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     edges = fwd.union(rev).distinct().cache()
