@@ -136,6 +136,11 @@ NEW_QUERIES_R02 = [
 #: round's totals stay comparable to its predecessor's.
 NEW_QUERIES_R03 = [
     "bpe_learn_merges",
+    "mix_sources_weighted",
+    "pack_bins_ffd_check",
+    "corpus_stats_by_source",
+    "semantic_dedup_kmeans",
+    "semantic_dedup_check",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

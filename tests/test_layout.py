@@ -111,3 +111,62 @@ def test_shuffle_buckets_is_permutation(spark):
     assert {(r.doc_id, r.bucket, r.pos) for r in again} == {
         (r.doc_id, r.bucket, r.pos) for r in out
     }
+
+
+def test_mix_sources_weighted_allocations_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"s{i % 3}", 100) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    # weights s0=1, s1=2, s2=3; budget = half of 30_000 = 15_000 chars
+    w = (F.expr("substring(source, 2)").cast("long") % 3) + 1
+    out = layout.mix_sources_weighted(df, w, budget_num=1, budget_den=2)
+    got = out.collect()
+    per = {}
+    for r in got:
+        per[r.source] = per.get(r.source, 0) + r.n_chars
+    # allocation_s = total * w_s / (2 * Σw) = 30000*w/12 = 2500*w,
+    # and each source has 10_000 chars available, so no saturation
+    assert per == {"s0": 2500, "s1": 5000, "s2": 7500}, per
+    again = {(r.doc_id) for r in
+             layout.mix_sources_weighted(df, w, budget_num=1,
+                                         budget_den=2).collect()}
+    assert again == {r.doc_id for r in got}
+
+
+def test_mix_sources_weighted_saturates_small_source(spark):
+    from pyspark.sql import functions as F
+
+    rows = [(0, "big", 10_000)] * 1  # one huge doc
+    rows = [(i, "big", 100) for i in range(100)] + [(1000, "tiny", 50)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    w = F.when(F.col("source") == "tiny", F.lit(9)).otherwise(F.lit(1))
+    out = layout.mix_sources_weighted(df, w, budget_num=1, budget_den=2)
+    per = {}
+    for r in out.collect():
+        per[r.source] = per.get(r.source, 0) + r.n_chars
+    # tiny's allocation (10050*9/20 ≈ 4522) dwarfs its 50 chars: saturates
+    assert per.get("tiny") == 50
+    # big's allocation = 10050/20 = 502 → five 100-char docs
+    assert per.get("big") == 500
+
+
+def test_pack_bins_ffd_invariants_and_oversize(spark):
+    rows = [(i, 800) for i in range(10)] + [(100, 5000), (101, 3000)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = layout.pack_bins_ffd(df, capacity=2048, n_buckets=2).collect()
+    assert len(out) == 12
+    assert {r.doc_id for r in out} == {*range(10), 100, 101}
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault(r.bin_id, []).append(r.cost)
+    for costs in by_bin.values():
+        if len(costs) >= 2:
+            assert sum(costs) <= 2048
+    # oversize docs are alone in their bins
+    for costs in by_bin.values():
+        if any(c > 2048 for c in costs):
+            assert len(costs) == 1
+    # 800-char docs pack two per bin (2048 // 800 = 2)
+    multi = [c for c in by_bin.values() if len(c) >= 2]
+    assert multi and all(len(c) == 2 for c in multi)

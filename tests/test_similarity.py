@@ -180,3 +180,43 @@ def test_exact_topk_partial_candidates_before_final_rank(spark, sf_dir):
     assert _key(df.collect()) == _key(
         similarity.cosine_topk_blas(emb, q, k=5).collect()
     )
+
+
+def test_semantic_dedup_drops_planted_duplicate(spark):
+    import math
+
+    # 3 clusters of 2 near-identical vectors + 2 lone vectors
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    rows = []
+    for g in range(3):
+        base = g * 2.0
+        rows.append((g * 10, unit(base)))
+        rows.append((g * 10 + 1, unit(base + 0.01)))  # cos≈0.99995 dup
+    rows.append((90, unit(1.0)))
+    rows.append((91, [0.0, 0.0, 1.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.semantic_dedup(df, num_cells=4, iters=3, threshold=0.95)
+    got = {r.vec_id: r for r in out.collect()}
+    assert len(got) == 8
+    for g in range(3):
+        a, b = got[g * 10], got[g * 10 + 1]
+        if a.cell_id == b.cell_id:  # same cell → min-id kept, dup dropped
+            assert a.kept and not b.kept
+            assert b.max_sim_to_kept >= 0.95
+    # greedy independent set: kept vectors in one cell never ≥ threshold
+    by_cell = {}
+    for r in got.values():
+        if r.kept:
+            by_cell.setdefault(r.cell_id, []).append(r.vec_id)
+    vecs = dict(rows)
+    for cell, ids in by_cell.items():
+        for i in ids:
+            for j in ids:
+                if i < j:
+                    va, vb = vecs[i], vecs[j]
+                    dot = sum(x * y for x, y in zip(va, vb))
+                    na = sum(x * x for x in va) ** 0.5
+                    nb = sum(x * x for x in vb) ** 0.5
+                    assert dot / (na * nb) < 0.95

@@ -141,6 +141,120 @@ def shuffle_buckets(
     )
 
 
+def mix_sources_weighted(
+    df: DataFrame,
+    weight: F.Column,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    cost_col: str = "n_chars",
+    budget_num: int = 1,
+    budget_den: int = 2,
+) -> DataFrame:
+    """Deterministic weighted source mixing (the pretraining data-mixture
+    step): build a corpus of ``budget_num/budget_den`` of the total cost
+    (chars/tokens/bytes), allocating each source a share proportional to
+    its ``weight``, selecting documents inside each source in portable-
+    hash order (a reproducible shuffle) until the allocation fills.
+
+    All arithmetic is integer and the keep predicate is cross-multiplied
+    (``cum·den·Σw ≤ total·num·w``) so there is no division anywhere —
+    bit-identical in any engine and overflow-safe to ~10^18 total cost.
+    Plan shape: one window shuffle on the group column + two 1-row/
+    per-group broadcast aggregates; no source is ever scanned twice.
+    Sources whose weight share exceeds their actual size simply saturate
+    (sampling is without replacement; epoch replication is a reader-side
+    concern).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(cost_col).cast("long").alias("_cost"),
+        weight.cast("long").alias("_w"),
+    )
+    total = base.agg(F.sum("_cost").alias("_total"))
+    sum_w = (
+        base.select(group_col, "_w")
+        .distinct()
+        .agg(F.sum("_w").alias("_sumw"))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = base.withColumn("_h", portable_hash_expr(id_col)).withColumn(
+        "_cum", F.sum("_cost").over(w)
+    )
+    return (
+        ranked.join(F.broadcast(total))
+        .join(F.broadcast(sum_w))
+        .filter(
+            F.col("_cum") * F.lit(budget_den) * F.col("_sumw")
+            <= F.col("_total") * F.lit(budget_num) * F.col("_w")
+        )
+        .select(id_col, group_col, F.col("_cost").alias(cost_col))
+    )
+
+
+def pack_bins_ffd(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    cost_col: str = "n_chars",
+    capacity: int = 2048,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Sequence packing: first-fit-decreasing bin packing of documents
+    into fixed-capacity bins (context windows), bucketed for scale.
+
+    True bin packing is inherently sequential, so it runs inside
+    ``applyInPandas`` per hash bucket: bucket = portable_hash(id) %
+    n_buckets (one shuffle), FFD within the bucket (sort by cost desc,
+    place each doc in the first bin with room). FFD guarantees ≤
+    11/9·OPT+1 bins; per-bucket independence is what makes the operator
+    linear at 100 TB — size buckets so one bucket's docs fit an
+    executor (thousands of buckets at scale; 8 is the small-SF default).
+    Oversize docs (cost > capacity) get a dedicated bin each — flagged
+    by the caller-visible invariant that multi-doc bins never exceed
+    capacity. Bin ids are globally unique (bucket ⊕ local index) and the
+    whole operation is a pure function of (ids, costs) — reproducible
+    across runs, engines, partitionings.
+    """
+    import pandas as pd
+
+    bucket = (portable_hash_expr(id_col) % n_buckets).cast("int")
+    src = df.select(
+        F.col(id_col).cast("long"),
+        F.col(cost_col).cast("long").alias("cost"),
+        bucket.alias("bucket"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["cost", id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        bkt = int(pdf["bucket"].iloc[0]) if len(pdf) else 0
+        remaining: list[int] = []
+        assign: list[int] = []
+        for cost in pdf["cost"]:
+            c = int(cost)
+            for i, room in enumerate(remaining):
+                if c <= room:
+                    remaining[i] = room - c
+                    assign.append(i)
+                    break
+            else:
+                remaining.append(max(capacity - c, 0))
+                assign.append(len(remaining) - 1)
+        pdf["bin_id"] = [bkt * 1_000_000_000 + a for a in assign]
+        return pdf[[id_col, "bucket", "bin_id", "cost"]]
+
+    return src.groupBy("bucket").applyInPandas(
+        pack, f"{id_col} long, bucket int, bin_id long, cost long"
+    )
+
+
 def weighted_sample_topk(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -794,6 +794,90 @@ def ivf_topk_kmeans(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    num_cells: int = 16,
+    iters: int = 3,
+    threshold: float = 0.85,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup — semantic (embedding-space) deduplication, per the
+    public recipe: k-means-cluster the corpus, then WITHIN each cluster
+    greedily keep minimum-id representatives — a vector is dropped iff
+    its cosine similarity to an already-kept smaller-id vector in the
+    same cluster is ≥ ``threshold``. The kept set is therefore an
+    independent set of the ≥τ similarity graph restricted to clusters:
+    no two kept vectors in a cluster are near-duplicates, and every
+    dropped vector has a kept witness (the invariants
+    ``semantic_dedup_check`` verifies with an independent JVM-side
+    cosine recompute).
+
+    Scale shape: clustering bounds the pairwise work — the greedy pass
+    runs per cell in ``applyInPandas`` (one shuffle on cell_id), each
+    cell's cost is |cell|·|kept(cell)| BLAS dot products, and cells are
+    sized by num_cells (thousands at 100 TB so a cell fits an executor).
+    Returns (vec_id, cell_id, kept, max_sim_to_kept) — max_sim is -1.0
+    for the first kept vector of a cell (no earlier kept to compare).
+    """
+    import numpy as np
+    import pandas as pd
+
+    _, cents = kmeans_centroids(
+        df, k=num_cells, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    c_norm2 = (cents * cents).sum(axis=1)
+    bc = df.sparkSession.sparkContext.broadcast((cents, c_norm2))
+
+    def assign(it):
+        c, n2 = bc.value
+        for pdf in it:
+            x = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            cell = (n2[None, :] - 2.0 * (x @ c.T)).argmin(axis=1)
+            out = pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype="int64"),
+                    "cell_id": cell.astype("int32"),
+                }
+            )
+            out[vec_col] = pdf[vec_col].to_numpy()
+            yield out
+
+    assigned = df.mapInPandas(
+        assign, schema=f"{id_col} long, cell_id int, {vec_col} array<float>"
+    )
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        x = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+        x /= np.sqrt((x * x).sum(axis=1, keepdims=True))
+        kept_rows: list[int] = []
+        kept_flags, max_sims = [], []
+        for i in range(len(pdf)):
+            if kept_rows:
+                s = float((x[kept_rows] @ x[i]).max())
+            else:
+                s = -1.0
+            ok = s < threshold
+            kept_flags.append(ok)
+            max_sims.append(s)
+            if ok:
+                kept_rows.append(i)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "cell_id": pdf["cell_id"],
+                "kept": kept_flags,
+                "max_sim_to_kept": np.round(max_sims, 6),
+            }
+        )
+
+    return assigned.groupBy("cell_id").applyInPandas(
+        dedup_cell,
+        f"{id_col} long, cell_id int, kept boolean, max_sim_to_kept double",
+    )
+
+
 def normalize_quantize(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -4686,3 +4686,249 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.bpe_learn_merges(
         _t(spark, sf_dir, "documents"), n_merges=6
     )
+
+
+# =====================================================================
+# Round-3 wave: data-mixture construction, sequence packing, per-source
+# corpus profiling, semantic (embedding-space) dedup — the remaining
+# pretraining-pipeline stages between "cleaned corpus" and "training
+# batches".
+# =====================================================================
+
+#: portable per-source mixture weight — stands in for a user-supplied
+#: weights table; (source index mod 4) + 1 so the fixture exercises
+#: unequal shares. Pure integer arithmetic on both engines.
+_MIX_WEIGHT_SQL = "(CAST(substring(source, 4) AS BIGINT) % 4) + 1"
+_PORTABLE_HASH_SQL = (
+    "(((({id} % 2147483647) * 2654435761) + 40503) % 2147483647)"
+)
+
+
+@_register(
+    "mix_sources_weighted",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS c,
+               {_MIX_WEIGHT_SQL} AS w
+        FROM documents
+    ),
+    tot AS (SELECT SUM(c) AS total FROM base),
+    sw AS (SELECT SUM(w) AS sumw
+           FROM (SELECT DISTINCT source, w FROM base)),
+    ranked AS (
+        SELECT doc_id, source, c, w,
+               SUM(c) OVER (
+                   PARTITION BY source
+                   ORDER BY {_PORTABLE_HASH_SQL.format(id='doc_id')}, doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum
+        FROM base
+    )
+    SELECT doc_id, source, c AS n_chars
+    FROM ranked, tot, sw
+    WHERE cum * 2 * sumw <= total * 1 * w
+    """,
+    doc="Pretraining data-mixture construction (operators/layout.py"
+        " mix_sources_weighted): build a half-total-chars corpus whose"
+        " per-source char share is proportional to supplied weights,"
+        " choosing documents inside each source in portable-hash order"
+        " (a reproducible shuffle). The keep predicate is cross-"
+        "multiplied integer arithmetic (cum·den·Σw ≤ total·num·w) — no"
+        " division, bit-identical in any engine, overflow-safe to ~1e18"
+        " total chars. One window shuffle + two broadcast scalars; each"
+        " source scanned once.",
+)
+def mix_sources_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    weight = (F.expr("substring(source, 4)").cast("long") % 4) + 1
+    return layout.mix_sources_weighted(
+        docs, weight, budget_num=1, budget_den=2
+    )
+
+
+@_register(
+    "pack_bins_ffd_check",
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           SUM(CAST(n_chars AS BIGINT)) AS total_cost,
+           TRUE AS all_fit,
+           TRUE AS ids_preserved
+    FROM documents
+    """,
+    doc="Sequence packing under the hard signal (operators/layout.py"
+        " pack_bins_ffd): first-fit-decreasing bin packing of documents"
+        " into capacity-2048-char bins inside applyInPandas per hash"
+        " bucket (bin packing is inherently sequential; bucketing is"
+        " what makes it linear at scale). The invariants are recomputed"
+        " FROM THE PACKING OUTPUT with JVM aggregations: n_docs/"
+        "total_cost flip if any document is dropped, duplicated, or its"
+        " cost altered; all_fit flips if any multi-document bin exceeds"
+        " capacity (oversize singletons are legal — a doc larger than"
+        " the window gets its own bin and is truncated by the reader);"
+        " ids_preserved flips if packed ids aren't exactly the corpus"
+        " ids (anti-join both ways == 0).",
+)
+def pack_bins_ffd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    packed = S.track_cache(
+        layout.pack_bins_ffd(docs, capacity=2048, n_buckets=8)
+    )
+    bins = packed.groupBy("bin_id").agg(
+        F.sum("cost").alias("bin_total"), F.count("*").alias("bin_docs")
+    )
+    overfull = bins.filter(
+        (F.col("bin_docs") >= 2) & (F.col("bin_total") > 2048)
+    )
+    missing = docs.select("doc_id").join(packed, "doc_id", "left_anti")
+    extra = packed.select("doc_id").join(docs, "doc_id", "left_anti")
+    return (
+        packed.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("cost").alias("total_cost"),
+        )
+        .crossJoin(overfull.agg(F.count("*").alias("_n_over")))
+        .crossJoin(missing.agg(F.count("*").alias("_n_miss")))
+        .crossJoin(extra.agg(F.count("*").alias("_n_extra")))
+        .select(
+            "n_docs",
+            "total_cost",
+            (F.col("_n_over") == 0).alias("all_fit"),
+            ((F.col("_n_miss") == 0) & (F.col("_n_extra") == 0)).alias(
+                "ids_preserved"
+            ),
+        )
+    )
+
+
+@_register(
+    "corpus_stats_by_source",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           SUM(CAST(n_chars AS BIGINT)) AS total_chars,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE) / COUNT(*)
+               AS mean_chars,
+           ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6)
+               AS p50_chars,
+           ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.95), 6)
+               AS p95_chars
+    FROM documents
+    GROUP BY source
+    """,
+    doc="Per-source corpus profile — the mixture-design dashboard every"
+        " pretraining pipeline runs before choosing weights: doc count,"
+        " language spread, char mass, mean and exact interpolated"
+        " p50/p95 length per source. One shuffle; mean is one IEEE"
+        " division of exact integers; percentiles interpolate identical"
+        " doubles on both engines (agg_percentiles pattern).",
+)
+def corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+        (
+            F.sum(F.col("n_chars").cast("long")).cast("double")
+            / F.count("*")
+        ).alias("mean_chars"),
+        F.round(
+            F.expr("percentile(CAST(n_chars AS DOUBLE), 0.5)"), 6
+        ).alias("p50_chars"),
+        F.round(
+            F.expr("percentile(CAST(n_chars AS DOUBLE), 0.95)"), 6
+        ).alias("p95_chars"),
+    )
+
+
+@_register(
+    "semantic_dedup_kmeans",
+    oracle=None,  # k-means cell assignment is engine-native (iterative
+                  # BLAS loop) — rows-only; semantic_dedup_check carries
+                  # the hard signal for this operator
+    doc="SemDeDup — semantic dedup in embedding space (public recipe:"
+        " k-means cluster, then greedily keep min-id representatives;"
+        " a vector is dropped iff cosine ≥ τ (0.4 here — the fixture's planted-near-dup band) to an already-kept"
+        " smaller-id vector in its cluster). operators/similarity.py"
+        " semantic_dedup: clustering bounds the pairwise work to within-"
+        "cell |cell|·|kept| BLAS dots inside applyInPandas — the"
+        " quadratic-free shape at 100 TB. Output: (vec_id, cell_id,"
+        " kept, max_sim_to_kept).",
+)
+def semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(
+        emb, num_cells=16, iters=3, threshold=0.4
+    )
+
+
+@_register(
+    "semantic_dedup_check",
+    oracle="""
+    SELECT COUNT(*) AS n_vectors,
+           CAST(0 AS BIGINT) AS n_dropped_no_witness,
+           CAST(0 AS BIGINT) AS n_kept_violations
+    FROM embeddings
+    """,
+    doc="Hard-signal invariants for semantic_dedup_kmeans, recomputed"
+        " INDEPENDENTLY of the operator's numpy path: cosines are"
+        " re-derived with JVM F.aggregate dot products over the raw"
+        " embeddings. (1) every vector count-preserved; (2) every"
+        " dropped vector has a kept smaller-id witness at cosine ≥"
+        " τ−1e-9 in its cell; (3) no two kept vectors in a cell are ≥"
+        " τ+1e-9 (the greedy independent-set property). The ±1e-9 guard"
+        " absorbs summation-order ulps between BLAS and the left-fold"
+        " recompute; a real assignment or greedy bug shifts counts by"
+        " whole units.",
+)
+def semantic_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.track_cache(
+        similarity.semantic_dedup(emb, num_cells=16, iters=3, threshold=0.4)
+    )
+    vec = emb.select(
+        F.col("vec_id"), similarity.as_double("embedding").alias("_v")
+    )
+    tagged = out.join(vec, "vec_id")
+    a = tagged.alias("a")
+    b = tagged.alias("b")
+    cos = similarity.dot(F.col("a._v"), F.col("b._v")) / (
+        similarity.norm(F.col("a._v")) * similarity.norm(F.col("b._v"))
+    )
+    same_cell_pairs = a.join(
+        b,
+        (F.col("a.cell_id") == F.col("b.cell_id"))
+        & (F.col("b.vec_id") < F.col("a.vec_id")),
+    )
+    dropped_with_witness = (
+        same_cell_pairs.filter(
+            (~F.col("a.kept"))
+            & F.col("b.kept")
+            & (cos >= F.lit(0.4) - F.lit(1e-9))
+        )
+        .select(F.col("a.vec_id"))
+        .distinct()
+    )
+    n_dropped_no_witness = (
+        out.filter(~F.col("kept"))
+        .join(dropped_with_witness, "vec_id", "left_anti")
+        .agg(F.count("*").alias("n_dropped_no_witness"))
+    )
+    kept_violations = same_cell_pairs.filter(
+        F.col("a.kept")
+        & F.col("b.kept")
+        & (cos >= F.lit(0.4) + F.lit(1e-9))
+    ).agg(F.count("*").cast("long").alias("n_kept_violations"))
+    return (
+        out.agg(F.count("*").alias("n_vectors"))
+        .crossJoin(n_dropped_no_witness)
+        .crossJoin(kept_violations)
+        .select(
+            "n_vectors",
+            F.col("n_dropped_no_witness").cast("long").alias(
+                "n_dropped_no_witness"
+            ),
+            "n_kept_violations",
+        )
+    )
