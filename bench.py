@@ -141,6 +141,7 @@ NEW_QUERIES_R03 = [
     "corpus_stats_by_source",
     "semantic_dedup_kmeans",
     "semantic_dedup_check",
+    "span_dedup_global",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

@@ -198,3 +198,27 @@ def test_incremental_dedup_kill_rules(spark):
         r.doc_id for r in dedup.incremental_dedup(batch, corpus, index).collect()
     )
     assert out == [103]
+
+
+def test_span_dedup_global_first_occurrence_wins(spark):
+    from udacitydatawarehouseprj_spark import queries as Q
+    import os, tempfile
+
+    ten = " ".join(f"w{i}" for i in range(10))
+    other = " ".join(f"x{i}" for i in range(10))
+    rows = [
+        (1, ten + " " + other),  # original: both spans kept
+        (2, ten),                # exact span dup of doc 1's first span → vanishes
+        (3, other + " tail words here"),  # first span dup, tail survives
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = {r.doc_id: r for r in
+               Q.queries()["span_dedup_global"](spark, d).collect()}
+    assert set(out) == {1, 3}
+    assert out[1].clean_text == ten + " " + other
+    assert out[1].n_spans_kept == 2
+    assert out[3].clean_text == "tail words here"
+    assert out[3].n_spans_kept == 1

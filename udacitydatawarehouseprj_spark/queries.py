@@ -4932,3 +4932,74 @@ def semantic_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_kept_violations",
         )
     )
+
+
+@_register(
+    "span_dedup_global",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    spans AS (
+        SELECT doc_id, CAST(u.i AS INTEGER) AS span_idx,
+               array_to_string(t[(u.i*10 + 1):(u.i*10 + 10)], ' ')
+                   AS span_text
+        FROM toks, unnest(range(0, (len(t) + 9) // 10)) AS u(i)
+    ),
+    kept AS (
+        SELECT doc_id, span_idx, span_text,
+               ROW_NUMBER() OVER (
+                   PARTITION BY span_text ORDER BY doc_id, span_idx
+               ) AS rn
+        FROM spans
+    )
+    SELECT doc_id,
+           string_agg(span_text, ' ' ORDER BY span_idx) AS clean_text,
+           COUNT(*) AS n_spans_kept
+    FROM kept WHERE rn = 1
+    GROUP BY doc_id
+    """,
+    doc="Cross-corpus span dedup with reassembly — the C4 recipe (remove"
+        " any repeated span corpus-wide, first occurrence wins) at"
+        " 10-word-span granularity: tokenize → spans via sequence/slice"
+        " (codegen, zero-shuffle row multiplication after the scan) →"
+        " ONE window shuffle on span_text (first occurrence by (doc_id,"
+        " span_idx)) → reassemble surviving spans in order per doc"
+        " (array_sort of (idx, text) structs — deterministic, no"
+        " second sort shuffle). Docs whose every span was seen earlier"
+        " vanish entirely, exactly like C4's line dedup. At 100 TB the"
+        " span-hash window is the only wide stage and it carries"
+        " distinct spans, not documents.",
+)
+def span_dedup_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window as W
+
+    toks = F.split(F.col("text"), " ")
+    n_spans = (F.size(toks) + F.lit(9)) / F.lit(10)
+    spans = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans.cast("int") - 1),
+                lambda i: F.array_join(
+                    F.slice(toks, i * 10 + 1, 10), " "
+                ),
+            )
+        ).alias("span_idx", "span_text"),
+    )
+    w = W.partitionBy("span_text").orderBy("doc_id", "span_idx")
+    kept = (
+        spans.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct("span_idx", "span_text"))
+    )
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(ordered, lambda s: s["span_text"]), " "
+        ).alias("clean_text"),
+        F.count("*").alias("n_spans_kept"),
+    )
