@@ -142,6 +142,7 @@ NEW_QUERIES_R03 = [
     "semantic_dedup_kmeans",
     "semantic_dedup_check",
     "span_dedup_global",
+    "dedup_keep_best_quality",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

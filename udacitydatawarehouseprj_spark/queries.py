@@ -5003,3 +5003,73 @@ def span_dedup_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("clean_text"),
         F.count("*").alias("n_spans_kept"),
     )
+
+
+@_register(
+    "dedup_keep_best_quality",
+    oracle=f"""
+    WITH RECURSIVE p AS ({_JACCARD_ORACLE}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM p
+        UNION
+        SELECT doc_b, doc_a FROM p
+    ),
+    nodes AS (SELECT DISTINCT a AS n FROM edges),
+    reach(s, t) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a
+    ),
+    labels AS (SELECT s AS doc_id, MIN(t) AS cluster_id FROM reach GROUP BY s),
+    all_labels AS (
+        SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+    ),
+    ranked AS (
+        SELECT al.cluster_id, al.doc_id, d.n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY al.cluster_id
+                   ORDER BY d.n_chars DESC, al.doc_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY al.cluster_id) AS n_members
+        FROM all_labels al JOIN documents d ON al.doc_id = d.doc_id
+    )
+    SELECT cluster_id, doc_id AS keeper_doc_id,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Cluster-level dedup with a QUALITY keeper policy — what a real"
+        " pipeline ships (keep the best document per duplicate cluster,"
+        " not the smallest id): LSH near-dup pairs → connected components"
+        " (scale path, as dedup_near_dup_clusters) → singletons appended"
+        " via anti-join (their own cluster) → keeper = argmax by"
+        " (n_chars DESC, doc_id) per cluster via one window. Covers the"
+        " WHOLE corpus: output rows = number of clusters, Σ n_members ="
+        " corpus size. The oracle replays clustering as a recursive CTE"
+        " and the keeper argmax exactly.",
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    labels = dedup.connected_components(pairs)
+    singletons = docs.select("doc_id").join(
+        labels.select("doc_id"), "doc_id", "left_anti"
+    ).select("doc_id", F.col("doc_id").alias("cluster_id"))
+    all_labels = labels.unionByName(singletons)
+    ranked = all_labels.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = W.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    wc = W.partitionBy("cluster_id")
+    return (
+        ranked.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wc))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keeper_doc_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+    )
