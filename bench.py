@@ -143,6 +143,7 @@ NEW_QUERIES_R03 = [
     "semantic_dedup_check",
     "span_dedup_global",
     "dedup_keep_best_quality",
+    "approx_percentile_check",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

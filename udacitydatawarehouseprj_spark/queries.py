@@ -5073,3 +5073,54 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_members").cast("long").alias("n_members"),
         )
     )
+
+
+@_register(
+    "approx_percentile_check",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50_exact,
+           TRUE AS approx_within_rank_error
+    FROM events GROUP BY event_type
+    """,
+    doc="Hard-signal invariant for the approx_percentile sketch (the"
+        " 100 TB quantile path, complementing agg_percentiles' exact"
+        " shuffle): per group, the KLL/GK-style estimate with accuracy"
+        " parameter 1000 must land within rank-error 1/1000 of the true"
+        " rank — verified by counting values strictly below the estimate"
+        " and checking |rank(est)/n − 0.5| ≤ 0.001 + 1/n. The exact p50"
+        " rides along under the full value compare; the boolean flips if"
+        " the sketch ever exceeds its contract.",
+)
+def approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    approx = ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("_est"),
+        F.count("*").alias("_n"),
+    )
+    joined = ev.join(F.broadcast(approx), "event_type")
+    ranks = joined.groupBy("event_type").agg(
+        F.sum(
+            F.when(F.col("value") < F.col("_est"), 1).otherwise(0)
+        ).alias("_below"),
+        F.sum(
+            F.when(F.col("value") == F.col("_est"), 1).otherwise(0)
+        ).alias("_ties"),
+        F.first("_n").alias("_n"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_exact")
+    )
+    # the estimate's rank is anywhere in [below, below+ties]; the sketch
+    # contract holds iff that interval touches [0.5-eps, 0.5+eps]·n
+    eps = F.lit(0.001) + F.lit(1.0) / F.col("_n")
+    ok = (
+        F.col("_below").cast("double") / F.col("_n") <= F.lit(0.5) + eps
+    ) & (
+        (F.col("_below") + F.col("_ties")).cast("double") / F.col("_n")
+        >= F.lit(0.5) - eps
+    )
+    return exact.join(
+        ranks.select("event_type", ok.alias("approx_within_rank_error")),
+        "event_type",
+    )
