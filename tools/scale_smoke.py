@@ -75,6 +75,15 @@ SMOKE = [
     "embedding_quantize_int8",
     "weighted_sample_chars",
     "knn_label_vote",
+    # round 3
+    "dedup_near_dup_clusters",
+    "dedup_keep_best_quality",
+    "mix_sources_weighted",
+    "pack_bins_ffd_check",
+    "corpus_stats_by_source",
+    "semantic_dedup_kmeans",
+    "span_dedup_global",
+    "approx_percentile_check",
 ]
 
 
