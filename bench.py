@@ -144,6 +144,7 @@ NEW_QUERIES_R03 = [
     "span_dedup_global",
     "dedup_keep_best_quality",
     "approx_percentile_check",
+    "decontaminate_bloom",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

@@ -222,3 +222,26 @@ def test_span_dedup_global_first_occurrence_wins(spark):
     assert out[1].n_spans_kept == 2
     assert out[3].clean_text == "tail words here"
     assert out[3].n_spans_kept == 1
+
+
+def test_bloom_decontaminate_no_false_negatives(spark, sf_dir):
+    """Bloom guarantee: every train doc the EXACT overlap check flags at
+    >= 5 shingles must be flagged by the Bloom variant (false positives
+    allowed, false negatives never)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    evals = docs.filter(F.col("doc_id") < 25)
+    train = docs.filter(F.col("doc_id") >= 25)
+    exact = {
+        r.train_id
+        for r in dedup.decontaminate_overlap(train, evals, min_overlap=5)
+        .select("train_id").distinct().collect()
+    }
+    bloom = {
+        r.train_id
+        for r in dedup.decontaminate_bloom(train, evals, min_overlap=5)
+        .collect()
+    }
+    assert exact <= bloom
+    assert len(exact) > 0

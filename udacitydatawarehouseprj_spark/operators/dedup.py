@@ -931,3 +931,102 @@ def incremental_dedup_with_index(
         num_bands,
         _with_index=True,
     )
+
+
+# --- Portable Bloom-filter decontamination -----------------------------
+#
+# The 100 TB path for benchmark decontamination: instead of joining train
+# shingles against the eval shingle SET (decontaminate_overlap — right at
+# small eval sizes, but the eval relation is reshuffled per run), compress
+# the eval set into an m-bit Bloom filter ONCE and probe it with a
+# broadcast join against a 2048-row bit-word relation. The filter is built
+# from the PORTABLE polynomial shingle hash with double hashing
+# (pos_j = (h1 + j·h2) mod m), all exact integer arithmetic — so unlike
+# engine-native sketches the whole pipeline replays bit-for-bit in a SQL
+# oracle: no false negatives BY CONSTRUCTION, and even the false
+# positives are deterministic and cross-engine identical.
+BLOOM_M_BITS = 65_536       # m: filter size (2^16 bits = 2048 32-bit words)
+BLOOM_K = 4                 # k: probes per item
+_BLOOM_WORD_BITS = 32       # 32-bit words keep every mask < 2^63 (signed-safe)
+
+
+def _bloom_probe_cols(h: F.Column) -> list[tuple[F.Column, F.Column]]:
+    """(word_idx, mask) for each of the k probe positions of hash ``h``."""
+    m = BLOOM_M_BITS
+    h1 = h % m
+    # floor division written as subtract-remainder-then-divide: m is a
+    # power of two, so the double division is a pure exponent shift —
+    # bit-exact for any h < 2^53 (portable hash < 2^50)
+    h_div_m = ((h - h1) / m).cast("long")
+    h2 = (h_div_m % (m // 2)) * 2 + 1  # odd stride → k distinct positions
+    out = []
+    for j in range(BLOOM_K):
+        pos = (h1 + F.lit(j) * h2) % m
+        word = ((pos - pos % _BLOOM_WORD_BITS) / _BLOOM_WORD_BITS).cast("long")
+        # shiftleft() takes only literal bit counts; 2^n via pow is exact
+        # in double for n ≤ 31 (32-bit words are chosen for exactly this)
+        mask = F.pow(F.lit(2.0), (pos % _BLOOM_WORD_BITS).cast("int")).cast("long")
+        out.append((word, mask))
+    return out
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    evals: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+    min_overlap: int = 5,
+) -> DataFrame:
+    """Train docs whose distinct shingles hit the eval Bloom filter ≥
+    ``min_overlap`` times: (train_id, n_flagged).
+
+    Build: eval shingles → portable hash → k (word, mask) rows → one
+    ``bit_or`` aggregation into ≤2048 words. Probe: distinct train
+    (doc, hash) → k probe rows → broadcast join on word → a shingle is
+    flagged iff ALL k probes find their bit set. Flagged counts ≥
+    Jaccard-true overlaps always (no false negatives); false positives
+    are the documented Bloom trade and deterministic here.
+    """
+    from pyspark.sql import functions as _F
+
+    def hashed(df: DataFrame) -> DataFrame:
+        sh = shingles(df, id_col, text_col, n)
+        return sh.select(
+            _F.col(id_col), _portable_token_hash_expr("shingle").alias("h")
+        )
+
+    eval_probes = [
+        hashed(evals).select(w.alias("word"), mk.alias("mask"))
+        for w, mk in _bloom_probe_cols(_F.col("h"))
+    ]
+    all_probes = eval_probes[0]
+    for p in eval_probes[1:]:
+        all_probes = all_probes.unionByName(p)
+    bloom = all_probes.groupBy("word").agg(
+        _F.expr("bit_or(mask)").alias("bits")
+    )
+
+    tr = hashed(train).distinct()
+    probe_parts = [
+        tr.select(
+            _F.col(id_col), _F.col("h"), w.alias("word"), mk.alias("mask")
+        )
+        for w, mk in _bloom_probe_cols(_F.col("h"))
+    ]
+    probes = probe_parts[0]
+    for p in probe_parts[1:]:
+        probes = probes.unionByName(p)
+    hits = (
+        probes.join(_F.broadcast(bloom), "word")
+        .filter(_F.col("bits").bitwiseAND(_F.col("mask")) != 0)
+        .groupBy(id_col, "h")
+        .agg(_F.count("*").alias("_k_hit"))
+        .filter(_F.col("_k_hit") == BLOOM_K)
+    )
+    return (
+        hits.groupBy(id_col)
+        .agg(_F.count("*").alias("n_flagged"))
+        .filter(_F.col("n_flagged") >= min_overlap)
+        .select(_F.col(id_col).alias("train_id"), "n_flagged")
+    )

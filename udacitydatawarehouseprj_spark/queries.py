@@ -5124,3 +5124,90 @@ def approx_percentile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks.select("event_type", ok.alias("approx_within_rank_error")),
         "event_type",
     )
+
+
+def _bloom_decontaminate_oracle() -> str:
+    """DuckDB replay of the ENTIRE Bloom pipeline (build + probe) — the
+    sketch is portable integer arithmetic, so even its false positives
+    are cross-engine identical and the driver hash-compares exact
+    values, not just invariants."""
+    mod = dedup.PORTABLE_HASH_MOD
+    m = dedup.BLOOM_M_BITS
+    k = dedup.BLOOM_K
+    wb = 32
+    probe_union = "\n        UNION ALL ".join(
+        f"SELECT doc_id, h,"
+        f" ((h % {m}) + {j} * (((h // {m}) % {m // 2}) * 2 + 1)) % {m} AS pos"
+        f" FROM hashed"
+        for j in range(k)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 2, 0) + 1),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+        FROM toks
+    ),
+    hashed AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(shingle) + 1),
+                           i -> CAST(unicode(substr(shingle, CAST(i AS INTEGER), 1)) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % {mod}
+               ) AS h
+        FROM sh
+    ),
+    eval_pos AS (
+        SELECT pos FROM (
+        {probe_union}
+        ) WHERE doc_id < 25
+    ),
+    bloom AS (
+        SELECT pos // {wb} AS word,
+               bit_or(CAST(1 AS BIGINT) << CAST(pos % {wb} AS INTEGER)) AS bits
+        FROM eval_pos GROUP BY 1
+    ),
+    train_probe AS (
+        SELECT DISTINCT doc_id, h, pos FROM (
+        {probe_union}
+        ) WHERE doc_id >= 25
+    ),
+    hits AS (
+        SELECT p.doc_id, p.h
+        FROM train_probe p
+        JOIN bloom b ON p.pos // {wb} = b.word
+        WHERE (b.bits & (CAST(1 AS BIGINT) << CAST(p.pos % {wb} AS INTEGER))) <> 0
+        GROUP BY p.doc_id, p.h
+        HAVING COUNT(*) = {k}
+    )
+    SELECT doc_id AS train_id, COUNT(*) AS n_flagged
+    FROM hits GROUP BY 1 HAVING COUNT(*) >= 5
+    """
+
+
+@_register(
+    "decontaminate_bloom",
+    oracle=_bloom_decontaminate_oracle(),
+    doc="Bloom-filter decontamination — the sketch-compressed form of"
+        " decontaminate_overlap for 100 TB train corpora: the eval set's"
+        " shingles compress into a 2^16-bit filter (ONE bit_or"
+        " aggregation, ≤2048 bit-words), and the train side probes it"
+        " via a broadcast join — no shuffle of eval data per run, train"
+        " scanned once. Because the filter uses the PORTABLE polynomial"
+        " hash with double hashing (not an engine-native sketch), the"
+        " DuckDB oracle replays the ENTIRE build+probe bit-for-bit:"
+        " no-false-negatives holds by construction and even the"
+        " deterministic false positives hash-match. Same train/eval"
+        " split and ≥5-overlap gate as the exact variant.",
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    evals = docs.filter(F.col("doc_id") < 25)
+    train = docs.filter(F.col("doc_id") >= 25)
+    return dedup.decontaminate_bloom(train, evals, min_overlap=5)
