@@ -145,6 +145,8 @@ NEW_QUERIES_R03 = [
     "dedup_keep_best_quality",
     "approx_percentile_check",
     "decontaminate_bloom",
+    "quality_filter_top_pct",
+    "length_bucket_batches",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

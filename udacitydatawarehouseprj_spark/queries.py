@@ -5211,3 +5211,100 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     evals = docs.filter(F.col("doc_id") < 25)
     train = docs.filter(F.col("doc_id") >= 25)
     return dedup.decontaminate_bloom(train, evals, min_overlap=5)
+
+
+@_register(
+    "quality_filter_top_pct",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               CAST(length(text)
+                    - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                    AS DOUBLE) / CAST(length(text) AS DOUBLE) AS alpha_ratio
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, lang, alpha_ratio,
+               PERCENT_RANK() OVER (
+                   PARTITION BY lang
+                   ORDER BY alpha_ratio DESC, doc_id
+               ) AS pr
+        FROM scored
+    )
+    SELECT doc_id, lang, alpha_ratio FROM ranked WHERE pr <= 0.6
+    """,
+    doc="Percentile-based quality gating PER LANGUAGE — the standard"
+        " 'keep the top X% of each language' pipeline step (an absolute"
+        " quality threshold over-prunes low-resource languages;"
+        " per-partition percentile gates don't). One window shuffle on"
+        " lang; the quality metric (alpha ratio — one member of the"
+        " text_quality_score family) is integer counts + one IEEE"
+        " division; (score DESC, doc_id) is a total order so"
+        " percent_rank is deterministic cross-engine.",
+)
+def quality_filter_top_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    n = F.length("text")
+    alpha = n - F.length(F.regexp_replace("text", "[A-Za-z]", ""))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        (alpha.cast("double") / n.cast("double")).alias("alpha_ratio"),
+    )
+    w = W.partitionBy("lang").orderBy(
+        F.col("alpha_ratio").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("_pr", F.percent_rank().over(w))
+        .filter(F.col("_pr") <= 0.6)
+        .select("doc_id", "lang", "alpha_ratio")
+    )
+
+
+@_register(
+    "length_bucket_batches",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, n_chars,
+               CAST(NTILE(16) OVER (ORDER BY n_chars, doc_id) AS INTEGER)
+                   AS len_bucket,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+                   AS rn
+        FROM documents
+    )
+    SELECT doc_id, n_chars, len_bucket,
+           CAST((ROW_NUMBER() OVER (
+                    PARTITION BY len_bucket ORDER BY rn
+                ) - 1) // 32 AS INTEGER) AS batch_id
+    FROM ranked
+    """,
+    doc="Length-bucketed batching — group similar-length documents into"
+        " fixed-size batches so per-batch padding waste is minimal (the"
+        " dynamic-batching step before collation): ntile(16) length"
+        " buckets over a (n_chars, doc_id) total order, then 32-doc"
+        " batches inside each bucket by integer division of the"
+        " in-bucket rank. Note ntile's remainder rule (earlier tiles"
+        " one larger) is part of the cross-checked contract. At scale"
+        " the global ntile becomes a per-partition bucket over a"
+        " range-partitioned sort — same downstream contract.",
+)
+def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    w = W.orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "doc_id",
+        "n_chars",
+        F.ntile(16).over(w).alias("len_bucket"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    wb = W.partitionBy("len_bucket").orderBy("_rn")
+    return ranked.select(
+        "doc_id",
+        "n_chars",
+        "len_bucket",
+        ((F.row_number().over(wb) - 1) / 32).cast("int").alias("batch_id"),
+    )
