@@ -147,6 +147,7 @@ NEW_QUERIES_R03 = [
     "decontaminate_bloom",
     "quality_filter_top_pct",
     "length_bucket_batches",
+    "bpe_tokenize_corpus",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

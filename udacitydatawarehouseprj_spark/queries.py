@@ -5308,3 +5308,103 @@ def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "len_bucket",
         ((F.row_number().over(wb) - 1) / 32).cast("int").alias("batch_id"),
     )
+
+
+def _bpe_apply_oracle(n_merges: int, max_chars: int = 12) -> str:
+    """DuckDB replay of TOKENIZER APPLICATION: re-derives the learned
+    merge table (the _bpe_oracle CTE chain) and applies it to every
+    distinct word via the same paired replace() rewrites, then aggregates
+    token counts per document. Generated so the merge count, filters and
+    replace semantics stay in lockstep with the operator."""
+    learn = _bpe_oracle(n_merges, max_chars)
+    # strip the final SELECT union; keep the CTE chain
+    ctes = learn[len("WITH "):learn.rindex("\n    SELECT CAST(0")]
+    seq_expr = "' ' || array_to_string(list_transform(range(1, length(w) + 1), i -> w[i]), ' ') || ' '"
+    for i in range(n_merges):
+        for _ in range(2):
+            seq_expr = (
+                f"replace({seq_expr},"
+                f" ' ' || (SELECT l FROM b{i}) || ' ' || (SELECT r FROM b{i}) || ' ',"
+                f" ' ' || (SELECT l FROM b{i}) || (SELECT r FROM b{i}) || ' ')"
+            )
+    return f"""
+    WITH {ctes},
+    dw AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+        FROM documents
+    ),
+    vocab AS (
+        SELECT w, len(string_split(trim({seq_expr}), ' ')) AS tok_len
+        FROM (SELECT DISTINCT w FROM dw
+              WHERE w <> '' AND length(w) <= {max_chars}
+                AND regexp_matches(w, '^[a-z]+$'))
+    )
+    SELECT dw.doc_id,
+           COUNT(*) AS n_words,
+           CAST(SUM(COALESCE(v.tok_len, 1)) AS BIGINT) AS n_tokens
+    FROM dw LEFT JOIN vocab v ON dw.w = v.w
+    GROUP BY 1
+    """
+
+
+@_register(
+    "bpe_tokenize_corpus",
+    oracle=_bpe_apply_oracle(6),
+    doc="Tokenizer APPLICATION — the other half of the BPE story"
+        " (bpe_learn_merges trains; this tokenizes the corpus with the"
+        " learned table): the 6-row merge table is collected (tiny"
+        " driver state, same pattern as k-means centroids) and applied"
+        " as plain Column replace() rewrites over the DISTINCT"
+        " vocabulary — Zipfian corpora make |vocab| ≪ |token stream|,"
+        " so the expensive rewrite runs once per word, then a broadcast"
+        " join fans token counts back to per-doc occurrences. No UDFs"
+        " anywhere; out-of-vocabulary words (non-[a-z]+, overlong)"
+        " count as single opaque tokens. The oracle re-learns AND"
+        " re-applies the merges in one unrolled CTE chain, so a drifted"
+        " merge table, wrong replace order, or double-merge bug all"
+        " hash-mismatch.",
+)
+def bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in textops.bpe_learn_merges(docs, n_merges=6).collect()
+    ]
+    dw = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"),
+    )
+    matching = (
+        (F.col("w") != "")
+        & (F.length("w") <= 12)
+        & F.col("w").rlike("^[a-z]+$")
+    )
+    seq = F.concat(
+        F.lit(" "), F.array_join(F.split(F.col("w"), ""), " "), F.lit(" ")
+    )
+    for left, right in merges:
+        for _ in range(2):  # odd/even alternations, as in learning
+            seq = F.replace(
+                seq,
+                F.lit(f" {left} {right} "),
+                F.lit(f" {left}{right} "),
+            )
+    vocab = (
+        dw.filter(matching)
+        .select("w")
+        .distinct()
+        .select(
+            "w",
+            F.size(F.split(F.trim(seq), " ")).alias("tok_len"),
+        )
+    )
+    return (
+        dw.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.coalesce(F.col("tok_len"), F.lit(1)))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
