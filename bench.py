@@ -148,6 +148,8 @@ NEW_QUERIES_R03 = [
     "quality_filter_top_pct",
     "length_bucket_batches",
     "bpe_tokenize_corpus",
+    "mmr_rerank_diversified",
+    "mmr_rerank_check",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

@@ -220,3 +220,26 @@ def test_semantic_dedup_drops_planted_duplicate(spark):
                     na = sum(x * x for x in va) ** 0.5
                     nb = sum(x * x for x in vb) ** 0.5
                     assert dot / (na * nb) < 0.95
+
+
+def test_mmr_rerank_diversifies_near_duplicate_candidates(spark):
+    import math
+
+    # corpus: two near-identical highly-relevant vectors + a moderately
+    # relevant diverse one; MMR at lam=0.5 must pick the diverse vector
+    # second, plain top-k would pick the near-duplicate.
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0]
+
+    rows = [
+        (0, unit(0.0)),        # query
+        (1, unit(0.05)),       # most relevant
+        (2, unit(0.06)),       # near-dup of 1: rel≈red → score ≈ 0⁻
+        (3, unit(-0.9)),       # diverse: rel(0.62) > red-vs-1(0.58) → wins
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id = 0")
+    out = similarity.mmr_rerank(df, q, k=2, pool=3, lam=0.5)
+    got = sorted((r.mmr_rank, r.neighbor_id) for r in out.collect())
+    assert got[0] == (1, 1)   # first pick = pure relevance top-1
+    assert got[1] == (2, 3)   # second pick diversifies away from 2

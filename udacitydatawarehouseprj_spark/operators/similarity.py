@@ -940,3 +940,69 @@ def knn_label_vote(
             F.struct(F.col("n_votes"), (-F.col(label_col)).alias("_neg"))
         )["n_votes"].alias("winning_votes"),
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank — diversified top-k retrieval
+    (the RAG-retrieval staple): fetch a ``pool``-sized exact-cosine
+    candidate set per query (BLAS path), then greedily select k
+    candidates maximizing ``lam·sim(q,d) − (1−lam)·max_{s∈selected}
+    sim(d,s)``; ties break on smaller id. The greedy loop is inherently
+    sequential per query but the pool is tiny (≤ pool rows), so it runs
+    in ``applyInPandas`` per query_id — one shuffle of N_q·pool rows
+    regardless of corpus size; the corpus-scale work stays in the
+    candidate retrieval. The FIRST selection is always the top-cosine
+    candidate (nothing is selected yet), which is the SQL-checkable
+    anchor ``mmr_rerank_check`` exploits.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cands = cosine_topk_blas(corpus, queries, k=pool, id_col=id_col,
+                             vec_col=vec_col)
+    with_vec = cands.join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_nv"),
+        ),
+        "neighbor_id",
+    )
+
+    def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["rank"]).reset_index(drop=True)
+        x = np.vstack(pdf["_nv"].to_numpy()).astype("float64")
+        x /= np.sqrt((x * x).sum(axis=1, keepdims=True))
+        rel = pdf["cosine"].to_numpy(dtype="float64")
+        ids = pdf["neighbor_id"].to_numpy(dtype="int64")
+        chosen: list[int] = []
+        for _ in range(min(k, len(pdf))):
+            if chosen:
+                red = (x @ x[chosen].T).max(axis=1)
+            else:
+                red = np.zeros(len(pdf))
+            score = lam * rel - (1.0 - lam) * red
+            score[chosen] = -np.inf
+            # deterministic argmax: best score, then smallest neighbor id
+            best = np.lexsort((ids, -score))[0]
+            chosen.append(int(best))
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[:1].repeat(len(chosen)),
+                "neighbor_id": ids[chosen],
+                "mmr_rank": np.arange(1, len(chosen) + 1, dtype="int32"),
+                "relevance": np.round(rel[chosen], 6),
+            }
+        )
+
+    return with_vec.groupBy("query_id").applyInPandas(
+        rerank,
+        "query_id long, neighbor_id long, mmr_rank int, relevance double",
+    )

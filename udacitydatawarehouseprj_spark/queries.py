@@ -5408,3 +5408,70 @@ def bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_tokens"),
         )
     )
+
+
+@_register(
+    "mmr_rerank_diversified",
+    oracle=None,  # greedy iterative selection (per-query sequential loop)
+                  # — rows-only; mmr_rerank_check carries the hard signal
+    doc="Maximal Marginal Relevance rerank — diversified retrieval"
+        " (operators/similarity.py mmr_rerank): exact-cosine top-20"
+        " candidate pool per query (BLAS path), then per-query greedy"
+        " selection of 5 maximizing λ·relevance − (1−λ)·max-similarity-"
+        "to-already-selected (λ=0.7, ties to smaller id). The greedy"
+        " loop runs in applyInPandas over the tiny pool — one shuffle"
+        " of |Q|·pool rows; corpus-scale work stays in candidate"
+        " retrieval.",
+)
+def mmr_rerank_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return similarity.mmr_rerank(emb, queries_df, k=5, pool=20, lam=0.7)
+
+
+@_register(
+    "mmr_rerank_check",
+    oracle="""
+    SELECT vec_id AS query_id,
+           CAST(5 AS BIGINT) AS n_selected,
+           CAST(5 AS BIGINT) AS n_distinct,
+           TRUE AS first_is_top1
+    FROM embeddings WHERE vec_id < 10
+    """,
+    doc="Hard-signal invariants for mmr_rerank_diversified: per query,"
+        " exactly 5 distinct neighbors selected, and the FIRST pick"
+        " equals the exact top-1 by cosine (with nothing selected the"
+        " MMR objective reduces to pure relevance — a λ-independent"
+        " anchor). The expected top-1 is recomputed INDEPENDENTLY via"
+        " the fold-exact JVM cosine path (cosine_topk), not the BLAS"
+        " path the operator uses — a pool bug, ordering bug, or"
+        " similarity-matrix transpose error flips the boolean.",
+)
+def mmr_rerank_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    out = S.track_cache(
+        similarity.mmr_rerank(emb, queries_df, k=5, pool=20, lam=0.7)
+    )
+    top1 = similarity.cosine_topk(emb, queries_df, k=1).select(
+        "query_id", F.col("neighbor_id").alias("_expected_top1")
+    )
+    firsts = out.filter(F.col("mmr_rank") == 1).select(
+        "query_id", F.col("neighbor_id").alias("_first_pick")
+    )
+    stats = out.groupBy("query_id").agg(
+        F.count("*").alias("n_selected"),
+        F.countDistinct("neighbor_id").alias("n_distinct"),
+    )
+    return (
+        stats.join(firsts, "query_id")
+        .join(F.broadcast(top1), "query_id")
+        .select(
+            "query_id",
+            "n_selected",
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            (F.col("_first_pick") == F.col("_expected_top1")).alias(
+                "first_is_top1"
+            ),
+        )
+    )
