@@ -1057,6 +1057,9 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: queries) plus the flagship. Everything demoted out of the window stays
 #: covered by the identical oracle comparison in pytest
 #: (tests/test_oracle_parity.py), which replays all oracled queries.
+#: ROTATE each round: run ``python tools/rotate_window.py`` (reads all
+#: CORRECTNESS_r*.json, proposes the next 50 — never-verified queries
+#: first) and replace this list with its output.
 WINDOW_PRIORITY: list[str] = [
     "flagship_hourly_activity",
     # invariant checks hardening the 4 rows-only approximate operators
