@@ -150,6 +150,7 @@ NEW_QUERIES_R03 = [
     "bpe_tokenize_corpus",
     "mmr_rerank_diversified",
     "mmr_rerank_check",
+    "gap_fill_forward",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

@@ -5478,3 +5478,75 @@ def mmr_rerank_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@_register(
+    "gap_fill_forward",
+    oracle="""
+    WITH bounds AS (
+        SELECT event_type,
+               date_trunc('hour', MIN(ts)) AS h0,
+               date_trunc('hour', MAX(ts)) AS h1
+        FROM events GROUP BY 1
+    ),
+    spine AS (
+        SELECT event_type, unnest(generate_series(h0, h1,
+                                  INTERVAL 1 HOUR)) AS hour_start
+        FROM bounds
+    ),
+    observed AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_start,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT s.event_type, s.hour_start,
+           COALESCE(o.n_events, 0) AS n_events,
+           CAST(o.n_events IS NULL AS BOOLEAN) AS was_gap,
+           last_value(o.n_events IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.hour_start
+               ROWS UNBOUNDED PRECEDING
+           ) AS carried_n
+    FROM spine s LEFT JOIN observed o
+      ON s.event_type = o.event_type AND s.hour_start = o.hour_start
+    """,
+    doc="Time-series gap filling — the hypertable/rollup companion every"
+        " monitoring and feature pipeline needs: per-series hour spine"
+        " (sequence between min and max, exploded — row multiplication"
+        " AFTER the tiny bounds agg, so the spine costs nothing at"
+        " scale), left join of observed hourly counts, explicit gap"
+        " flag, and forward-fill via last_value(IGNORE NULLS) over one"
+        " per-series window. Two shuffles total (bounds agg + window);"
+        " the spine never materializes more than series×hours rows.",
+)
+def gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_start"),
+    )
+    observed = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.count("*").alias("_n"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        spine.join(observed, ["event_type", "hour_start"], "left")
+        .select(
+            "event_type",
+            "hour_start",
+            F.coalesce(F.col("_n"), F.lit(0)).alias("n_events"),
+            F.col("_n").isNull().alias("was_gap"),
+            F.last("_n", ignorenulls=True).over(w).alias("carried_n"),
+        )
+    )
