@@ -317,3 +317,46 @@ def test_unpivot_is_single_scan_expand(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "Expand" in plan
     assert "Union" not in plan
+
+
+def test_partsupp_reads_bucketed_table(spark, sf_dir):
+    """Q11 must scan the persisted bucketed partsupp (SelectedBucketsCount
+    in the scan) and run its per-part aggregation with NO hash-exchange
+    between the bucketed scan and the agg — the pay-the-layout-shuffle-
+    once contract of queries._partsupp."""
+    Q._partsupp(spark, sf_dir)  # materialize (idempotent per session)
+    plan = plan_of(spark, sf_dir, "tpch_q11_important_stock")
+    assert "SelectedBucketsCount" in plan
+    # the only hash exchange allowed is the 1-row total broadcast's input
+    # coalesce; per-part agg must ride the bucket partitioning
+    scan_to_agg = plan.split("HashAggregate")[0]
+    assert "Exchange hashpartitioning(ps_partkey" not in scan_to_agg
+
+
+def test_mix_sources_single_window_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "mix_sources_weighted")
+    # exactly ONE window pass (the per-source cumsum) and exactly ONE
+    # full-relation hash exchange feeding it; the remaining exchanges
+    # belong to the 1-row/per-group scalar aggregates, whose inputs are
+    # partial-aggregated to a handful of rows before they move, and both
+    # scalars reach the keep-filter as broadcasts
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    # window exchange partitions on source ALONE; the (source, _w)
+    # exchange belongs to the distinct-weights scalar and is
+    # partial-aggregated to ≤|sources| rows before it moves
+    assert len(re.findall(r"hashpartitioning\(source#\d+, \d+\)", plan)) == 1
+    assert "BroadcastExchange" in plan
+
+
+def test_span_dedup_no_cartesian_one_window(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "span_dedup_global")
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_bloom_decontaminate_broadcasts_filter(spark, sf_dir):
+    """The 2048-word bloom relation must reach the probe as a broadcast —
+    a shuffle join here would defeat the sketch's purpose."""
+    plan = plan_of(spark, sf_dir, "decontaminate_bloom")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
