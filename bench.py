@@ -151,6 +151,8 @@ NEW_QUERIES_R03 = [
     "mmr_rerank_diversified",
     "mmr_rerank_check",
     "gap_fill_forward",
+    "delete_propagate_index",
+    "corpus_diff_snapshots",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

@@ -5550,3 +5550,112 @@ def gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("_n", ignorenulls=True).over(w).alias("carried_n"),
         )
     )
+
+
+@_register(
+    "delete_propagate_index",
+    oracle="""
+    WITH deletes AS (
+        SELECT doc_id FROM documents WHERE doc_id % 50 = 7
+    ),
+    surviving AS (
+        SELECT d.doc_id FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM deletes)
+    )
+    SELECT (SELECT COUNT(*) FROM surviving) AS n_surviving_docs,
+           (SELECT COUNT(*) FROM deletes) AS n_deleted,
+           CAST(0 AS BIGINT) AS n_stale_index_rows,
+           CAST(0 AS BIGINT) AS n_missing_index_docs
+    """,
+    doc="Deletion propagation — the right-to-be-forgotten maintenance"
+        " op for a persisted dedup index: given a delete set (doc_id %"
+        " 50 = 7 stands in for a takedown list), the corpus AND its"
+        " band/text-hash index (dedup.build_dedup_index) must both drop"
+        " every trace. The invariants are recomputed from the ACTUAL"
+        " post-delete index relation: n_stale_index_rows counts index"
+        " rows whose doc is deleted (left-semi vs deletes — flips on"
+        " incomplete propagation); n_missing_index_docs counts"
+        " surviving shingle-bearing docs absent from the index (flips"
+        " on over-deletion). Both anti-join shapes are"
+        " broadcast-friendly: the delete list is always small relative"
+        " to a 100 TB corpus.",
+)
+def delete_propagate_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    deletes = docs.filter(F.col("doc_id") % 50 == 7).select("doc_id")
+    index = S.track_cache(dedup.build_dedup_index(docs))
+    surviving = docs.join(F.broadcast(deletes), "doc_id", "left_anti")
+    new_index = index.join(F.broadcast(deletes), "doc_id", "left_anti")
+    stale = new_index.join(F.broadcast(deletes), "doc_id", "left_semi")
+    # docs with ≥1 shingle must keep index rows; short docs (< n-gram
+    # window) legitimately have none — compare against the ORIGINAL
+    # index's doc set, not the raw corpus
+    indexed_docs = index.select("doc_id").distinct()
+    missing = (
+        surviving.join(indexed_docs, "doc_id", "left_semi")
+        .join(new_index.select("doc_id").distinct(), "doc_id", "left_anti")
+    )
+    return (
+        surviving.agg(F.count("*").alias("n_surviving_docs"))
+        .crossJoin(deletes.agg(F.count("*").alias("n_deleted")))
+        .crossJoin(stale.agg(F.count("*").alias("n_stale_index_rows")))
+        .crossJoin(missing.agg(F.count("*").alias("n_missing_index_docs")))
+    )
+
+
+@_register(
+    "corpus_diff_snapshots",
+    oracle="""
+    WITH old AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3
+    ),
+    new AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 = 5 THEN text || ' v2' ELSE text END
+                   AS text
+        FROM documents WHERE doc_id % 7 <> 4
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.text <> n.text THEN 'changed'
+                ELSE 'unchanged' END AS change
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    WHERE NOT (o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
+               AND o.text = n.text)
+    """,
+    doc="Snapshot diff — the CDC primitive for corpus versioning: two"
+        " corpus snapshots (derived deterministically: docs leave,"
+        " docs arrive, some texts get a ' v2' edit) classified into"
+        " added/removed/changed via ONE full-outer join on the id;"
+        " unchanged rows are filtered out so the diff relation stays"
+        " small. At 100 TB compare xxhash64(text) instead of text —"
+        " same plan, fixed-width compare (the oracle uses the text"
+        " compare form, which the hash form must agree with barring"
+        " 64-bit collisions).",
+)
+def corpus_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 3).select(
+        F.col("doc_id").alias("o_id"), F.col("text").alias("o_text")
+    )
+    new = docs.filter(F.col("doc_id") % 7 != 4).select(
+        F.col("doc_id").alias("n_id"),
+        F.when(
+            F.col("doc_id") % 11 == 5, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("n_text"),
+    )
+    joined = old.join(new, old["o_id"] == new["n_id"], "full_outer")
+    change = (
+        F.when(F.col("o_id").isNull(), "added")
+        .when(F.col("n_id").isNull(), "removed")
+        .when(F.col("o_text") != F.col("n_text"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("o_id"), F.col("n_id")).alias("doc_id"),
+            change.alias("change"),
+        )
+        .filter(F.col("change") != "unchanged")
+    )
