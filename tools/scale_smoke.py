@@ -84,6 +84,14 @@ SMOKE = [
     "semantic_dedup_kmeans",
     "span_dedup_global",
     "approx_percentile_check",
+    "decontaminate_bloom",
+    "quality_filter_top_pct",
+    "length_bucket_batches",
+    "bpe_tokenize_corpus",
+    "mmr_rerank_diversified",
+    "gap_fill_forward",
+    "delete_propagate_index",
+    "corpus_diff_snapshots",
 ]
 
 
