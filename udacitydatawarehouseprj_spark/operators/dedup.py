@@ -991,13 +991,20 @@ def decontaminate_bloom(
     from pyspark.sql import functions as _F
 
     def hashed(df: DataFrame) -> DataFrame:
+        # cached: the k probe arms below union k copies of this relation,
+        # which would otherwise re-run the shingle explode + per-char
+        # polynomial hash fold once per arm (measured ~2× on the train
+        # side at sf0.1)
         sh = shingles(df, id_col, text_col, n)
-        return sh.select(
-            _F.col(id_col), _portable_token_hash_expr("shingle").alias("h")
+        return _cache(
+            sh.select(
+                _F.col(id_col), _portable_token_hash_expr("shingle").alias("h")
+            )
         )
 
+    ev = hashed(evals)
     eval_probes = [
-        hashed(evals).select(w.alias("word"), mk.alias("mask"))
+        ev.select(w.alias("word"), mk.alias("mask"))
         for w, mk in _bloom_probe_cols(_F.col("h"))
     ]
     all_probes = eval_probes[0]
