@@ -137,7 +137,6 @@ def test_mix_sources_weighted_allocations_and_determinism(spark):
 def test_mix_sources_weighted_saturates_small_source(spark):
     from pyspark.sql import functions as F
 
-    rows = [(0, "big", 10_000)] * 1  # one huge doc
     rows = [(i, "big", 100) for i in range(100)] + [(1000, "tiny", 50)]
     df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
     w = F.when(F.col("source") == "tiny", F.lit(9)).otherwise(F.lit(1))

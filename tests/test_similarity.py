@@ -243,3 +243,24 @@ def test_mmr_rerank_diversifies_near_duplicate_candidates(spark):
     got = sorted((r.mmr_rank, r.neighbor_id) for r in out.collect())
     assert got[0] == (1, 1)   # first pick = pure relevance top-1
     assert got[1] == (2, 3)   # second pick diversifies away from 2
+
+
+def test_zero_vector_does_not_poison_semantic_dedup_or_topk(spark):
+    rows = [
+        (0, [0.0, 0.0, 0.0]),          # zero vector, min id in its cell
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.001, 0.0]),        # near-dup of 1
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in
+           similarity.semantic_dedup(df, num_cells=1, iters=1,
+                                     threshold=0.95).collect()}
+    # the zero vector must not drop later vectors (NaN would drop ALL)
+    assert out[1].kept
+    assert not out[2].kept           # real near-dup still detected
+    assert out[3].kept
+    # and a zero CORPUS vector must never outrank real neighbors
+    q = df.filter("vec_id = 1")
+    top = similarity.cosine_topk_blas(df, q, k=1).collect()
+    assert top[0].neighbor_id == 2

@@ -1037,3 +1037,17 @@ def decontaminate_bloom(
         .filter(_F.col("n_flagged") >= min_overlap)
         .select(_F.col(id_col).alias("train_id"), "n_flagged")
     )
+
+
+def delete_from_index(
+    index: DataFrame, deletes: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Right-to-be-forgotten maintenance for a persisted dedup index:
+    drop every (band/text-hash) row belonging to a deleted document.
+    One broadcast anti-join — the delete list is always small relative
+    to a 100 TB index. The gold-standard correctness contract (checked
+    by ``delete_propagate_index``): the result must EQUAL the index
+    rebuilt from scratch on the surviving corpus."""
+    return index.join(
+        F.broadcast(deletes.select(id_col)), id_col, "left_anti"
+    )

@@ -158,7 +158,11 @@ def mix_sources_weighted(
 
     All arithmetic is integer and the keep predicate is cross-multiplied
     (``cum·den·Σw ≤ total·num·w``) so there is no division anywhere —
-    bit-identical in any engine and overflow-safe to ~10^18 total cost.
+    bit-identical in any engine. Overflow bound: the largest product is
+    ``total·den·Σw``, so the safe total-cost ceiling is
+    ``2^63 / (budget_den · Σweights)`` — e.g. ~9·10^16 chars at den=2,
+    Σw=50. Beyond that, switch the comparison columns to DECIMAL(38,0)
+    (exact, slower) rather than trusting silent int64 wraparound.
     Plan shape: one window shuffle on the group column + two 1-row/
     per-group broadcast aggregates; no source is ever scanned twice.
     Sources whose weight share exceeds their actual size simply saturate

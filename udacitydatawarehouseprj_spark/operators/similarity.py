@@ -526,7 +526,10 @@ def cosine_topk_blas(
         for pdf in it:
             cid = pdf[id_col].to_numpy(dtype="int64")
             c = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
-            cn = np.sqrt((c * c).sum(axis=1))
+            # eps guard: a zero corpus vector would give NaN cosine, and
+            # Spark's ORDER BY DESC sorts NaN ABOVE every real value —
+            # the zero vector would silently become everyone's rank 1
+            cn = np.maximum(np.sqrt((c * c).sum(axis=1)), 1e-12)
             sims = (bqmat @ c.T) / np.outer(bqnorms, cn)  # |Q| x |batch|
             out_q, out_n, out_c = [], [], []
             for qi in range(len(bqids)):
@@ -850,7 +853,11 @@ def semantic_dedup(
     def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
         x = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
-        x /= np.sqrt((x * x).sum(axis=1, keepdims=True))
+        # eps guard: a zero vector would otherwise normalize to NaN and
+        # poison every later max-similarity in its cell (dropping all
+        # subsequent vectors); with the guard it is ~orthogonal to
+        # everything and simply kept
+        x /= np.maximum(np.sqrt((x * x).sum(axis=1, keepdims=True)), 1e-12)
         kept_rows: list[int] = []
         kept_flags, max_sims = [], []
         for i in range(len(pdf)):
@@ -979,7 +986,8 @@ def mmr_rerank(
     def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["rank"]).reset_index(drop=True)
         x = np.vstack(pdf["_nv"].to_numpy()).astype("float64")
-        x /= np.sqrt((x * x).sum(axis=1, keepdims=True))
+        # eps guard against zero-vector NaN (see semantic_dedup)
+        x /= np.maximum(np.sqrt((x * x).sum(axis=1, keepdims=True)), 1e-12)
         rel = pdf["cosine"].to_numpy(dtype="float64")
         ids = pdf["neighbor_id"].to_numpy(dtype="int64")
         chosen: list[int] = []

@@ -1125,7 +1125,8 @@ DRIVER_WINDOW = 50
 
 
 def _ordered_names() -> list[str]:
-    rest = [n for n in REGISTRY if n not in set(WINDOW_PRIORITY)]
+    window = set(WINDOW_PRIORITY)
+    rest = [n for n in REGISTRY if n not in window]
     return WINDOW_PRIORITY + rest
 
 
@@ -4772,15 +4773,16 @@ def mix_sources_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ids (anti-join both ways == 0).",
 )
 def pack_bins_ffd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    capacity = 2048  # one constant for both the packing and the invariant
     docs = _t(spark, sf_dir, "documents")
     packed = S.track_cache(
-        layout.pack_bins_ffd(docs, capacity=2048, n_buckets=8)
+        layout.pack_bins_ffd(docs, capacity=capacity, n_buckets=8)
     )
     bins = packed.groupBy("bin_id").agg(
         F.sum("cost").alias("bin_total"), F.count("*").alias("bin_docs")
     )
     overfull = bins.filter(
-        (F.col("bin_docs") >= 2) & (F.col("bin_total") > 2048)
+        (F.col("bin_docs") >= 2) & (F.col("bin_total") > capacity)
     )
     missing = docs.select("doc_id").join(packed, "doc_id", "left_anti")
     extra = packed.select("doc_id").join(docs, "doc_id", "left_anti")
@@ -5564,42 +5566,41 @@ def gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT (SELECT COUNT(*) FROM surviving) AS n_surviving_docs,
            (SELECT COUNT(*) FROM deletes) AS n_deleted,
-           CAST(0 AS BIGINT) AS n_stale_index_rows,
-           CAST(0 AS BIGINT) AS n_missing_index_docs
+           CAST(0 AS BIGINT) AS n_rows_extra_vs_rebuild,
+           CAST(0 AS BIGINT) AS n_rows_missing_vs_rebuild
     """,
     doc="Deletion propagation — the right-to-be-forgotten maintenance"
-        " op for a persisted dedup index: given a delete set (doc_id %"
-        " 50 = 7 stands in for a takedown list), the corpus AND its"
-        " band/text-hash index (dedup.build_dedup_index) must both drop"
-        " every trace. The invariants are recomputed from the ACTUAL"
-        " post-delete index relation: n_stale_index_rows counts index"
-        " rows whose doc is deleted (left-semi vs deletes — flips on"
-        " incomplete propagation); n_missing_index_docs counts"
-        " surviving shingle-bearing docs absent from the index (flips"
-        " on over-deletion). Both anti-join shapes are"
-        " broadcast-friendly: the delete list is always small relative"
-        " to a 100 TB corpus.",
+        " op for a persisted dedup index (dedup.delete_from_index, a"
+        " broadcast anti-join): given a delete set (doc_id % 50 = 7"
+        " stands in for a takedown list), the incrementally-deleted"
+        " index must EQUAL the index REBUILT FROM SCRATCH on the"
+        " surviving corpus — the gold-standard check, computed as"
+        " symmetric anti-join counts over the full (doc_id, band_id,"
+        " band_hash, text_hash) rows. Any trace of a deleted doc left"
+        " behind inflates n_rows_extra_vs_rebuild; any over-deletion"
+        " (or a rebuild/delete divergence in the signature pipeline)"
+        " inflates n_rows_missing_vs_rebuild. Unlike an anti-join"
+        " re-checked against itself, the rebuild is an independent"
+        " derivation — a broken delete_from_index (wrong key, missed"
+        " relation) cannot satisfy it.",
 )
 def delete_propagate_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     deletes = docs.filter(F.col("doc_id") % 50 == 7).select("doc_id")
-    index = S.track_cache(dedup.build_dedup_index(docs))
-    surviving = docs.join(F.broadcast(deletes), "doc_id", "left_anti")
-    new_index = index.join(F.broadcast(deletes), "doc_id", "left_anti")
-    stale = new_index.join(F.broadcast(deletes), "doc_id", "left_semi")
-    # docs with ≥1 shingle must keep index rows; short docs (< n-gram
-    # window) legitimately have none — compare against the ORIGINAL
-    # index's doc set, not the raw corpus
-    indexed_docs = index.select("doc_id").distinct()
-    missing = (
-        surviving.join(indexed_docs, "doc_id", "left_semi")
-        .join(new_index.select("doc_id").distinct(), "doc_id", "left_anti")
-    )
+    surviving_docs = docs.join(F.broadcast(deletes), "doc_id", "left_anti")
+    index = dedup.build_dedup_index(docs)
+    after_delete = S.track_cache(dedup.delete_from_index(index, deletes))
+    rebuilt = S.track_cache(dedup.build_dedup_index(surviving_docs))
+    keys = ["doc_id", "band_id", "band_hash", "text_hash"]
+    extra = after_delete.join(rebuilt, keys, "left_anti")
+    missing = rebuilt.join(after_delete, keys, "left_anti")
     return (
-        surviving.agg(F.count("*").alias("n_surviving_docs"))
+        surviving_docs.agg(F.count("*").alias("n_surviving_docs"))
         .crossJoin(deletes.agg(F.count("*").alias("n_deleted")))
-        .crossJoin(stale.agg(F.count("*").alias("n_stale_index_rows")))
-        .crossJoin(missing.agg(F.count("*").alias("n_missing_index_docs")))
+        .crossJoin(extra.agg(F.count("*").alias("n_rows_extra_vs_rebuild")))
+        .crossJoin(
+            missing.agg(F.count("*").alias("n_rows_missing_vs_rebuild"))
+        )
     )
 
 
