@@ -153,6 +153,7 @@ NEW_QUERIES_R03 = [
     "gap_fill_forward",
     "delete_propagate_index",
     "corpus_diff_snapshots",
+    "csv_ingest_roundtrip",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

@@ -150,3 +150,23 @@ def test_write_compacted_caps_file_size_and_count(spark, sf_dir, tmp_path):
         assert 1 <= len(files) <= 3, files
         for f in files:
             assert pq.ParquetFile(f).metadata.num_rows <= 1000
+
+
+def test_csv_source_captures_corrupt_rows(spark, tmp_path):
+    from udacitydatawarehouseprj_spark.sources import csv_source
+
+    p = tmp_path / "drop"
+    p.mkdir()
+    (p / "part.csv").write_text(
+        "event_id,user_id,event_type,value,ts_ms\n"
+        "1,10,view,1.5,1000\n"
+        "not_a_long,11,click,2.5,2000\n"   # malformed event_id
+        "3,12,view,3.5,3000\n"
+    )
+    df = csv_source.read_events_csv(spark, str(p))
+    rows = df.collect()
+    assert len(rows) == 3
+    good = [r for r in rows if r._corrupt_record is None]
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert {r.event_id for r in good} == {1, 3}
+    assert len(bad) == 1 and bad[0].event_id is None

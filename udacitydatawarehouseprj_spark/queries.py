@@ -5660,3 +5660,51 @@ def corpus_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("change") != "unchanged")
     )
+
+
+@_register(
+    "csv_ingest_roundtrip",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           MIN(epoch_ms(ts)) AS min_ts_ms,
+           MAX(epoch_ms(ts)) AS max_ts_ms,
+           CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4)
+                AS DECIMAL(18,4)) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+    """,
+    doc="CSV ingestion under the hard signal — the third COPY-style"
+        " source format (sources/csv_source.py, alongside the"
+        " reference's two JSON paths): events written as headered CSV"
+        " (distributed write, timestamps as epoch-millis longs — CSV"
+        " has no type system, so typed re-entry is by DECLARED schema,"
+        " never inference), read back PERMISSIVE with corrupt-record"
+        " capture, and aggregated. The oracle computes the same"
+        " aggregates from the parquet events directly: any row loss,"
+        " quoting/escaping damage (event_type strings), long"
+        " truncation, or double round-trip drift fails the hash gate"
+        " (Spark writes shortest-roundtrip doubles; the exact-decimal"
+        " sum makes the comparison order-independent).",
+)
+def csv_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacitydatawarehouseprj_spark.sources import csv_source
+
+    ev = _t(spark, sf_dir, "events")
+    out = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    landing = _scratch_dir(sf_dir, "s3_events_csv")
+    out.write.mode("overwrite").option("header", "true").csv(landing)
+    staged = csv_source.read_events_csv(spark, landing)
+    return staged.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("ts_ms").alias("min_ts_ms"),
+        F.max("ts_ms").alias("max_ts_ms"),
+        _dsum(F.col("value")).alias("total_value"),
+    )
