@@ -154,6 +154,7 @@ NEW_QUERIES_R03 = [
     "delete_propagate_index",
     "corpus_diff_snapshots",
     "csv_ingest_roundtrip",
+    "orc_ingest_roundtrip",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

@@ -5708,3 +5708,39 @@ def csv_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts_ms").alias("max_ts_ms"),
         _dsum(F.col("value")).alias("total_value"),
     )
+
+
+@_register(
+    "orc_ingest_roundtrip",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           MIN(epoch_ms(ts)) AS min_ts_ms,
+           CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4)
+                AS DECIMAL(18,4)) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+    """,
+    doc="ORC ingestion — the fourth source/sink format (parquet"
+        " everywhere, ndjson + nested-tree JSON, headered CSV, now"
+        " ORC): events written as ORC (typed columnar — no text"
+        " round-trip concerns; vectorized reader, predicate pushdown"
+        " and column pruning same as parquet), read back and"
+        " aggregated against the parquet-derived oracle. Timestamps"
+        " travel as epoch-millis longs for cross-format determinism.",
+)
+def orc_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    landing = _scratch_dir(sf_dir, "s4_events_orc")
+    out.write.mode("overwrite").orc(landing)
+    staged = spark.read.orc(landing)
+    return staged.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.min("ts_ms").alias("min_ts_ms"),
+        _dsum(F.col("value")).alias("total_value"),
+    )
