@@ -155,6 +155,7 @@ NEW_QUERIES_R03 = [
     "corpus_diff_snapshots",
     "csv_ingest_roundtrip",
     "orc_ingest_roundtrip",
+    "multimodal_audio_decode",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

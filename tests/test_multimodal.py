@@ -95,3 +95,24 @@ def test_ppm_parser_handles_comments():
     w, h, px = _decode_ppm(buf)
     assert (w, h) == (2, 1)
     assert px.tobytes() == body
+
+
+def test_wav_roundtrip_and_malformed_rejected(spark):
+    from udacitydatawarehouseprj_spark.operators import multimodal as mm
+    import numpy as np
+    import pytest
+
+    buf = mm.encode_wav(7, n_samples=16, rate=8000)
+    rate, samples = mm._decode_wav(buf)
+    assert rate == 8000 and len(samples) == 16
+    expect = (((7 * 31 + np.arange(16) * 7) % 2003) - 1001)
+    assert np.array_equal(samples.astype("int64"), expect)
+    with pytest.raises(ValueError):
+        mm._decode_wav(b"OggS" + b"\x00" * 40)
+    # stereo / non-16-bit rejected by the fmt gate
+    import struct
+    bad_fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    bad = (b"RIFF" + struct.pack("<I", 4 + 8 + len(bad_fmt)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(bad_fmt)) + bad_fmt)
+    with pytest.raises(ValueError):
+        mm._decode_wav(bad)

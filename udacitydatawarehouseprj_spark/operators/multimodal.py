@@ -280,3 +280,137 @@ def extract_byte_features_arrow(df: DataFrame, id_col: str = "doc_id") -> DataFr
             )
 
     return df.mapInArrow(batches, schema=BYTE_FEATURES_SCHEMA)
+
+
+# --- Executable AUDIO decode path (WAV/PCM, stdlib-only) ----------------
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("duration_ms", T.DoubleType()),
+        T.StructField("mean_abs", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def encode_wav(doc_id: int, n_samples: int = 256, rate: int = 8000) -> bytes:
+    """Deterministic synthetic mono 16-bit PCM WAV: sample ``i`` is
+    ``((doc_id*31 + i*7) % 2003) - 1001`` — pure integer arithmetic a SQL
+    oracle can replay, wrapped in a REAL RIFF/WAVE container so the
+    decoder exercises actual chunk parsing (fmt + data), not a shortcut."""
+    import struct
+
+    import numpy as np
+
+    i = np.arange(n_samples, dtype=np.int64)
+    samples = (((int(doc_id) * 31 + i * 7) % 2003) - 1001).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)  # PCM mono
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def attach_wav_payload(df: DataFrame, id_col: str = "doc_id",
+                       n_samples: int = 256, rate: int = 8000) -> DataFrame:
+    """(doc_id, payload=WAV bytes) — the audio-corpus adapter for testing
+    the decode path end-to-end without external media files."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [encode_wav(i, n_samples, rate) for i in ids],
+                }
+            )
+
+    return df.mapInPandas(batches, schema="doc_id long, payload binary")
+
+
+def _decode_wav(buf: bytes):
+    """Parse a RIFF/WAVE container: walk chunks to find ``fmt `` (must be
+    16-bit mono PCM) and ``data``. Returns (sample_rate, int16 array)."""
+    import struct
+
+    import numpy as np
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        size = struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_code, channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if (fmt_code, channels, bits) != (1, 1, 16):
+                raise ValueError("only 16-bit mono PCM WAV supported")
+        elif cid == b"data":
+            data = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    return rate, data
+
+
+def decode_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode audio payloads → (sample_rate, n_samples, duration_ms,
+    mean |amplitude|, RMS). WAV/PCM decodes with the stdlib chunk parser
+    above; compressed codecs (mp3/flac/ogg) gate on a codec library
+    (absent in this container). Aggregates are exact integer sums with
+    ONE final IEEE division/sqrt — deterministic and oracle-checkable."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        out = {k: [] for k in
+               ("doc_id", "sample_rate", "n_samples", "duration_ms",
+                "mean_abs", "rms")}
+        for pdf in it:
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                buf = bytes(payload)
+                if buf[:4] == b"RIFF":
+                    rate, samples = _decode_wav(buf)
+                else:
+                    try:
+                        import soundfile  # noqa: F401
+                    except ImportError as e:
+                        raise NotImplementedError(
+                            "compressed audio decode requires a codec "
+                            "(soundfile/librosa); WAV/PCM decodes natively"
+                        ) from e
+                    raise NotImplementedError(
+                        "compressed decode via soundfile not wired here"
+                    )
+                n = len(samples)
+                s64 = samples.astype("int64")
+                out["doc_id"].append(int(did))
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["duration_ms"].append(n * 1000.0 / rate)
+                out["mean_abs"].append(int(abs(s64).sum()) / n)
+                out["rms"].append(math.sqrt(int((s64 * s64).sum()) / n))
+        if out["doc_id"]:
+            yield pd.DataFrame(
+                {
+                    "doc_id": out["doc_id"],
+                    "sample_rate": pd.array(out["sample_rate"], dtype="int32"),
+                    "n_samples": pd.array(out["n_samples"], dtype="int32"),
+                    "duration_ms": out["duration_ms"],
+                    "mean_abs": out["mean_abs"],
+                    "rms": out["rms"],
+                }
+            )
+
+    return df.mapInPandas(batches, schema=AUDIO_FEATURES_SCHEMA)

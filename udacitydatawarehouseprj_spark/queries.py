@@ -5744,3 +5744,37 @@ def orc_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts_ms").alias("min_ts_ms"),
         _dsum(F.col("value")).alias("total_value"),
     )
+
+
+@_register(
+    "multimodal_audio_decode",
+    oracle="""
+    WITH s AS (
+        SELECT d.doc_id,
+               ((d.doc_id * 31 + u.i * 7) % 2003) - 1001 AS v
+        FROM documents d,
+             (SELECT unnest(range(0, 256)) AS i) u
+    )
+    SELECT doc_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(256 AS INTEGER) AS n_samples,
+           256 * 1000.0 / 8000 AS duration_ms,
+           CAST(SUM(abs(v)) AS DOUBLE) / 256 AS mean_abs,
+           sqrt(CAST(SUM(v * v) AS DOUBLE) / 256) AS rms
+    FROM s GROUP BY doc_id
+    """,
+    doc="Audio decode is EXECUTABLE, mirroring the image path: each doc"
+        " gets a real RIFF/WAVE payload (deterministic 16-bit PCM),"
+        " decode_audio_features walks the actual chunk structure"
+        " (fmt/data, word alignment) inside Arrow-batched mapInPandas"
+        " and emits duration / mean-|amplitude| / RMS from exact"
+        " integer sums with one final division/sqrt. The oracle"
+        " replays the sample formula analytically — a wrong chunk"
+        " offset, endianness, or width bug breaks the hash. Compressed"
+        " codecs gate on a library import (absent here) with the same"
+        " plumbing.",
+)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    wavs = mm.attach_wav_payload(S.spread(docs, ("doc_id",)))
+    return mm.decode_audio_features(wavs)
