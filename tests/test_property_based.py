@@ -86,3 +86,86 @@ def test_token_stats_match_python_model(spark, batch):
         assert r.n_tokens == len(ws)
         assert r.n_token_chars == sum(len(w) for w in ws)
         assert r.n_chars == len(texts[i])
+
+
+# --- round-3 operators --------------------------------------------------
+
+COSTS = st.integers(min_value=1, max_value=5000)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(COSTS, min_size=1, max_size=60))
+def test_pack_bins_ffd_invariants_hold_for_any_costs(spark, costs):
+    """For ANY cost vector: every doc packed exactly once, multi-doc bins
+    never exceed capacity, oversize docs isolated."""
+    from udacitydatawarehouseprj_spark.operators import layout
+
+    cap = 2048
+    df = spark.createDataFrame(
+        list(enumerate(costs)), "doc_id long, n_chars long"
+    )
+    out = layout.pack_bins_ffd(df, capacity=cap, n_buckets=3).collect()
+    assert sorted(r.doc_id for r in out) == list(range(len(costs)))
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault(r.bin_id, []).append(r.cost)
+    for bin_costs in by_bin.values():
+        if len(bin_costs) >= 2:
+            assert sum(bin_costs) <= cap
+        if any(c > cap for c in bin_costs):
+            assert len(bin_costs) == 1
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 3), COSTS), min_size=1, max_size=60
+    )
+)
+def test_mix_sources_allocation_never_exceeded(spark, rows):
+    """For ANY corpus: per-source selected cost never exceeds its exact
+    integer allocation total·num·w/(den·Σw), and selection is a prefix of
+    the hash order (deterministic)."""
+    from pyspark.sql import functions as F
+
+    from udacitydatawarehouseprj_spark.operators import layout
+
+    data = [
+        (i, f"s{src}", cost) for i, (src, cost) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "doc_id long, source string, n_chars long")
+    w = (F.expr("substring(source, 2)").cast("long") % 3) + 1
+    out = layout.mix_sources_weighted(df, w, budget_num=1, budget_den=2)
+    got = out.collect()
+    total = sum(c for _, _, c in data)
+    weights = {s: (int(s[1:]) % 3) + 1
+               for s in {r[1] for r in data}}
+    sum_w = sum(weights.values())
+    per = {}
+    for r in got:
+        per[r.source] = per.get(r.source, 0) + r.n_chars
+    for s, selected in per.items():
+        # cross-multiplied bound: selected·2·Σw ≤ total·w
+        assert selected * 2 * sum_w <= total * weights[s]
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(0, 6), min_size=10, max_size=40))
+def test_span_dedup_reassembly_identity_without_duplicates(spark, seed):
+    """A corpus of globally-unique spans must reassemble EXACTLY (the
+    dedup is the identity when nothing repeats)."""
+    from udacitydatawarehouseprj_spark import queries as Q
+    import os, tempfile
+
+    texts = [
+        " ".join(f"d{i}w{j}x{seed[(i + j) % len(seed)]}" for j in range(12))
+        for i in range(len(seed))
+    ]
+    rows = list(enumerate(texts))
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        out = {r.doc_id: r.clean_text
+               for r in Q.queries()["span_dedup_global"](spark, d).collect()}
+    assert out == dict(rows)

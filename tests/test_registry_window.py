@@ -38,3 +38,38 @@ def test_ordering_preserves_every_registered_query():
 def test_oracle_sql_order_matches_queries_order():
     qnames = [n for n in Q.queries() if Q.REGISTRY[n].oracle]
     assert list(Q.oracle_sql()) == qnames
+
+
+def test_rotate_window_tool_proposes_valid_window(tmp_path, monkeypatch):
+    """The rotation tool must output DRIVER_WINDOW oracled names with the
+    flagship first and never-verified queries prioritized."""
+    import json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "tools/rotate_window.py"],
+        capture_output=True, text=True, cwd=".",
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    names = [
+        line.split('"')[1]
+        for line in out.stdout.splitlines()
+        if line.strip().startswith('"')
+    ]
+    assert len(names) == Q.DRIVER_WINDOW
+    assert names[0] == "flagship_hourly_activity"
+    assert len(set(names)) == Q.DRIVER_WINDOW
+    oracled = set(Q.oracle_sql())
+    assert set(names) <= oracled
+    # never-verified (per the CORRECTNESS files present) come first
+    greens = set()
+    import glob
+    for path in glob.glob("CORRECTNESS_r*.json"):
+        for n, row in json.load(open(path)).items():
+            if row.get("hash_match"):
+                greens.add(n)
+    tail_green = [n for n in names[1:] if n in greens]
+    head_never = [n for n in names[1:] if n not in greens]
+    # all never-verified entries precede all re-verification entries
+    assert names[1:] == head_never + tail_green
