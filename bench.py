@@ -156,6 +156,7 @@ NEW_QUERIES_R03 = [
     "csv_ingest_roundtrip",
     "orc_ingest_roundtrip",
     "multimodal_audio_decode",
+    "scd2_dim_customers",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

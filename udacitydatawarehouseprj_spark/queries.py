@@ -5778,3 +5778,90 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     wavs = mm.attach_wav_payload(S.spread(docs, ("doc_id",)))
     return mm.decode_audio_features(wavs)
+
+
+@_register(
+    "scd2_dim_customers",
+    oracle="""
+    WITH updates AS (
+        SELECT c_custkey,
+               CAST(CAST(c_acctbal AS DECIMAL(15,2)) + CAST(100.00 AS
+                    DECIMAL(5,2)) AS DOUBLE) AS c_acctbal,
+               c_mktsegment
+        FROM customer WHERE c_custkey % 10 = 3
+    ),
+    closed AS (  -- prior version of every updated key, now closed
+        SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment,
+               CAST(1 AS INTEGER) AS version,
+               FALSE AS is_current
+        FROM customer c JOIN updates u ON c.c_custkey = u.c_custkey
+    ),
+    fresh AS (   -- new current version for updated keys
+        SELECT c_custkey, c_acctbal, c_mktsegment,
+               CAST(2 AS INTEGER) AS version,
+               TRUE AS is_current
+        FROM updates
+    ),
+    untouched AS (
+        SELECT c_custkey, c_acctbal, c_mktsegment,
+               CAST(1 AS INTEGER) AS version,
+               TRUE AS is_current
+        FROM customer WHERE c_custkey % 10 <> 3
+    )
+    SELECT * FROM closed
+    UNION ALL SELECT * FROM fresh
+    UNION ALL SELECT * FROM untouched
+    """,
+    doc="Slowly-Changing-Dimension Type 2 merge — the versioned-history"
+        " companion to merge_upsert_customers (Type 1 overwrites; Type 2"
+        " keeps every version with currency flags): an update batch"
+        " (derived deterministically: every custkey%10=3 gets +100.00"
+        " acctbal, exact DECIMAL arithmetic) closes the prior version"
+        " (is_current=false) and appends version 2, while untouched"
+        " keys keep their single current version. One broadcast join"
+        " against the update keys + a union — no shuffle of the"
+        " dimension beyond the join, which is the SCD shape that works"
+        " when the dim is 10^9 rows and the daily update batch is 10^5."
+        " At scale the closed/fresh rows append to a partitioned dim"
+        " table; version arithmetic extends to (valid_from, valid_to)"
+        " timestamps the same way.",
+)
+def scd2_dim_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    updates = cust.filter(F.col("c_custkey") % 10 == 3).select(
+        "c_custkey",
+        (
+            F.col("c_acctbal").cast("decimal(15,2)")
+            + F.lit(100.00).cast("decimal(5,2)")
+        ).cast("double").alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    update_keys = updates.select("c_custkey")
+    closed = (
+        cust.join(F.broadcast(update_keys), "c_custkey", "left_semi")
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            "c_mktsegment",
+            F.lit(1).cast("int").alias("version"),
+            F.lit(False).alias("is_current"),
+        )
+    )
+    fresh = updates.select(
+        "c_custkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.lit(2).cast("int").alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    untouched = (
+        cust.join(F.broadcast(update_keys), "c_custkey", "left_anti")
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            "c_mktsegment",
+            F.lit(1).cast("int").alias("version"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    return closed.unionByName(fresh).unionByName(untouched)
