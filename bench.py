@@ -157,6 +157,7 @@ NEW_QUERIES_R03 = [
     "orc_ingest_roundtrip",
     "multimodal_audio_decode",
     "scd2_dim_customers",
+    "constraint_audit_star",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

@@ -5865,3 +5865,72 @@ def scd2_dim_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return closed.unionByName(fresh).unionByName(untouched)
+
+
+@_register(
+    "constraint_audit_star",
+    oracle="""
+    SELECT 'customer_pk_unique' AS check_name,
+           (SELECT COUNT(*) FROM (
+                SELECT c_custkey FROM customer
+                GROUP BY 1 HAVING COUNT(*) > 1)) AS n_violations
+    UNION ALL
+    SELECT 'orders_fk_customer',
+           (SELECT COUNT(*) FROM orders o
+            WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer))
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+    UNION ALL
+    SELECT 'orders_date_not_null',
+           (SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL)
+    UNION ALL
+    SELECT 'lineitem_qty_positive',
+           (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+    """,
+    doc="Declarative constraint auditing — the engine-side form of the"
+        " reference's DDL constraints (PRIMARY KEY / NOT NULL,"
+        " sql_queries.py:33-134, which Redshift declares but does NOT"
+        " enforce — auditing is how warehouses actually keep them"
+        " honest): key uniqueness via grouped HAVING, referential"
+        " integrity via broadcast anti-joins (orphan FK rows), domain"
+        " checks as pushed-down predicates. Each check is one"
+        " aggregate; violation COUNTS (not booleans) so regressions"
+        " are quantified. At 100 TB the FK anti-join broadcasts the"
+        " key side when dimension-sized and falls back to shuffle"
+        " joins for fact-fact integrity.",
+)
+def constraint_audit_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").cast("long").alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    dup_keys = (
+        cust.groupBy("c_custkey").agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+    )
+    orphan_orders = orders.join(
+        cust.select(F.col("c_custkey").alias("o_custkey")),
+        "o_custkey",
+        "left_anti",
+    )
+    orphan_lines = li.join(
+        orders.select(F.col("o_orderkey").alias("l_orderkey")),
+        "l_orderkey",
+        "left_anti",
+    )
+    null_dates = orders.filter(F.col("o_orderdate").isNull())
+    bad_qty = li.filter(F.col("l_quantity") <= 0)
+    return (
+        one("customer_pk_unique", dup_keys)
+        .unionByName(one("orders_fk_customer", orphan_orders))
+        .unionByName(one("lineitem_fk_orders", orphan_lines))
+        .unionByName(one("orders_date_not_null", null_dates))
+        .unionByName(one("lineitem_qty_positive", bad_qty))
+    )
