@@ -62,14 +62,25 @@ def test_rotate_window_tool_proposes_valid_window(tmp_path, monkeypatch):
     assert len(set(names)) == Q.DRIVER_WINDOW
     oracled = set(Q.oracle_sql())
     assert set(names) <= oracled
-    # never-verified (per the CORRECTNESS files present) come first
-    greens = set()
+    # queries needing signal (never green, OR latest driver row red —
+    # a regression must not rotate out on the strength of an old green)
+    # come first; stable greens fill the tail.
     import glob
+    latest_green, latest_seen = {}, {}
     for path in glob.glob("CORRECTNESS_r*.json"):
+        rnd = int(path.split("_r")[1].split(".")[0])
         for n, row in json.load(open(path)).items():
-            if row.get("hash_match"):
-                greens.add(n)
-    tail_green = [n for n in names[1:] if n in greens]
-    head_never = [n for n in names[1:] if n not in greens]
-    # all never-verified entries precede all re-verification entries
-    assert names[1:] == head_never + tail_green
+            latest_seen[n] = max(latest_seen.get(n, 0), rnd)
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                latest_green[n] = max(latest_green.get(n, 0), rnd)
+
+    def needs_signal(n):
+        return n not in latest_green or latest_seen.get(n, 0) > latest_green[n]
+
+    head = [n for n in names[1:] if needs_signal(n)]
+    tail = [n for n in names[1:] if not needs_signal(n)]
+    assert names[1:] == head + tail

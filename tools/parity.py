@@ -4,9 +4,18 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
 over the same parquet scale factor, then compares:
   1. row count,
   2. column names (sorted),
-  3. exact values (rows sorted by all columns, columns sorted by name) —
-     STRICTER than the driver's hash: any value mismatch prints a diff
-     sample so drift is debuggable before the round ends.
+  3. dtype FAMILY identity (int vs float vs bool vs datetime vs object)
+     BEFORE canonicalization — the driver hashes a typed representation,
+     so ``3`` (int64) vs ``3.0`` (float64) is a driver hash-fail even
+     when every value compares equal. Rounds 1-3 proved this is the
+     failure class the old value-only compare masked (DuckDB SUM(int)
+     returns HUGEINT which fetchdf() materializes as float64). The only
+     tolerated int/float mismatch is the documented pandas nullable-int
+     materialization: an int column with NULLs becomes float64, so the
+     mismatch is allowed IFF the float side actually contains NaN.
+  4. exact values (rows sorted by all columns, columns sorted by name) —
+     any value mismatch prints a diff sample so drift is debuggable
+     before the round ends.
 
 Usage: python tools/parity.py [sf_dir] [query ...]
 """
@@ -40,6 +49,38 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def dtype_family(s: pd.Series) -> str:
+    dt = str(s.dtype)
+    if dt.startswith("datetime64"):
+        return "datetime"
+    if dt.lower().startswith(("int", "uint")):
+        return "int"
+    if dt.lower().startswith("float"):
+        return "float"
+    if dt.lower().startswith("bool"):
+        return "bool"
+    return "object"
+
+
+def family_errors(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
+    """Driver-hash-equivalent dtype check (see module docstring item 3)."""
+    errs: list[str] = []
+    for col in sorted(spark_df.columns):
+        fa, fb = dtype_family(spark_df[col]), dtype_family(duck_df[col])
+        if fa == fb:
+            continue
+        if {fa, fb} == {"int", "float"}:
+            flt = spark_df[col] if fa == "float" else duck_df[col]
+            if flt.isna().any():
+                continue  # nullable-int → float64 materialization
+        errs.append(
+            f"col {col}: dtype-family drift spark={spark_df[col].dtype}"
+            f" duck={duck_df[col].dtype} — driver hash would FAIL even if"
+            " values match"
+        )
+    return errs
+
+
 def values_equal(a, b) -> bool:
     try:
         if pd.isna(a) and pd.isna(b):  # NaN == NaN, NaT == NaT, None == None
@@ -61,6 +102,7 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
     if len(spark_df) != len(duck_df):
         errs.append(f"rowcount: spark={len(spark_df)} duck={len(duck_df)}")
         return errs
+    errs.extend(family_errors(spark_df, duck_df))
     a, b = canon(spark_df), canon(duck_df)
     for col in a.columns:
         av, bv = a[col].tolist(), b[col].tolist()
