@@ -333,25 +333,61 @@ def test_partsupp_reads_bucketed_table(spark, sf_dir):
     assert "Exchange hashpartitioning(ps_partkey" not in scan_to_agg
 
 
-def test_mix_sources_single_window_shuffle(spark, sf_dir):
+def test_mix_sources_distributed_cumsum(spark, sf_dir):
+    """The per-source cumulative sum must be the TWO-PASS distributed
+    prefix sum, not a window partitioned on the ~5-value source column
+    (which sorts each source's entire corpus in ONE partition at scale).
+    """
     plan = plan_of(spark, sf_dir, "mix_sources_weighted")
-    # exactly ONE window pass (the per-source cumsum) and exactly ONE
-    # full-relation hash exchange feeding it; the remaining exchanges
-    # belong to the 1-row/per-group scalar aggregates, whose inputs are
-    # partial-aggregated to a handful of rows before they move, and both
-    # scalars reach the keep-filter as broadcasts
-    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
-    # window exchange partitions on source ALONE; the (source, _w)
-    # exchange belongs to the distinct-weights scalar and is
-    # partial-aggregated to ≤|sources| rows before it moves
-    assert len(re.findall(r"hashpartitioning\(source#\d+, \d+\)", plan)) == 1
+    # the data-bearing window's exchange partitions on (source, _blk) —
+    # sources × 64 ordered hash blocks, each a bounded slice of a source
+    assert re.search(r"hashpartitioning\(source#\d+, _blk#\d+L?, \d+\)", plan)
+    # exactly two windows: the block-local cumsum over the full relation
+    # and the prefix-offset pass over the aggregated sources×blocks
+    # relation (tiny — its input is partial-aggregated before it moves)
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2
+    # offsets / total / Σw / per-source weights all reach the keep-filter
+    # as broadcasts; nothing re-shuffles the base relation after the
+    # local-cumsum window
     assert "BroadcastExchange" in plan
 
 
-def test_span_dedup_no_cartesian_one_window(spark, sf_dir):
+def test_span_dedup_map_side_combining_first_occurrence(spark, sf_dir):
+    """First-occurrence per span must be a partial-aggregating
+    groupBy+min(struct), NOT a row_number window on span_text: a
+    boilerplate span repeated in millions of docs would land every copy
+    in one window partition, while partial min collapses it to one
+    candidate per input partition before the shuffle."""
     plan = plan_of(spark, sf_dir, "span_dedup_global")
     assert "CartesianProduct" not in plan
-    assert "Window" in plan
+    assert re.search(r"partial_min\(_first", plan) or "partial_min" in plan
+    # no window anywhere — reassembly is array_sort(collect_list), and
+    # the hot-key row_number form must not come back
+    assert not re.search(r"\(\d+\) Window", plan)
+
+
+def test_quality_filter_distributed_percent_rank(spark, sf_dir):
+    """percent_rank per language must not sort a whole language in one
+    partition: the data-bearing window partitions on (lang, score-block);
+    the lang-alone window runs over the aggregated langs×64 counts."""
+    plan = plan_of(spark, sf_dir, "quality_filter_top_pct")
+    assert re.search(r"hashpartitioning\(lang#\d+, _blk#\d+, \d+\)", plan)
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2
+    assert "BroadcastExchange" in plan
+    assert "percent_rank" not in plan  # closed-form rank arithmetic
+
+
+def test_length_bucket_no_global_data_window(spark, sf_dir):
+    """The global ntile/row_number of the naive form put the whole corpus
+    in ONE sort partition; the rewrite's data-bearing window partitions
+    on the length block, ntile collapses to closed-form arithmetic, and
+    the only partition-less window runs over the aggregated block
+    counts."""
+    plan = plan_of(spark, sf_dir, "length_bucket_batches")
+    assert re.search(r"hashpartitioning\(_blk#\d+L?, \d+\)", plan)
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2
+    assert "ntile" not in plan
+    assert "BroadcastExchange" in plan
 
 
 def test_bloom_decontaminate_broadcasts_filter(spark, sf_dir):

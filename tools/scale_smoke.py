@@ -174,9 +174,67 @@ def generate(spark) -> None:
         df.write.mode("overwrite").parquet(os.path.join(OUT, f"{name}.parquet"))
 
 
+#: 10 words — exactly one span at the slice boundary, planted verbatim at
+#: the head of every even-doc_id document (50% of the corpus shares ONE
+#: span_text). This is the hot-key shape C4 dedup exists to remove; a
+#: row_number window on span_text would funnel every copy into one
+#: partition, while the groupBy+min(struct) form partial-aggregates each
+#: input partition down to one candidate before the shuffle.
+BOILERPLATE = (
+    "subscribe to our newsletter all rights reserved terms of service"
+)
+
+
+def boilerplate_smoke(spark) -> dict:
+    """Planted-boilerplate property + timing smoke for span_dedup_global.
+
+    Properties checked (hard assertions, not timings):
+    * exactly ONE surviving document keeps the boilerplate span — the
+      first occurrence (min doc_id among planted docs);
+    * every planted document survives (each still has ≥1 unique span
+      from its original text) and no doc_id is duplicated.
+    """
+    boiler_dir = os.path.join(os.path.dirname(OUT), "boiler")
+    docs = S.load_table(spark, SRC, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit(BOILERPLATE + " "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    os.makedirs(boiler_dir, exist_ok=True)
+    planted.write.mode("overwrite").parquet(
+        os.path.join(boiler_dir, "documents.parquet")
+    )
+    t0 = time.perf_counter()
+    out = Q.queries()["span_dedup_global"](spark, boiler_dir)
+    rows = out.select("doc_id", "clean_text").collect()
+    elapsed = round(time.perf_counter() - t0, 3)
+
+    keepers = [r for r in rows if r.clean_text.startswith(BOILERPLATE)]
+    planted_ids = {r.doc_id for r in rows if r.doc_id % 2 == 0}
+    min_planted = min(planted_ids)
+    assert len(keepers) == 1, (
+        f"boilerplate span must survive exactly once, got {len(keepers)}"
+    )
+    assert keepers[0].doc_id == min_planted, (
+        f"first occurrence must win: keeper={keepers[0].doc_id}, "
+        f"min planted={min_planted}"
+    )
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids)), "duplicate doc_id in output"
+    return {"span_dedup_boilerplate_50pct": elapsed, "n_docs": len(rows)}
+
+
 def main() -> None:
     spark = S.get_spark("scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
+    if "--boilerplate" in sys.argv:
+        res = boilerplate_smoke(spark)
+        print(json.dumps({"metric": "span_dedup_boilerplate", "unit": "sec",
+                          **res}))
+        return
     if "--regen" in sys.argv or not os.path.exists(
         os.path.join(OUT, "lineitem.parquet")
     ):

@@ -149,6 +149,7 @@ def mix_sources_weighted(
     cost_col: str = "n_chars",
     budget_num: int = 1,
     budget_den: int = 2,
+    block_shift: int = 25,
 ) -> DataFrame:
     """Deterministic weighted source mixing (the pretraining data-mixture
     step): build a corpus of ``budget_num/budget_den`` of the total cost
@@ -163,8 +164,26 @@ def mix_sources_weighted(
     ``2^63 / (budget_den · Σweights)`` — e.g. ~9·10^16 chars at den=2,
     Σw=50. Beyond that, switch the comparison columns to DECIMAL(38,0)
     (exact, slower) rather than trusting silent int64 wraparound.
-    Plan shape: one window shuffle on the group column + two 1-row/
-    per-group broadcast aggregates; no source is ever scanned twice.
+
+    The per-source cumulative sum is a TWO-PASS distributed prefix sum,
+    not a window partitioned on the source column: with ~5 sources a
+    ``PARTITION BY source`` window sorts each source's ENTIRE corpus in
+    one partition — the low-cardinality-window scale killer. Instead the
+    portable hash's high bits split every source into 2^(31-block_shift)
+    ORDERED blocks (block = _h >> block_shift is monotone in the
+    (_h, id) selection order, and equal hashes land in the same block,
+    so concatenating blocks in block order IS the per-source order):
+    pass 1 computes block-local cumulative sums with a window on
+    (source, block) — cardinality sources × blocks, each partition a
+    1/blocks slice of a source; pass 2 aggregates per-block totals
+    (map-side combined, tiny) and turns them into per-block prefix
+    OFFSETS with a window over that few-hundred-row relation, broadcast
+    back. cum = local_cum + offset, bit-identical to the global window.
+    At 100 TB raise block_shift's complement (more blocks) so a block
+    fits an executor's sort budget. Weights are aggregated to ONE value
+    per source (max) before Σw — a non-constant weight column cannot
+    silently double-count a source's share.
+
     Sources whose weight share exceeds their actual size simply saturate
     (sampling is without replacement; epoch replication is a reader-side
     concern).
@@ -178,22 +197,42 @@ def mix_sources_weighted(
         weight.cast("long").alias("_w"),
     )
     total = base.agg(F.sum("_cost").alias("_total"))
-    sum_w = (
-        base.select(group_col, "_w")
-        .distinct()
-        .agg(F.sum("_w").alias("_sumw"))
+    # one weight per source: max() collapses accidental per-row drift so
+    # Σw cannot double-count a source (round-3 advice); the per-row
+    # predicate below uses the same collapsed value.
+    w_src = base.groupBy(group_col).agg(F.max("_w").alias("_w"))
+    sum_w = w_src.agg(F.sum("_w").alias("_sumw"))
+
+    hashed = (
+        base.drop("_w")
+        .withColumn("_h", portable_hash_expr(id_col))
+        .withColumn("_blk", F.shiftright(F.col("_h"), block_shift))
     )
-    w = (
-        Window.partitionBy(group_col)
+    w_local = (
+        Window.partitionBy(group_col, "_blk")
         .orderBy("_h", id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    ranked = base.withColumn("_h", portable_hash_expr(id_col)).withColumn(
-        "_cum", F.sum("_cost").over(w)
+    local = hashed.withColumn("_lcum", F.sum("_cost").over(w_local))
+    block_totals = hashed.groupBy(group_col, "_blk").agg(
+        F.sum("_cost").alias("_btot")
+    )
+    w_prefix = (
+        Window.partitionBy(group_col)
+        .orderBy("_blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = block_totals.withColumn(
+        "_off", F.coalesce(F.sum("_btot").over(w_prefix), F.lit(0))
+    ).select(group_col, "_blk", "_off")
+
+    ranked = local.join(F.broadcast(offsets), [group_col, "_blk"]).withColumn(
+        "_cum", F.col("_lcum") + F.col("_off")
     )
     return (
         ranked.join(F.broadcast(total))
         .join(F.broadcast(sum_w))
+        .join(F.broadcast(w_src), group_col)
         .filter(
             F.col("_cum") * F.lit(budget_den) * F.col("_sumw")
             <= F.col("_total") * F.lit(budget_num) * F.col("_w")

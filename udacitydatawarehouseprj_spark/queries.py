@@ -3242,10 +3242,10 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12_ship_class_priority",
     oracle="""
     SELECT l.l_returnflag AS ship_class,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -4755,7 +4755,7 @@ def mix_sources_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pack_bins_ffd_check",
     oracle="""
     SELECT COUNT(*) AS n_docs,
-           SUM(CAST(n_chars AS BIGINT)) AS total_cost,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_cost,
            TRUE AS all_fit,
            TRUE AS ids_preserved
     FROM documents
@@ -4812,7 +4812,7 @@ def pack_bins_ffd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            COUNT(*) AS n_docs,
            CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
-           SUM(CAST(n_chars AS BIGINT)) AS total_chars,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
            CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE) / COUNT(*)
                AS mean_chars,
            ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6)
@@ -4969,17 +4969,22 @@ def semantic_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         " any repeated span corpus-wide, first occurrence wins) at"
         " 10-word-span granularity: tokenize → spans via sequence/slice"
         " (codegen, zero-shuffle row multiplication after the scan) →"
-        " ONE window shuffle on span_text (first occurrence by (doc_id,"
-        " span_idx)) → reassemble surviving spans in order per doc"
-        " (array_sort of (idx, text) structs — deterministic, no"
-        " second sort shuffle). Docs whose every span was seen earlier"
-        " vanish entirely, exactly like C4's line dedup. At 100 TB the"
-        " span-hash window is the only wide stage and it carries"
-        " distinct spans, not documents.",
+        " first-occurrence per span via groupBy(span_text) +"
+        " min(struct(doc_id, span_idx)) — struct min orders"
+        " lexicographically, exactly ORDER BY doc_id, span_idx, and"
+        " unlike a row_number window it PARTIAL-AGGREGATES map-side: a"
+        " boilerplate span repeated in millions of docs (the exact"
+        " thing C4 dedup removes) collapses to one candidate per input"
+        " partition before the shuffle, instead of landing every copy"
+        " in one window partition → reassemble surviving spans in order"
+        " per doc (array_sort of (idx, text) structs — deterministic,"
+        " no second sort shuffle). Docs whose every span was seen"
+        " earlier vanish entirely, exactly like C4's line dedup. At"
+        " 100 TB the span-hash aggregation is the only wide stage and"
+        " it carries distinct spans, not span occurrences.",
 )
 def span_dedup_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    from pyspark.sql.window import Window as W
 
     toks = F.split(F.col("text"), " ")
     n_spans = (F.size(toks) + F.lit(9)) / F.lit(10)
@@ -4994,11 +4999,14 @@ def span_dedup_global(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("span_idx", "span_text"),
     )
-    w = W.partitionBy("span_text").orderBy("doc_id", "span_idx")
     kept = (
-        spans.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        spans.groupBy("span_text")
+        .agg(F.min(F.struct("doc_id", "span_idx")).alias("_first"))
+        .select(
+            F.col("_first.doc_id").alias("doc_id"),
+            F.col("_first.span_idx").alias("span_idx"),
+            "span_text",
+        )
     )
     ordered = F.array_sort(
         F.collect_list(F.struct("span_idx", "span_text"))
@@ -5242,11 +5250,21 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Percentile-based quality gating PER LANGUAGE — the standard"
         " 'keep the top X% of each language' pipeline step (an absolute"
         " quality threshold over-prunes low-resource languages;"
-        " per-partition percentile gates don't). One window shuffle on"
-        " lang; the quality metric (alpha ratio — one member of the"
-        " text_quality_score family) is integer counts + one IEEE"
-        " division; (score DESC, doc_id) is a total order so"
-        " percent_rank is deterministic cross-engine.",
+        " per-partition percentile gates don't). The quality metric"
+        " (alpha ratio — one member of the text_quality_score family) is"
+        " integer counts + one IEEE division; (score DESC, doc_id) is a"
+        " total order so the rank is deterministic cross-engine."
+        " percent_rank is computed as an EXACT DISTRIBUTED rank, not a"
+        " window partitioned on the ~few-value lang column (a 3 TB"
+        " language would sort in ONE partition at scale): the score's"
+        " high bits split each language into 64 ORDERED blocks"
+        " (blk = floor(alpha·64), disjoint score ranges, monotone in the"
+        " sort order); a window on (lang, blk) computes block-local row"
+        " numbers, per-block counts aggregate map-side into broadcast"
+        " prefix offsets, and rank = offset + local_rn. With the"
+        " (DESC, doc_id) total order rank == row_number, so"
+        " pr = (rank-1)/(n-1) reproduces percent_rank bit-for-bit —"
+        " integers into one IEEE division, same on every engine.",
 )
 def quality_filter_top_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
@@ -5258,13 +5276,33 @@ def quality_filter_top_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         (alpha.cast("double") / n.cast("double")).alias("alpha_ratio"),
+    ).withColumn(
+        "_blk",
+        F.least(F.floor(F.col("alpha_ratio") * 64), F.lit(63)).cast("int"),
     )
-    w = W.partitionBy("lang").orderBy(
+    w_local = W.partitionBy("lang", "_blk").orderBy(
         F.col("alpha_ratio").desc(), F.col("doc_id")
     )
+    local = scored.withColumn("_lrn", F.row_number().over(w_local))
+    counts = scored.groupBy("lang", "_blk").agg(F.count("*").alias("_c"))
+    w_prefix = (
+        W.partitionBy("lang")
+        .orderBy(F.col("_blk").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_c").over(w_prefix), F.lit(0))
+    ).select("lang", "_blk", "_off")
+    n_lang = scored.groupBy("lang").agg(F.count("*").alias("_n"))
+    rank = F.col("_off") + F.col("_lrn")
+    pr = F.when(
+        F.col("_n") > 1,
+        (rank - 1).cast("double") / (F.col("_n") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
     return (
-        scored.withColumn("_pr", F.percent_rank().over(w))
-        .filter(F.col("_pr") <= 0.6)
+        local.join(F.broadcast(offsets), ["lang", "_blk"])
+        .join(F.broadcast(n_lang), "lang")
+        .filter(pr <= 0.6)
         .select("doc_id", "lang", "alpha_ratio")
     )
 
@@ -5292,28 +5330,67 @@ def quality_filter_top_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         " buckets over a (n_chars, doc_id) total order, then 32-doc"
         " batches inside each bucket by integer division of the"
         " in-bucket rank. Note ntile's remainder rule (earlier tiles"
-        " one larger) is part of the cross-checked contract. At scale"
-        " the global ntile becomes a per-partition bucket over a"
-        " range-partitioned sort — same downstream contract.",
+        " one larger) is part of the cross-checked contract."
+        " The global ntile/row_number windows of the naive form put the"
+        " WHOLE corpus in one sort partition; here the global rank is an"
+        " EXACT DISTRIBUTED two-pass rank (n_chars div 100 blocks are"
+        " disjoint ordered ranges of the sort key: block-local"
+        " row_number window + broadcast prefix counts), and both ntile"
+        " and the in-bucket batch id collapse to CLOSED-FORM integer"
+        " arithmetic on that rank — ntile(16) over N rows gives the"
+        " first N%16 tiles ceil(N/16) rows and the rest floor(N/16), so"
+        " tile and tile-start are pure expressions of (rank, N); no"
+        " second window at all. Bit-identical to the window form,"
+        " scales as one bounded-partition window + a per-row map.",
 )
 def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     docs = _t(spark, sf_dir, "documents")
-    w = W.orderBy("n_chars", "doc_id")
-    ranked = docs.select(
-        "doc_id",
-        "n_chars",
-        F.ntile(16).over(w).alias("len_bucket"),
-        F.row_number().over(w).alias("_rn"),
+    s = docs.select("doc_id", "n_chars").withColumn(
+        "_blk", F.expr("n_chars div 100")
     )
-    wb = W.partitionBy("len_bucket").orderBy("_rn")
-    return ranked.select(
-        "doc_id",
-        "n_chars",
-        "len_bucket",
-        ((F.row_number().over(wb) - 1) / 32).cast("int").alias("batch_id"),
+    w_local = W.partitionBy("_blk").orderBy("n_chars", "doc_id")
+    local = s.withColumn("_lrn", F.row_number().over(w_local))
+    counts = s.groupBy("_blk").agg(F.count("*").alias("_c"))
+    w_prefix = W.orderBy("_blk").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_c").over(w_prefix), F.lit(0))
+    ).select("_blk", "_off")
+    total = s.agg(F.count("*").alias("_N"))
+
+    rn = F.col("_off") + F.col("_lrn")  # exact global row_number
+    base = F.expr("_N div 16")
+    rem = F.col("_N") % 16
+    big = rem * (base + 1)  # rows covered by the (base+1)-sized tiles
+    ranked = (
+        local.join(F.broadcast(offsets), "_blk")
+        .join(F.broadcast(total))
+        .withColumn("_rn", rn)
+        .withColumn(
+            "len_bucket",
+            F.when(
+                F.col("_rn") <= big,
+                F.expr("(_rn - 1) div (_N div 16 + 1)") + 1,
+            )
+            .otherwise(
+                rem + F.expr("(_rn - (_N % 16) * (_N div 16 + 1) - 1) div (_N div 16)") + 1
+            )
+            .cast("int"),
+        )
+        .withColumn(
+            "_tile_start",
+            F.when(
+                F.col("len_bucket") <= rem,
+                (F.col("len_bucket") - 1) * (base + 1) + 1,
+            ).otherwise(big + (F.col("len_bucket") - 1 - rem) * base + 1),
+        )
+        .withColumn(
+            "batch_id",
+            F.expr("(_rn - _tile_start) div 32").cast("int"),
+        )
     )
+    return ranked.select("doc_id", "n_chars", "len_bucket", "batch_id")
 
 
 def _bpe_apply_oracle(n_merges: int, max_chars: int = 12) -> str:
