@@ -199,6 +199,7 @@ def main() -> None:
             ph["readback_agg"] = round(timings[name] - sum(ph.values()), 3)
             phases[name] = ph
 
+    S.release_shared_caches()  # cross-query LSH pair relation etc.
     sf = sf_dir.rstrip("/").split("sf")[-1]
     headline_total = round(sum(timings[n] for n in HEADLINE), 3)
     print(

@@ -31,18 +31,21 @@ _SEQ = [
 
 def test_no_net_cached_block_growth(spark, sf_dir):
     S.release_tracked_caches()
+    S.release_shared_caches()
     qs = Q.queries()
     baseline = _n_persisted(spark)
     counts = []
     for name in _SEQ:
         qs[name](spark, sf_dir).count()
         counts.append(_n_persisted(spark))
-    # In-flight caches bounded by one query's worth (≤3 relations), never
-    # the sum over the sequence — i.e. the boundary release works.
-    assert max(counts) - baseline <= 3, counts
+    # In-flight caches bounded by one query's worth of tracked caches
+    # (≤3 relations) plus the one session-shared LSH pair relation —
+    # never the sum over the sequence, i.e. the boundary release works.
+    assert max(counts) - baseline <= 4, counts
     # Repeat visits to the same query plateau rather than grow.
     assert counts[3] <= counts[0] + 1 and counts[5] <= counts[0] + 1, counts
     S.release_tracked_caches()
+    S.release_shared_caches()
     assert _n_persisted(spark) <= baseline
 
 
@@ -52,3 +55,29 @@ def test_release_is_idempotent_and_safe_before_action(spark, sf_dir):
     S.release_tracked_caches()
     # released before any action: plan still executes correctly, uncached
     assert df.count() > 0
+
+
+def test_shared_cache_memoizes_across_query_boundaries(spark, sf_dir):
+    """The LSH pair relation is built once and REUSED by its three
+    consumers — the query-boundary release must not drop it, and the
+    explicit shared release must."""
+    S.release_shared_caches()
+    qs = Q.queries()
+    a = qs["dedup_minhash_lsh"](spark, sf_dir)
+    a.count()
+    n_shared = len(S._SHARED_CACHES)
+    assert n_shared == 1
+    # crossing a query boundary (which releases tracked caches) must not
+    # evict the shared relation…
+    b = qs["dedup_near_dup_clusters"](spark, sf_dir)
+    b.count()
+    assert len(S._SHARED_CACHES) == 1  # same entry, not a second build
+    c = qs["dedup_keep_best_quality"](spark, sf_dir)
+    assert c.count() > 0
+    assert len(S._SHARED_CACHES) == 1
+    # …and results stay consistent with a fresh, uncached build
+    S.release_shared_caches()
+    assert len(S._SHARED_CACHES) == 0
+    fresh = qs["dedup_minhash_lsh"](spark, sf_dir)
+    assert sorted(map(tuple, fresh.collect())) == sorted(map(tuple, a.collect()))
+    S.release_shared_caches()

@@ -157,6 +157,7 @@ def main() -> int:
                 print(f"      {e}")
         else:
             print(f"ok    {name} ({len(sdf)} rows)")
+    S.release_shared_caches()  # cross-query LSH pair relation etc.
     print(f"\n{failures} failures")
     return 1 if failures else 0
 

@@ -731,6 +731,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, threshold=0.5)
 
 
+def _lsh_pairs_05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH pair relation (threshold 0.5) over documents,
+    built ONCE per session per corpus and shared across its three
+    consumers (dedup_minhash_lsh, dedup_near_dup_clusters,
+    dedup_keep_best_quality) via session.shared_cache — the relation is
+    tiny (surviving pairs only) but its build is a full signature +
+    band-join pipeline worth sharing."""
+    docs = _t(spark, sf_dir, "documents")
+    # keyed by application id so a restarted session never reuses a
+    # DataFrame bound to a stopped SparkContext
+    app = spark.sparkContext.applicationId
+    return S.shared_cache(
+        f"minhash_lsh_pairs:0.5:{sf_dir}:{app}",
+        lambda: dedup.minhash_lsh_pairs(docs, threshold=0.5),
+    )
+
+
 @_register(
     "dedup_minhash_lsh",
     oracle=_JACCARD_ORACLE,
@@ -742,11 +759,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         " equality with the exhaustive join: on a different corpus a"
         " ~1e-4-probability LSH miss near the threshold would fail the"
         " gate without any code bug (known, accepted flake mode —"
-        " verification makes false positives impossible, not misses).",
+        " verification makes false positives impossible, not misses)."
+        " The pair relation is session-shared (one build feeds the"
+        " cluster-dedup family too — see _lsh_pairs_05).",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    return _lsh_pairs_05(spark, sf_dir)
 
 
 @_register(
@@ -2672,8 +2690,7 @@ def array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         " is driver-PASS equal to the exact pair set).",
 )
 def dedup_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    pairs = _lsh_pairs_05(spark, sf_dir)
     return dedup.connected_components(pairs)
 
 
@@ -5066,7 +5083,7 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    pairs = _lsh_pairs_05(spark, sf_dir)
     labels = dedup.connected_components(pairs)
     singletons = docs.select("doc_id").join(
         labels.select("doc_id"), "doc_id", "left_anti"

@@ -87,6 +87,42 @@ def release_tracked_caches() -> None:
         _TRACKED_CACHES.pop().unpersist()
 
 
+# Session-scoped SHARED caches: small derived relations that several
+# DISTINCT registered queries rebuild identically (the MinHash-LSH pair
+# relation feeds dedup_minhash_lsh, dedup_near_dup_clusters AND
+# dedup_keep_best_quality — three signature builds for one logical
+# relation). Unlike _TRACKED_CACHES these survive query boundaries; they
+# are keyed so a different corpus/threshold builds its own entry, and
+# they hold only SMALL relations (candidate pairs, learned merge tables)
+# — never corpus-sized data. Released explicitly by harness teardown
+# (bench/parity end) or release_all_caches().
+_SHARED_CACHES: dict[str, DataFrame] = {}
+
+
+def shared_cache(key: str, build) -> DataFrame:
+    """Memoize ``build()`` under ``key``, persisted, across query
+    boundaries. The first consumer's action materializes it; later
+    queries in the same session reuse the cached relation instead of
+    re-running the build pipeline."""
+    df = _SHARED_CACHES.get(key)
+    if df is None:
+        df = build().persist()
+        _SHARED_CACHES[key] = df
+    return df
+
+
+def release_shared_caches() -> None:
+    """Unpersist and forget every shared cache (harness teardown)."""
+    while _SHARED_CACHES:
+        _, df = _SHARED_CACHES.popitem()
+        try:
+            df.unpersist()
+        except Exception:
+            # entry bound to an already-stopped SparkContext — nothing
+            # to unpersist; forgetting the reference is the teardown
+            pass
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply runtime-mutable confs to any session (ours or the driver's).
 
