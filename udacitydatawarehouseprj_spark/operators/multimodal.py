@@ -374,10 +374,13 @@ def decode_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import math
 
-        out = {k: [] for k in
-               ("doc_id", "sample_rate", "n_samples", "duration_ms",
-                "mean_abs", "rms")}
+        # one output frame per INPUT Arrow batch — accumulating the whole
+        # partition in memory would defeat mapInPandas batch streaming on
+        # a large partition of audio payloads
         for pdf in it:
+            out = {k: [] for k in
+                   ("doc_id", "sample_rate", "n_samples", "duration_ms",
+                    "mean_abs", "rms")}
             for did, payload in zip(pdf[id_col], pdf["payload"]):
                 buf = bytes(payload)
                 if buf[:4] == b"RIFF":
@@ -401,16 +404,18 @@ def decode_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 out["duration_ms"].append(n * 1000.0 / rate)
                 out["mean_abs"].append(int(abs(s64).sum()) / n)
                 out["rms"].append(math.sqrt(int((s64 * s64).sum()) / n))
-        if out["doc_id"]:
-            yield pd.DataFrame(
-                {
-                    "doc_id": out["doc_id"],
-                    "sample_rate": pd.array(out["sample_rate"], dtype="int32"),
-                    "n_samples": pd.array(out["n_samples"], dtype="int32"),
-                    "duration_ms": out["duration_ms"],
-                    "mean_abs": out["mean_abs"],
-                    "rms": out["rms"],
-                }
-            )
+            if out["doc_id"]:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": out["doc_id"],
+                        "sample_rate": pd.array(out["sample_rate"],
+                                                dtype="int32"),
+                        "n_samples": pd.array(out["n_samples"],
+                                              dtype="int32"),
+                        "duration_ms": out["duration_ms"],
+                        "mean_abs": out["mean_abs"],
+                        "rms": out["rms"],
+                    }
+                )
 
     return df.mapInPandas(batches, schema=AUDIO_FEATURES_SCHEMA)
