@@ -3593,14 +3593,22 @@ def streaming_corpus_dedup_readback(spark: SparkSession, sf_dir: str) -> DataFra
     ckpt = f"{base}/ckpt"
 
     with _phase("streaming_corpus_dedup_readback", "landing_write"):
-        docs.filter(F.col("doc_id") % 5 != 4).write.mode("overwrite").json(src)
+        # coalesce is FIXTURE plumbing (thousands of docs, not 100 TB):
+        # 32 near-empty json files cost more in stream-source listing +
+        # per-file read tasks than the data; a real crawl drop arrives
+        # already sized by the crawler.
+        docs.filter(F.col("doc_id") % 5 != 4).coalesce(8).write.mode(
+            "overwrite"
+        ).json(src)
     with _phase("streaming_corpus_dedup_readback", "stream_run"), \
             _state_partitions(spark, 8):
         q = corpus_stream.run_incremental_dedup_stream(
             spark, src, ckpt, corpus_dir, index_dir
         )
         q.awaitTermination(600)
-        docs.filter(F.col("doc_id") % 5 == 4).write.mode("append").json(src)
+        docs.filter(F.col("doc_id") % 5 == 4).coalesce(2).write.mode(
+            "append"
+        ).json(src)
         q2 = corpus_stream.run_incremental_dedup_stream(
             spark, src, ckpt, corpus_dir, index_dir
         )
