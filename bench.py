@@ -160,6 +160,17 @@ NEW_QUERIES_R03 = [
     "constraint_audit_star",
 ]
 
+#: queries added in round 4 — their own bucket (value_new_r04).
+NEW_QUERIES_R04 = [
+    "source_cap_topn",
+    "funnel_signup_purchase",
+    "retention_cohorts",
+    "winsorize_event_values",
+    "truncate_token_budget",
+    "contamination_fraction",
+    "cluster_size_histogram",
+]
+
 #: queries whose bench time is dominated by fixture orchestration, not
 #: the operator: queries.PHASE_TIMINGS records their harness phases
 #: (landing-zone write, stream run) so the report splits harness cost
@@ -189,7 +200,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     phases: dict[str, dict[str, float]] = {}
-    for name in HEADLINE + NEW_QUERIES_R02 + NEW_QUERIES_R03:
+    for name in HEADLINE + NEW_QUERIES_R02 + NEW_QUERIES_R03 + NEW_QUERIES_R04:
         t0 = time.perf_counter()
         run_one(registry[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -216,6 +227,9 @@ def main() -> None:
                 ),
                 "value_new_r03": round(
                     sum(timings[n] for n in NEW_QUERIES_R03), 3
+                ),
+                "value_new_r04": round(
+                    sum(timings[n] for n in NEW_QUERIES_R04), 3
                 ),
                 "phases": phases,
                 "n_headline": len(HEADLINE),

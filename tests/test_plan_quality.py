@@ -390,6 +390,33 @@ def test_length_bucket_no_global_data_window(spark, sf_dir):
     assert "BroadcastExchange" in plan
 
 
+def test_source_cap_distributed_rank(spark, sf_dir):
+    """The per-source cap rank must use the two-pass distributed rank —
+    data window on (source, length-block), never on source alone."""
+    plan = plan_of(spark, sf_dir, "source_cap_topn")
+    assert re.search(r"hashpartitioning\(source#\d+, _blk#\d+L?, \d+\)", plan)
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2
+    assert "BroadcastExchange" in plan
+
+
+def test_contamination_probe_is_broadcast(spark, sf_dir):
+    """Eval 5-gram set must reach the train-side probe as a broadcast —
+    a shuffle join on gram strings defeats the small-eval-set design."""
+    plan = plan_of(spark, sf_dir, "contamination_fraction")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_reuses_user_exchange(spark, sf_dir):
+    """Both aggregation/join stages hash on user_id; no cartesian and no
+    extra full-relation exchange beyond the user-key shuffles + the
+    day rollup of per-user rows."""
+    plan = plan_of(spark, sf_dir, "funnel_signup_purchase")
+    assert "CartesianProduct" not in plan
+    # events scans push the event_type filter down
+    assert "event_type" in plan and "PushedFilters" in plan
+
+
 def test_bloom_decontaminate_broadcasts_filter(spark, sf_dir):
     """The 2048-word bloom relation must reach the probe as a broadcast —
     a shuffle join here would defeat the sketch's purpose."""

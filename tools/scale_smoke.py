@@ -92,6 +92,14 @@ SMOKE = [
     "gap_fill_forward",
     "delete_propagate_index",
     "corpus_diff_snapshots",
+    # round 4
+    "source_cap_topn",
+    "funnel_signup_purchase",
+    "retention_cohorts",
+    "winsorize_event_values",
+    "truncate_token_budget",
+    "contamination_fraction",
+    "cluster_size_histogram",
 ]
 
 

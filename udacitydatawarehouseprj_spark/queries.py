@@ -1124,19 +1124,20 @@ WINDOW_PRIORITY: list[str] = [
     "multimodal_audio_decode",
     "scd2_dim_customers",
     "constraint_audit_star",
+    # round-4 wave (registered this round, never driver-checked)
+    "source_cap_topn",
+    "funnel_signup_purchase",
+    "retention_cohorts",
+    "winsorize_event_values",
+    "truncate_token_budget",
+    "contamination_fraction",
+    "cluster_size_histogram",
     # stalest greens (round-1 rows) re-confirmed with remaining slots
     "projection_rename",
     "filter_eq",
     "filter_like_lower",
     "filter_null_probe",
     "join_left_compound",
-    "join_inner",
-    "join_anti",
-    "star_join_region_revenue",
-    "agg_count_star",
-    "agg_groupby_count",
-    "agg_grouping_sets",
-    "distinct_multi",
 ]
 
 #: size of the driver's recorded window (empirical, rounds 1-2)
@@ -6037,3 +6038,381 @@ def constraint_audit_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(one("orders_date_not_null", null_dates))
         .unionByName(one("lineitem_qty_positive", bad_qty))
     )
+
+
+# =====================================================================
+# Round-4 wave: per-source capping, funnel & retention analytics,
+# winsorization, token-budget truncation, eval-set contamination
+# scoring, duplicate-cluster profiling — the remaining
+# curation/analytics shapes a pretraining-data warehouse runs, each
+# with the distributed-exact-rank machinery where a naive window would
+# partition on a low-cardinality key.
+# =====================================================================
+
+
+@_register(
+    "source_cap_topn",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id
+               ) AS rnk
+        FROM documents
+    )
+    SELECT doc_id, source, n_chars, CAST(rnk AS INTEGER) AS rnk
+    FROM r WHERE rnk <= 10
+    """,
+    doc="Per-source document cap — 'keep at most N best docs per"
+        " source' (the anti-overrepresentation guard a mixture pipeline"
+        " applies to crawl dumps before weighting; N=10 on the"
+        " fixture). The per-source rank by (n_chars DESC, doc_id) is"
+        " the EXACT DISTRIBUTED rank, not a window on the ~20-value"
+        " source column: n_chars div 100 blocks are disjoint ordered"
+        " ranges of the sort key, so a window on (source, block)"
+        " computes block-local row numbers and broadcast prefix counts"
+        " lift them to exact global ranks (the same two-pass machinery"
+        " as quality_filter_top_pct — at 100 TB no source ever sorts in"
+        " one partition; the cap filter then prunes before any further"
+        " stage).",
+)
+def source_cap_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.select("doc_id", "source", "n_chars").withColumn(
+        "_blk", F.expr("n_chars div 100")
+    )
+    w_local = W.partitionBy("source", "_blk").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    local = s.withColumn("_lrn", F.row_number().over(w_local))
+    counts = s.groupBy("source", "_blk").agg(F.count("*").alias("_c"))
+    w_prefix = (
+        W.partitionBy("source")
+        .orderBy(F.col("_blk").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_c").over(w_prefix), F.lit(0))
+    ).select("source", "_blk", "_off")
+    return (
+        local.join(F.broadcast(offsets), ["source", "_blk"])
+        .withColumn("rnk", (F.col("_off") + F.col("_lrn")).cast("int"))
+        .filter(F.col("rnk") <= 10)
+        .select("doc_id", "source", "n_chars", "rnk")
+    )
+
+
+@_register(
+    "funnel_signup_purchase",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, MIN(ts) AS signup_ts
+        FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    p AS (
+        SELECT s.user_id, MIN(e.ts) AS purchase_ts
+        FROM s JOIN events e
+          ON e.user_id = s.user_id
+         AND e.event_type = 'purchase'
+         AND e.ts > s.signup_ts
+        GROUP BY 1
+    )
+    SELECT date_trunc('day', s.signup_ts) AS cohort_day,
+           CAST(COUNT(*) AS BIGINT) AS n_signups,
+           CAST(COUNT(p.user_id) AS BIGINT) AS n_converted
+    FROM s LEFT JOIN p ON s.user_id = p.user_id
+    GROUP BY 1
+    """,
+    doc="Event funnel (signup → first purchase strictly after) rolled"
+        " up by signup-day cohort — the conversion dashboard every"
+        " event warehouse serves. Plan: one groupBy(user) for first"
+        " signups, one user-key join + groupBy for first qualifying"
+        " purchases (both shuffles hash on user_id so AQE reuses the"
+        " exchange), then a day-grain rollup of per-user rows —"
+        " corpus-size work is two user-key shuffles; the day rollup"
+        " input is one row per signup user.",
+)
+def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        s.join(p, "user_id", "left")
+        .groupBy(F.date_trunc("day", "signup_ts").alias("cohort_day"))
+        .agg(
+            F.count("*").cast("long").alias("n_signups"),
+            F.count("purchase_ts").cast("long").alias("n_converted"),
+        )
+    )
+
+
+@_register(
+    "retention_cohorts",
+    oracle="""
+    WITH w AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    ),
+    c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM w GROUP BY 1)
+    SELECT c.cohort_wk AS cohort_week,
+           CAST(date_diff('day', c.cohort_wk, w.wk) // 7 AS BIGINT)
+               AS week_offset,
+           CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS n_active
+    FROM w JOIN c ON w.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+    doc="Weekly retention cohort matrix — users bucketed by first-seen"
+        " week, activity counted at each week offset (the"
+        " product-analytics staple). Both week stamps are"
+        " date_trunc('week') (Monday start on both engines), so the"
+        " offset is an exact integer day-difference div 7 — no"
+        " engine-specific week-diff semantics. Plan: distinct"
+        " (user, week) pairs → per-user min (both hash on user_id, one"
+        " exchange reused) → count-distinct rollup over the tiny"
+        " (cohort, offset) grid.",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    c = w.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        w.join(c, "user_id")
+        .groupBy(
+            F.col("cohort_wk").alias("cohort_week"),
+            F.expr("datediff(wk, cohort_wk) div 7")
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+    )
+
+
+@_register(
+    "winsorize_event_values",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.05), 6) AS lo,
+               ROUND(quantile_cont(value, 0.95), 6) AS hi
+        FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           CAST(SUM(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_low,
+           CAST(SUM(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_high,
+           {_SQL_DSUM('least(greatest(e.value, b.lo), b.hi)')}
+               AS sum_clipped
+    FROM events e JOIN b ON e.event_type = b.event_type
+    GROUP BY 1
+    """,
+    doc="Winsorization (outlier clipping to per-group p05/p95) — the"
+        " robust-statistics step before any mean-based metric or"
+        " feature normalization. Exact interpolated percentiles are"
+        " computed per event_type (bounded groups), ROUNDED to 6 dp so"
+        " the clip boundary is cross-engine identical (interpolation"
+        " association order can differ by 1 ulp), then broadcast back"
+        " for a map-side clip + one aggregation. The clipped sum uses"
+        " the exact-decimal round→narrow→double chain (_dsum) like"
+        " every double aggregate in the file. At 100 TB swap the exact"
+        " percentile for approx_percentile and keep this form as the"
+        " oracle anchor — the same exact/sketch pairing as the dedup"
+        " family.",
+)
+def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.05)"), 6).alias("lo"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(b), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_low"),
+            F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_high"),
+            _dsum(clipped).alias("sum_clipped"),
+        )
+    )
+
+
+@_register(
+    "truncate_token_budget",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(tk) AS INTEGER) AS n_tokens_orig,
+           CAST(least(len(tk), 64) AS INTEGER) AS n_tokens_kept,
+           len(tk) > 64 AS is_truncated,
+           CAST(length(array_to_string(tk[1:64], ' ')) AS INTEGER)
+               AS n_chars_kept
+    FROM t
+    """,
+    doc="Token-budget truncation (head-truncate every document to 64"
+        " whitespace tokens) — the max-sequence-length guard between"
+        " cleaning and packing; emits original/kept token counts, the"
+        " truncation flag, and the kept-prefix char length so packing"
+        " budgets stay exact. Pure per-row array arithmetic"
+        " (split/slice/array_join) inside whole-stage codegen — zero"
+        " shuffles, scales as a map.",
+)
+def truncate_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens_orig"),
+        F.least(F.size(toks), F.lit(64)).alias("n_tokens_kept"),
+        (F.size(toks) > 64).alias("is_truncated"),
+        F.length(F.array_join(F.slice(toks, 1, 64), " ")).alias(
+            "n_chars_kept"
+        ),
+    )
+
+
+@_register(
+    "contamination_fraction",
+    oracle="""
+    WITH tk AS (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+        FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(t[u.i:u.i + 4], ' ') AS gram
+        FROM tk, unnest(range(1, greatest(len(t) - 3, 1))) AS u(i)
+    ),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+    tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+    SELECT tr.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           CAST(SUM(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS contamination_frac
+    FROM tr LEFT JOIN ev ON tr.gram = ev.gram
+    GROUP BY 1
+    """,
+    doc="Per-document eval-set contamination SCORE — the graded"
+        " companion to decontaminate_overlap/decontaminate_bloom:"
+        " instead of a boolean kill, each training document reports"
+        " what fraction of its distinct word-5-grams appears anywhere"
+        " in the held-out set (doc_id % 97 == 0 stands in for the eval"
+        " corpus), the signal used to set contamination thresholds."
+        " Plan: distinct 5-grams per doc via codegen"
+        " sequence/slice/array_join (the span_dedup tokenizer shape),"
+        " eval grams deduped and BROADCAST to the probe join (eval"
+        " sets are small by construction), integer counts + one IEEE"
+        " division. Docs under 5 tokens have no shingles and drop out"
+        " (nothing to score). At corpus scale swap gram strings for"
+        " xxhash64(gram) — same counts up to ~2^-64 collisions — as"
+        " the dedup family does.",
+)
+def contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    grams = F.when(
+        F.size(toks) >= 5,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 4),
+                lambda i: F.array_join(F.slice(toks, i, 5), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select("doc_id", F.explode(grams).alias("gram"))
+    ev = (
+        g.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    tr = g.filter(F.col("doc_id") % 97 != 0)
+    return (
+        tr.join(F.broadcast(ev), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_contaminated"),
+            (
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double")
+                / F.count("*")
+            ).alias("contamination_frac"),
+        )
+    )
+
+
+@_register(
+    "cluster_size_histogram",
+    oracle=f"""
+    WITH RECURSIVE p AS ({_JACCARD_ORACLE}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM p
+        UNION
+        SELECT doc_b, doc_a FROM p
+    ),
+    nodes AS (SELECT DISTINCT a AS n FROM edges),
+    reach(s, t) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a
+    ),
+    labels AS (SELECT s AS doc_id, MIN(t) AS cluster_id FROM reach GROUP BY s),
+    all_labels AS (
+        SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+    ),
+    sizes AS (
+        SELECT cluster_id, COUNT(*) AS cluster_size
+        FROM all_labels GROUP BY 1
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM sizes GROUP BY 1
+    """,
+    doc="Duplicate-cluster size distribution — the dedup QA dashboard"
+        " (how much of the corpus is singletons vs 2-clusters vs"
+        " boilerplate blobs) that decides whether near-dup thresholds"
+        " are tuned right before committing to a full dedup pass."
+        " THIRD consumer of the session-shared LSH pair relation"
+        " (_lsh_pairs_05 — the build runs once for dedup_minhash_lsh,"
+        " the cluster family, and this profile): pairs → connected"
+        " components → singleton append via anti-join → two tiny"
+        " aggregations. The oracle replays clustering as the same"
+        " recursive CTE the cluster family uses.",
+)
+def cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _lsh_pairs_05(spark, sf_dir)
+    labels = dedup.connected_components(pairs)
+    singletons = docs.select("doc_id").join(
+        labels.select("doc_id"), "doc_id", "left_anti"
+    ).select("doc_id", F.col("doc_id").alias("cluster_id"))
+    all_labels = labels.unionByName(singletons)
+    sizes = all_labels.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return sizes.groupBy(
+        F.col("cluster_size").cast("long").alias("cluster_size")
+    ).agg(F.count("*").cast("long").alias("n_clusters"))
