@@ -169,6 +169,13 @@ NEW_QUERIES_R04 = [
     "truncate_token_budget",
     "contamination_fraction",
     "cluster_size_histogram",
+    # wave 2
+    "text_normalize_nfc",
+    "dsir_importance_weights",
+    "curriculum_order_shards",
+    "reservoir_sample_per_group",
+    "random_projection_embeddings",
+    "jl_distortion_check",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

@@ -423,3 +423,48 @@ def test_bloom_decontaminate_broadcasts_filter(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "decontaminate_bloom")
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_curriculum_distributed_rank(spark, sf_dir):
+    """The global curriculum rank must be the two-pass distributed rank —
+    the data-bearing window partitions on the n_chars block; the only
+    partition-less window runs over the tiny block-counts relation."""
+    plan = plan_of(spark, sf_dir, "curriculum_order_shards")
+    assert re.search(r"hashpartitioning\(_blk#\d+L?, \d+\)", plan)
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2
+    assert "BroadcastExchange" in plan
+
+
+def test_reservoir_sample_distributed_rank(spark, sf_dir):
+    """k-per-lang sampling must never window on the ~5-value lang key
+    alone — the data window partitions on (lang, hash-block)."""
+    plan = plan_of(spark, sf_dir, "reservoir_sample_per_group")
+    assert re.search(r"hashpartitioning\(lang#\d+, _blk#\d+L?, \d+\)", plan)
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2
+    assert "BroadcastExchange" in plan
+
+
+def test_random_projection_pure_map(spark, sf_dir):
+    """The JL projection is a per-row map: no exchange (beyond the
+    small-file spread), no window, no join, no Python evaluator."""
+    plan = plan_of(spark, sf_dir, "random_projection_embeddings")
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_dsir_weight_table_broadcasts(spark, sf_dir):
+    """The DSIR weight table is bounded at B=4096 rows by construction
+    and must reach the per-doc join as a broadcast; the corpus-side
+    relation shuffles once on the doc key."""
+    plan = plan_of(spark, sf_dir, "dsir_importance_weights")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_normalize_nfc_single_python_pass(spark, sf_dir):
+    """NFC canonicalization is ONE Arrow-batched Python stage and zero
+    shuffles (hash/length run JVM-side on the UDF output)."""
+    plan = plan_of(spark, sf_dir, "text_normalize_nfc")
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+    assert "Exchange hashpartitioning" not in plan

@@ -264,3 +264,54 @@ def test_zero_vector_does_not_poison_semantic_dedup_or_topk(spark):
     q = df.filter("vec_id = 1")
     top = similarity.cosine_topk_blas(df, q, k=1).collect()
     assert top[0].neighbor_id == 2
+
+
+def test_random_projection_matches_hand_rollout(spark):
+    """y_j must equal the index-order fold Σ_i x_i·s(i,j) with the
+    documented sign hash — recomputed here in pure Python."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    rng = np.random.RandomState(7)
+    vecs = [
+        Row(vec_id=i, embedding=[float(x) for x in rng.randn(8)])
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(vecs)
+    got = {
+        r.vec_id: [r[f"y{j:02d}"] for j in range(4)]
+        for r in similarity.random_projection(df, dims=8, k=4).collect()
+    }
+
+    def sign(i, j, k=4):
+        n = i * k + j
+        h1 = (n * similarity.PROJ_MULT + similarity.PROJ_ADD) % similarity.PROJ_MOD
+        h2 = (h1 * h1 + n) % similarity.PROJ_MOD
+        return -1 if h2 % 65536 >= 32768 else 1
+
+    for row in vecs:
+        x = row.embedding
+        for j in range(4):
+            acc = 0.0
+            for i in range(8):
+                acc = acc + x[i] * sign(i, j)
+            assert got[row.vec_id][j] == round(acc, 6)
+
+
+def test_random_projection_signs_not_degenerate(spark):
+    """The sign hash must not collapse to the (i+j) parity checkerboard
+    (which would make all projected dims copies of each other up to
+    sign): adjacent dims must disagree on some index."""
+    def sign(i, j, k=16):
+        n = i * k + j
+        h1 = (n * similarity.PROJ_MULT + similarity.PROJ_ADD) % similarity.PROJ_MOD
+        h2 = (h1 * h1 + n) % similarity.PROJ_MOD
+        return -1 if h2 % 65536 >= 32768 else 1
+
+    cols = [tuple(sign(i, j) for i in range(64)) for j in range(16)]
+    for a in range(16):
+        assert abs(sum(cols[a])) < 64  # not constant
+        for b in range(a + 1, 16):
+            dot = sum(x * y for x, y in zip(cols[a], cols[b]))
+            # random ±1 columns: |corr| concentrates below ~4/sqrt(64)
+            assert abs(dot) <= 32, (a, b, dot)

@@ -99,3 +99,75 @@ def test_repetition_stats_all_unique(spark):
     row = textops.repetition_stats(_doc(spark, "a b c d")).collect()[0]
     assert row.n_2grams == 3
     assert row.dup_2gram_frac == 0.0
+
+
+def test_normalize_nfc_composes_and_cleans(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="café latte"),     # decomposed é → NFC composes
+            Row(doc_id=1, text="café latte"),      # precomposed é — same after NFC
+            Row(doc_id=2, text="a\x00b\x07c\x7fd"),     # C0 controls + DEL stripped
+            Row(doc_id=3, text="  a \t\n  b\r\r  "),    # whitespace collapsed + stripped
+            Row(doc_id=4, text="plain text"),           # untouched
+        ]
+    )
+    got = {r.doc_id: r for r in textops.normalize_nfc(docs).collect()}
+    # composed and decomposed forms canonicalize to the SAME bytes
+    assert got[0].norm_hash == got[1].norm_hash
+    assert got[0].n_chars_norm == 10  # 'café latte'
+    assert got[0].changed and not got[1].changed
+    assert got[2].n_chars_norm == 4 and got[2].changed  # 'abcd'
+    assert got[3].n_chars_norm == 3 and got[3].changed  # 'a b'
+    assert not got[4].changed
+
+
+def test_dsir_doc_bucket_counts_bigram_totals(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, lang="en", text="the cat sat"),   # 2 bigrams
+            Row(doc_id=1, lang="de", text="hund"),          # 1 token → 0 bigrams
+            Row(doc_id=2, lang="en", text="a b a b a"),     # 4 bigrams, 2 distinct
+        ]
+    )
+    dbc = textops.dsir_doc_bucket_counts(docs).collect()
+    per_doc = {}
+    for r in dbc:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.cnt
+        assert 0 <= r.bucket < textops.DSIR_BUCKETS
+    assert per_doc == {0: 2, 2: 4}  # single-token doc yields NO rows
+    # 'a b a b a' has exactly 2 distinct bigrams ('a b' ×2, 'b a' ×2)
+    doc2 = sorted(r.cnt for r in dbc if r.doc_id == 2)
+    assert doc2 == [2, 2]
+
+
+def test_degenerate_docs_match_oracle_semantics(spark):
+    """Empty/tiny docs must follow the DuckDB oracle's empty-list
+    semantics (NULL fingerprint, zero trigrams/bigrams) — Spark's
+    sequence(1, 0) DESCENDS ([1, 0]) instead of being empty, which
+    un-guarded folds would silently feed garbage indices."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text=""), Row(doc_id=1, text="ab"), Row(doc_id=2, text="abcd")]
+    )
+    fp = {r.doc_id: r.fingerprint for r in textops.fingerprint_rolling(docs).collect()}
+    assert fp[0] is None  # oracle: list_sum([]) IS NULL
+    assert fp[1] == ord("a") * 1 + ord("b") * 2
+    assert fp[2] is not None
+
+    langs = docs.withColumn("lang", textops.F.lit("en"))
+    tri = textops.trigram_lm_score(docs)
+    scored = {r.doc_id for r in tri.collect()}
+    assert 0 not in scored and 1 not in scored  # no trigrams → no row
+    assert 2 in scored
+    _ = langs
+
+
+def test_byte_features_empty_payload_is_null_checksum(spark):
+    from udacitydatawarehouseprj_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame([Row(doc_id=0, text=""), Row(doc_id=1, text="A")])
+    rows = {
+        r.doc_id: r
+        for r in mm.extract_byte_features(mm.attach_payload(docs)).collect()
+    }
+    assert rows[0].checksum is None and rows[0].first_byte == -1
+    assert rows[1].checksum == 65 and rows[1].first_byte == 65

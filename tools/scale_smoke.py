@@ -100,6 +100,13 @@ SMOKE = [
     "truncate_token_budget",
     "contamination_fraction",
     "cluster_size_histogram",
+    # round 4 wave 2
+    "text_normalize_nfc",
+    "dsir_importance_weights",
+    "curriculum_order_shards",
+    "reservoir_sample_per_group",
+    "random_projection_embeddings",
+    "jl_distortion_check",
 ]
 
 

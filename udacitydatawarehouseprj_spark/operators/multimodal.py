@@ -78,9 +78,11 @@ def extract_byte_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     "first_byte": payloads.map(
                         lambda b: int(b[0]) if len(b) else -1
                     ).astype("int32"),
+                    # empty payload → NULL, matching the oracle's
+                    # list_sum([]) semantics
                     "checksum": payloads.map(
-                        lambda b: sum(b) % CHECKSUM_MOD
-                    ).astype("int64"),
+                        lambda b: sum(b) % CHECKSUM_MOD if len(b) else None
+                    ).astype("Int64"),
                 }
             )
 
@@ -268,7 +270,7 @@ def extract_byte_features_arrow(df: DataFrame, id_col: str = "doc_id") -> DataFr
                 b = buf.as_py()
                 n_bytes.append(len(b))
                 first.append(b[0] if b else -1)
-                checksum.append(sum(b) % CHECKSUM_MOD)
+                checksum.append(sum(b) % CHECKSUM_MOD if b else None)
             yield pa.RecordBatch.from_arrays(
                 [
                     ids.cast(pa.int64()),

@@ -50,6 +50,59 @@ def grouped_top_k(
     )
 
 
+def exact_distributed_rank(
+    df: DataFrame,
+    block: Column,
+    order: Sequence[Column],
+    partition: Sequence[str] = (),
+    block_desc: bool = False,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """EXACT global (or per-partition-key) ``row_number`` rank WITHOUT a
+    single-partition window sort — the two-pass machinery shared by
+    ``source_cap_topn`` / ``curriculum_order_shards`` /
+    ``reservoir_sample_per_group`` (and, in bespoke closed-form variants,
+    ``quality_filter_top_pct`` / ``length_bucket_batches``).
+
+    ``block`` must be a coarse function of the LEADING sort key that is
+    monotone in the sort direction (e.g. ``n_chars div 100`` for an
+    ``ORDER BY n_chars``): block values then delimit disjoint ordered
+    ranges of the sort order, so
+
+    1. a window on ``partition + [block]`` computes block-local row
+       numbers (every block sorts in its own partition — at 100 TB no
+       partition key's corpus ever sorts in one task), and
+    2. per-block counts (a tiny ``n_partitions × n_blocks`` relation)
+       prefix-summed over blocks — in ``block_desc`` order when the sort
+       descends — become broadcast offsets that lift local row numbers
+       to the exact global rank.
+
+    Bit-identical to ``ROW_NUMBER() OVER (PARTITION BY partition ORDER BY
+    order)`` for any total order (callers must include a unique
+    tie-break). The prefix window itself is global-single-partition, but
+    over the counts relation, which is bounded by design.
+    """
+    part = list(partition)
+    s = df.withColumn("_blk", block)
+    w_local = Window.partitionBy(*(part + ["_blk"])).orderBy(*order)
+    local = s.withColumn("_lrn", F.row_number().over(w_local))
+    counts = s.groupBy(*(part + ["_blk"])).agg(F.count("*").alias("_c"))
+    blk_ord = F.col("_blk").desc() if block_desc else F.col("_blk").asc()
+    w_prefix = (
+        (Window.partitionBy(*part) if part else Window.partitionBy())
+        .orderBy(blk_ord)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_c").over(w_prefix), F.lit(0))
+    ).select(*part, "_blk", "_off")
+    return (
+        local.join(F.broadcast(offsets), part + ["_blk"])
+        .withColumn(rank_col, F.col("_off") + F.col("_lrn"))
+        .drop("_blk", "_lrn", "_off")
+    )
+
+
 def merge_upsert(
     target: DataFrame,
     updates: DataFrame,

@@ -1014,3 +1014,69 @@ def mmr_rerank(
         rerank,
         "query_id long, neighbor_id long, mmr_rank int, relevance double",
     )
+
+
+# --- deterministic sparse random projection (JL transform) -------------
+
+#: projection sign-hash constants — the Knuth multiplicative family the
+#: engine already uses for split/shuffle hashing (layout.SPLIT_HASH_*);
+#: all intermediates < 2^63 for dims*k < 2^20, portable to any int64 engine.
+PROJ_MULT = 2_654_435_761
+PROJ_ADD = 40_503
+PROJ_MOD = 2_147_483_647
+
+
+def _proj_sign_sql(i_expr: str, j: int, k: int) -> str:
+    """Spark/DuckDB-shared SQL for the ±1 projection entry s(i, j).
+
+    Two-round mix on n = i·k + j: h1 = (n·MULT + ADD) % MOD, then
+    h2 = (h1² + n) % MOD, sign = bit 15 of h2 (spelled ``% 65536 >=
+    32768`` — comparison and %, the operator subset both engines parse
+    identically; no engine-specific shift/intdiv syntax). The LOW bit
+    of a single multiplicative round is badly structured (adjacent n
+    differ by an even constant mod an odd modulus → parity runs, and
+    adjacent j columns become shifted copies — measured |corr| ≈ 1);
+    squaring + a mid bit brings max inter-column |corr| on the 64×16
+    matrix to 0.25 (the ±1-random expectation). All intermediates
+    < 2^62 for n < 2^20, so int64 arithmetic never overflows in either
+    engine."""
+    n = f"(({i_expr}) * {k} + {j})"
+    h1 = f"(({n} * {PROJ_MULT} + {PROJ_ADD}) % {PROJ_MOD})"
+    h2 = f"(({h1} * {h1} + {n}) % {PROJ_MOD})"
+    return f"(CASE WHEN {h2} % 65536 >= 32768 THEN -1 ELSE 1 END)"
+
+
+def random_projection(
+    df: DataFrame,
+    dims: int = 64,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction with a DETERMINISTIC
+    dense ±1 projection (Achlioptas 2003: ±1 entries satisfy the JL
+    distortion bound with the same constants as Gaussian): y_j = Σ_i
+    x_i · s(i, j), where s is a pure hash of (i, j) — no random state, no
+    projection matrix to store or ship: every executor re-derives any
+    entry from two integers, so the transform is reproducible across
+    runs, engines, and cluster topologies (the property that matters
+    when re-projecting a growing 100 TB corpus incrementally).
+
+    Implementation: k fold expressions over the vector (F.aggregate in
+    index order, the engine's exact-dot-product convention) — a pure
+    per-row map inside codegen, zero shuffles, zero Python. For k·dims
+    beyond codegen comfort (~10^4), the BLAS mapInPandas path
+    (cosine_pairs_blas_tiled's block layout) is the swap-in.
+
+    Output: (id, y00..y{k-1}) with each y rounded to 6dp (per-row IEEE
+    determinism per SURVEY §5.1).
+    """
+    cols = [F.col(id_col)]
+    for j in range(k):
+        fold = F.expr(
+            f"aggregate(sequence(1, {dims}), CAST(0.0 AS DOUBLE),"
+            f" (acc, i) -> acc + CAST({vec_col}[i-1] AS DOUBLE)"
+            f" * {_proj_sign_sql('i-1', j, k)})"
+        )
+        cols.append(F.round(fold, 6).alias(f"y{j:02d}"))
+    return df.select(*cols)

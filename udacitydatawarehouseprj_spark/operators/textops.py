@@ -16,6 +16,8 @@ identical across engines, so the DuckDB oracle matches bit-for-bit.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -138,8 +140,12 @@ def fingerprint_rolling(df: DataFrame, id_col: str = "doc_id",
         f" (acc, i) -> acc + CAST(ascii(substring({text_col}, i, 1)) AS BIGINT)"
         f" * (((i - 1) % {FINGERPRINT_WINDOW}) + 1))"
     )
+    # empty text → NULL, matching the oracle's list_sum([]) (and dodging
+    # Spark's sequence(1, 0) = [1, 0] descending-sequence surprise)
     return spread(df).select(
-        F.col(id_col), (fold % FINGERPRINT_MOD).alias("fingerprint")
+        F.col(id_col),
+        F.when(F.length(F.col(text_col)) > 0, fold % FINGERPRINT_MOD)
+        .alias("fingerprint"),
     )
 
 
@@ -173,9 +179,13 @@ def trigram_lm_score(
     """
     from udacitydatawarehouseprj_spark.session import spread
 
+    # CASE guard: sequence(1, 0) descends in Spark — docs shorter than 3
+    # chars must contribute zero trigrams, as the oracle's range() does
     tri = F.expr(
-        f"transform(sequence(1, greatest(length({text_col}) - 2, 0)),"
+        f"CASE WHEN length({text_col}) >= 3 THEN"
+        f" transform(sequence(1, length({text_col}) - 2),"
         f" i -> substring({text_col}, i, 3))"
+        f" ELSE CAST(array() AS array<string>) END"
     )
     # One explode pass reduced immediately to per-(doc, gram) counts:
     # map-side combine collapses the raw gram stream (|docs|·|chars| rows)
@@ -500,4 +510,107 @@ def bpe_learn_merges(
         corpus.unpersist()
     return spark.createDataFrame(
         merges, "merge_idx int, left_sym string, right_sym string, pair_count bigint"
+    )
+
+
+def normalize_nfc(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unicode NFC normalization + control-char strip + whitespace
+    collapse — the canonicalization pass a crawl corpus runs before any
+    hashing/dedup (bytes that LOOK identical must BE identical, or exact
+    dedup silently misses composed-vs-decomposed duplicates).
+
+    Pipeline (identical on the DuckDB oracle side via ``nfc_normalize``
+    + RE2 ``regexp_replace`` — the character classes are spelled with
+    explicit ranges so Python ``re`` and RE2 agree):
+
+    1. NFC-compose (UAX #15 — ``unicodedata`` here, utf8proc in DuckDB);
+    2. strip C0 controls + DEL, except TAB/LF/CR
+       (``[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]``);
+    3. collapse ``[ \\t\\n\\r]+`` runs to one space; strip ends.
+
+    Scale: Arrow-batched ``mapInPandas`` — the ONE legitimate Python
+    spot (Spark has no NFC builtin); one streaming pass, zero shuffles,
+    output hashed/measured JVM-side. Returns (id, n_chars_norm,
+    changed, norm_hash).
+    """
+    import re as _re
+    import unicodedata
+
+    ctrl = _re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+    ws = _re.compile("[ \t\n\r]+")
+
+    def norm_one(t: str) -> str:
+        return ws.sub(" ", ctrl.sub("", unicodedata.normalize("NFC", t))).strip()
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            norm = pdf[text_col].map(norm_one)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "norm_text": norm,
+                    "changed": norm.ne(pdf[text_col]),
+                }
+            )
+
+    out = df.select(id_col, text_col).mapInPandas(
+        batches, schema=f"{id_col} long, norm_text string, changed boolean"
+    )
+    return out.select(
+        F.col(id_col),
+        F.length("norm_text").cast("long").alias("n_chars_norm"),
+        F.col("changed"),
+        F.md5(F.col("norm_text").cast("binary")).alias("norm_hash"),
+    )
+
+
+#: DSIR hashed-feature space size. Bounded BY CONSTRUCTION: the weight
+#: table can never exceed this many rows, so it broadcasts at any corpus
+#: size — the importance model's memory is O(B), not O(corpus).
+DSIR_BUCKETS = 4096
+
+
+def dsir_doc_bucket_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: Sequence[str] = ("lang",),
+) -> DataFrame:
+    """Hashed-bigram feature counts per (doc, bucket) — the shared input
+    relation for DSIR importance weighting (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    lowercase whitespace tokens → adjacent-pair bigram strings → portable
+    char-fold hash (dedup._portable_token_hash_expr — bit-identical in
+    any int64 engine) → bucket = h % DSIR_BUCKETS.
+
+    ONE explode pass over the corpus and ONE doc-key shuffle; every
+    downstream DSIR statistic (raw counts, target counts, per-doc
+    scores) derives from this relation, which is bounded by
+    n_docs × min(n_bigrams, B) rows.
+    """
+    from udacitydatawarehouseprj_spark.operators.dedup import (
+        _portable_token_hash_expr,
+    )
+
+    base = df.select(id_col, *extra_cols, _toks(text_col).alias("_toks"))
+    # CASE guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) rather than
+    # returning empty — single-token docs must yield zero bigrams, as
+    # DuckDB's range(1, 1) = [] does on the oracle side
+    bigrams = F.expr(
+        "CASE WHEN size(_toks) >= 2 THEN"
+        " transform(sequence(1, size(_toks) - 1),"
+        " i -> concat(_toks[i-1], ' ', _toks[i]))"
+        " ELSE CAST(array() AS array<string>) END"
+    )
+    exploded = (
+        base.select(id_col, *extra_cols, F.explode(bigrams).alias("bg"))
+        .withColumn("h", _portable_token_hash_expr("bg"))
+        .withColumn("bucket", (F.col("h") % DSIR_BUCKETS).cast("int"))
+    )
+    return exploded.groupBy(id_col, *extra_cols, "bucket").agg(
+        F.count("*").alias("cnt")
     )

@@ -1132,12 +1132,16 @@ WINDOW_PRIORITY: list[str] = [
     "truncate_token_budget",
     "contamination_fraction",
     "cluster_size_histogram",
-    # stalest greens (round-1 rows) re-confirmed with remaining slots
-    "projection_rename",
-    "filter_eq",
-    "filter_like_lower",
-    "filter_null_probe",
-    "join_left_compound",
+    # round-4 wave 2 (registered this round, never driver-checked) —
+    # these take the slots previously used to re-confirm round-1 greens
+    # (those keep their r1 green rows; fresh queries need signal more):
+    "text_normalize_nfc",
+    "dsir_importance_weights",
+    "curriculum_order_shards",
+    "random_projection_embeddings",
+    "jl_distortion_check",
+    # reservoir_sample_per_group intentionally waits for the r5 window
+    # (its rank machinery is driver-exercised via source_cap_topn above)
 ]
 
 #: size of the driver's recorded window (empirical, rounds 1-2)
@@ -6077,28 +6081,16 @@ def constraint_audit_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         " stage).",
 )
 def source_cap_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
     docs = _t(spark, sf_dir, "documents")
-    s = docs.select("doc_id", "source", "n_chars").withColumn(
-        "_blk", F.expr("n_chars div 100")
+    ranked = rel.exact_distributed_rank(
+        docs.select("doc_id", "source", "n_chars"),
+        block=F.expr("n_chars div 100"),
+        order=[F.col("n_chars").desc(), F.col("doc_id")],
+        partition=["source"],
+        block_desc=True,
     )
-    w_local = W.partitionBy("source", "_blk").orderBy(
-        F.col("n_chars").desc(), F.col("doc_id")
-    )
-    local = s.withColumn("_lrn", F.row_number().over(w_local))
-    counts = s.groupBy("source", "_blk").agg(F.count("*").alias("_c"))
-    w_prefix = (
-        W.partitionBy("source")
-        .orderBy(F.col("_blk").desc())
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    offsets = counts.withColumn(
-        "_off", F.coalesce(F.sum("_c").over(w_prefix), F.lit(0))
-    ).select("source", "_blk", "_off")
     return (
-        local.join(F.broadcast(offsets), ["source", "_blk"])
-        .withColumn("rnk", (F.col("_off") + F.col("_lrn")).cast("int"))
+        ranked.withColumn("rnk", F.col("rnk").cast("int"))
         .filter(F.col("rnk") <= 10)
         .select("doc_id", "source", "n_chars", "rnk")
     )
@@ -6416,3 +6408,385 @@ def cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.groupBy(
         F.col("cluster_size").cast("long").alias("cluster_size")
     ).agg(F.count("*").cast("long").alias("n_clusters"))
+
+
+# =====================================================================
+# Round-4 wave 2: corpus canonicalization (NFC), DSIR importance
+# weighting, curriculum sharding, per-group reservoir sampling, and
+# deterministic JL random projection with a distortion invariant —
+# the selection/representation half of the pretraining-data toolchain
+# (wave 1 covered capping/packing/contamination).
+# =====================================================================
+
+
+@_register(
+    "text_normalize_nfc",
+    oracle="""
+    WITH n AS (
+        SELECT doc_id, text,
+               trim(regexp_replace(regexp_replace(
+                        nfc_normalize(text),
+                        '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+                    '[ \\t\\n\\r]+', ' ', 'g')) AS nt
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(nt) AS BIGINT) AS n_chars_norm,
+           nt <> text AS changed,
+           md5(nt) AS norm_hash
+    FROM n
+    """,
+    doc="Unicode canonicalization (NFC compose + C0-control strip +"
+        " whitespace collapse) — the pass that makes look-alike bytes"
+        " identical BEFORE any hash-based dedup. Arrow-batched"
+        " mapInPandas (Spark has no NFC builtin — the one legitimate"
+        " Python spot), one streaming pass, zero shuffles; hashing and"
+        " length measured JVM-side on the way out. The oracle replays"
+        " the pipeline with nfc_normalize + RE2 regexp_replace —"
+        " explicit character ranges keep Python re and RE2 in"
+        " agreement (operators/textops.py normalize_nfc).",
+)
+def text_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return textops.normalize_nfc(S.spread(docs))
+
+
+@_register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS t
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(range(1, len(t)),
+                      i -> t[i] || ' ' || t[i+1])) AS bg
+        FROM toks
+    ),
+    feat AS (
+        SELECT doc_id, lang,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(bg) + 1),
+                           i -> CAST(unicode(substr(bg, CAST(i AS INTEGER), 1)) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % {dedup.PORTABLE_HASH_MOD}
+               ) % {textops.DSIR_BUCKETS} AS bucket
+        FROM bg
+    ),
+    dbc AS (
+        SELECT doc_id, lang, bucket, COUNT(*) AS cnt FROM feat GROUP BY 1, 2, 3
+    ),
+    bt AS (
+        SELECT bucket,
+               CAST(SUM(cnt) AS BIGINT) AS rcnt,
+               CAST(SUM(CASE WHEN lang = 'en' THEN cnt ELSE 0 END) AS BIGINT) AS tcnt
+        FROM dbc GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(rcnt) AS BIGINT) AS r_total,
+               CAST(SUM(tcnt) AS BIGINT) AS t_total
+        FROM bt
+    ),
+    w AS (
+        SELECT bucket,
+               CAST(ROUND(ln(CAST(tcnt + 1 AS DOUBLE)
+                             / CAST(t_total + {textops.DSIR_BUCKETS} AS DOUBLE)), 6)
+                    AS DECIMAL(18,6))
+             - CAST(ROUND(ln(CAST(rcnt + 1 AS DOUBLE)
+                             / CAST(r_total + {textops.DSIR_BUCKETS} AS DOUBLE)), 6)
+                    AS DECIMAL(18,6)) AS w
+        FROM bt, tot
+    ),
+    per_doc AS (
+        SELECT d.doc_id,
+               CAST(SUM(d.cnt) AS BIGINT) AS n_bigrams,
+               CAST(CAST(ROUND(SUM(d.cnt * w.w), 4) AS DECIMAL(18,4)) AS DOUBLE)
+                   AS dsir_logweight
+        FROM dbc d JOIN w USING (bucket) GROUP BY 1
+    )
+    SELECT doc.doc_id,
+           COALESCE(p.n_bigrams, 0) AS n_bigrams,
+           COALESCE(p.dsir_logweight, 0.0) AS dsir_logweight
+    FROM documents doc LEFT JOIN per_doc p ON doc.doc_id = p.doc_id
+    """,
+    doc="DSIR importance weighting (Xie et al. 2023, 'Data Selection"
+        " for Language Models via Importance Resampling'): per-doc"
+        " log importance = Σ hashed-bigram counts × log-likelihood"
+        " ratio of target (lang='en') vs raw bucket distributions,"
+        " add-one smoothed over B=4096 hashed buckets. The feature"
+        " space is bounded BY CONSTRUCTION, so the weight table"
+        " broadcasts at any corpus size; ONE bigram explode pass and"
+        " one doc-key shuffle produce the shared (doc, bucket, cnt)"
+        " relation every statistic derives from. ln() is not"
+        " bit-portable across engines (measured 5% 1-ulp drift vs"
+        " DuckDB libm), so each per-bucket log is rounded to 6dp and"
+        " cast DECIMAL(18,6) before the exact decimal per-doc sums"
+        " (SURVEY §5.1 convention).",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    B = textops.DSIR_BUCKETS
+    dbc = textops.dsir_doc_bucket_counts(S.spread(docs))
+    bt = dbc.groupBy("bucket").agg(
+        F.sum("cnt").cast("long").alias("rcnt"),
+        F.sum(
+            F.when(F.col("lang") == "en", F.col("cnt")).otherwise(F.lit(0))
+        ).cast("long").alias("tcnt"),
+    )
+    tot = bt.agg(
+        F.sum("rcnt").cast("long").alias("r_total"),
+        F.sum("tcnt").cast("long").alias("t_total"),
+    )
+    w = bt.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.round(
+                F.log(
+                    (F.col("tcnt") + 1).cast("double")
+                    / (F.col("t_total") + B).cast("double")
+                ),
+                6,
+            ).cast("decimal(18,6)")
+            - F.round(
+                F.log(
+                    (F.col("rcnt") + 1).cast("double")
+                    / (F.col("r_total") + B).cast("double")
+                ),
+                6,
+            ).cast("decimal(18,6)")
+        ).alias("w"),
+    )
+    per_doc = (
+        dbc.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            _narrow(F.sum(F.col("cnt") * F.col("w"))).alias("dsir_logweight"),
+        )
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias("n_bigrams"),
+        F.coalesce(F.col("dsir_logweight"), F.lit(0.0)).alias("dsir_logweight"),
+    )
+
+
+@_register(
+    "curriculum_order_shards",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, n_chars,
+               ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rnk
+        FROM documents
+    )
+    SELECT doc_id, n_chars,
+           CAST(rnk AS BIGINT) AS rnk,
+           CAST((rnk - 1) % 8 AS INTEGER) AS shard,
+           CAST((rnk - 1) // 8 AS BIGINT) AS pos_in_shard
+    FROM r
+    """,
+    doc="Curriculum ordering: rank the corpus easy→hard (n_chars as the"
+        " difficulty proxy; any scored column drops in) and stride the"
+        " order across 8 shards — shard k holds ranks ≡ k (mod 8) in"
+        " rank order, so every shard sees the same smooth difficulty"
+        " ramp and a data loader reading shards in parallel preserves"
+        " the curriculum. The global ORDER BY is the EXACT DISTRIBUTED"
+        " rank (operators/relational.py exact_distributed_rank: n_chars"
+        " div 100 blocks + broadcast prefix offsets) — bit-identical to"
+        " ROW_NUMBER() with NO single-partition sort anywhere; shard"
+        " and position are then closed-form arithmetic on the rank.",
+)
+def curriculum_order_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    ranked = rel.exact_distributed_rank(
+        docs.select("doc_id", "n_chars"),
+        block=F.expr("n_chars div 100"),
+        order=[F.col("n_chars"), F.col("doc_id")],
+    )
+    return ranked.select(
+        "doc_id",
+        "n_chars",
+        F.col("rnk").cast("long").alias("rnk"),
+        ((F.col("rnk") - 1) % 8).cast("int").alias("shard"),
+        F.expr("(rnk - 1) div 8").cast("long").alias("pos_in_shard"),
+    )
+
+
+@_register(
+    "reservoir_sample_per_group",
+    oracle="""
+    WITH h AS (
+        SELECT lang, doc_id,
+               ((doc_id % 2147483647) * 2654435761 + 40503) % 2147483647
+                   AS samp_key
+        FROM documents
+    ),
+    r AS (
+        SELECT lang, doc_id, samp_key,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY samp_key, doc_id
+               ) AS rnk
+        FROM h
+    )
+    SELECT lang, doc_id,
+           CAST(samp_key AS BIGINT) AS samp_key,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM r WHERE rnk <= 20
+    """,
+    doc="Equal-allocation sampling: exactly k=20 docs per language,"
+        " selected by portable-hash order (layout.SPLIT_HASH_* family) —"
+        " the deterministic equivalent of per-group reservoir sampling:"
+        " the kept set is a pure function of the ids, so it is stable"
+        " across runs/engines/partitionings and growing corpora keep"
+        " their samples comparable (complements stratified_sample's"
+        " proportional allocation). The per-lang rank CANNOT be a"
+        " window on the ~5-value lang key at 100 TB — it is the exact"
+        " distributed rank over hash-range blocks (samp_key div 2^25 →"
+        " 64 ordered blocks per lang, broadcast prefix offsets).",
+)
+def reservoir_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "lang", "doc_id", layout.portable_hash_expr("doc_id").alias("samp_key")
+    )
+    ranked = rel.exact_distributed_rank(
+        hashed,
+        block=F.expr("samp_key div 33554432"),
+        order=[F.col("samp_key"), F.col("doc_id")],
+        partition=["lang"],
+    )
+    return ranked.filter(F.col("rnk") <= 20).select(
+        "lang",
+        "doc_id",
+        F.col("samp_key").cast("long").alias("samp_key"),
+        F.col("rnk").cast("int").alias("rnk"),
+    )
+
+
+def _proj_oracle_terms(k: int = 16, dims: int = 64) -> str:
+    """DuckDB replay of similarity.random_projection — generated so the
+    k fold expressions stay in lockstep with the operator constants."""
+    terms = []
+    for j in range(k):
+        sign = similarity._proj_sign_sql("i-1", j, k)
+        terms.append(
+            f"ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+            f" list_transform(range(1, {dims + 1}),"
+            f" i -> CAST(embedding[i] AS DOUBLE) * {sign})),"
+            f" (x, y) -> x + y), 6) AS y{j:02d}"
+        )
+    return ",\n           ".join(terms)
+
+
+@_register(
+    "random_projection_embeddings",
+    oracle=f"""
+    SELECT vec_id,
+           {_proj_oracle_terms()}
+    FROM embeddings
+    """,
+    doc="Johnson–Lindenstrauss reduction 64→16 dims with a DETERMINISTIC"
+        " dense ±1 projection (Achlioptas 2003) — the sign of entry"
+        " (i, j) is a pure Knuth-multiplicative hash of the index pair,"
+        " so no projection matrix is stored or shipped and any executor"
+        " (or engine — the oracle replays it) re-derives the transform"
+        " exactly. 16 index-order F.aggregate folds: a per-row map"
+        " inside codegen, zero shuffles, zero Python"
+        " (operators/similarity.py random_projection).",
+)
+def random_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.random_projection(S.spread(emb))
+
+
+@_register(
+    "jl_distortion_check",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+               {_proj_oracle_terms()}
+        FROM embeddings WHERE vec_id < 128
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(range(1, 65),
+                       i -> (a.emb[i] - b.emb[i]) * (a.emb[i] - b.emb[i]))),
+                   (x, y) -> x + y) AS dorig2,
+               {" + ".join(f"(a.y{j:02d} - b.y{j:02d}) * (a.y{j:02d} - b.y{j:02d})" for j in range(16))}
+                   AS dproj2
+        FROM base a JOIN base b ON a.vec_id < b.vec_id
+    ),
+    r AS (
+        SELECT ROUND(dproj2 / (16 * dorig2), 6) AS ratio
+        FROM pairs WHERE dorig2 > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(CAST(ROUND(SUM(CAST(ratio AS DECIMAL(18,6))), 4)
+                AS DECIMAL(18,4)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS mean_ratio,
+           CAST(SUM(CASE WHEN ratio BETWEEN 0.2 AND 3.0 THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS frac_in_band,
+           MIN(ratio) AS min_ratio,
+           MAX(ratio) AS max_ratio,
+           CAST(CAST(ROUND(SUM(CAST(ratio AS DECIMAL(18,6))), 4)
+                AS DECIMAL(18,4)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               BETWEEN 0.7 AND 1.35 AS mean_ok
+    FROM r
+    """,
+    doc="FALSIFIABLE JL invariant for random_projection_embeddings: for"
+        " all pairs among vec_id < 128 (a fixed-size anchor set, sf-"
+        "independent cost), the squared-distance ratio ||Δy||²/(k·||Δx||²)"
+        " must concentrate near 1 — E[||Δy||²] = k·||Δx||² exactly for"
+        " ±1 projections, so a biased sign hash (e.g. the degenerate"
+        " parity checkerboard (i+j)%2) or an indexing bug drags"
+        " mean_ratio out of [0.7, 1.35] and flips mean_ok. The oracle"
+        " replays projection AND check, so the driver hash-verifies"
+        " both; per-pair ratios are rounded then exact-decimal-summed"
+        " (SURVEY §5.1).",
+)
+def jl_distortion_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 128)
+    proj = similarity.random_projection(emb)
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+    ).join(proj, "vec_id")
+    a, b = base.alias("a"), base.alias("b")
+    # the anchor set is ≤128 rows by contract — broadcast turns the
+    # non-equi self-join into BroadcastNestedLoopJoin, never Cartesian
+    pairs = a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+    dorig2 = F.aggregate(
+        F.zip_with(
+            F.col("a.emb"), F.col("b.emb"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    dproj2 = None
+    for j in range(16):
+        d = F.col(f"a.y{j:02d}") - F.col(f"b.y{j:02d}")
+        term = d * d
+        dproj2 = term if dproj2 is None else dproj2 + term
+    r = (
+        pairs.select(dorig2.alias("dorig2"), dproj2.alias("dproj2"))
+        .filter(F.col("dorig2") > 0)
+        .select(F.round(F.col("dproj2") / (16 * F.col("dorig2")), 6).alias("ratio"))
+    )
+    n = F.count("*").cast("long")
+    mean = _narrow(F.sum(F.col("ratio").cast("decimal(18,6)"))) / n.cast("double")
+    return r.agg(
+        n.alias("n_pairs"),
+        mean.alias("mean_ratio"),
+        (
+            F.sum(
+                F.when(F.col("ratio").between(0.2, 3.0), 1).otherwise(0)
+            ).cast("double")
+            / n.cast("double")
+        ).alias("frac_in_band"),
+        F.min("ratio").alias("min_ratio"),
+        F.max("ratio").alias("max_ratio"),
+        mean.between(0.7, 1.35).alias("mean_ok"),
+    )
