@@ -176,6 +176,11 @@ NEW_QUERIES_R04 = [
     "reservoir_sample_per_group",
     "random_projection_embeddings",
     "jl_distortion_check",
+    # wave 3
+    "dedup_exact_substring",
+    "partitioned_ingest_pruned",
+    "record_linkage_blocked",
+    "text_char_entropy",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

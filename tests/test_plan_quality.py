@@ -468,3 +468,39 @@ def test_normalize_nfc_single_python_pass(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "text_normalize_nfc")
     assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_partitioned_ingest_readback_prunes(spark, sf_dir):
+    """partitioned_ingest_pruned's readback must resolve the 3-day
+    predicate against the partition COLUMN (directory pruning at
+    file-listing time), not as a post-scan data filter."""
+    plan = plan_of(spark, sf_dir, "partitioned_ingest_pruned")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_date" in m.group(1)
+
+
+def test_exact_substring_dup_detection_combines_map_side(spark, sf_dir):
+    """dedup_exact_substring's duplicate-tile detection must plan a
+    partial count before the shuffle — a boilerplate tile repeated in
+    millions of documents combines per-partition instead of landing
+    every occurrence on one reducer (the span_dedup_global lesson)."""
+    df = Q.queries()["dedup_exact_substring"](spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert re.search(r"partial_count", plan)
+    # the island merge windows on doc_id only — never the tile content
+    assert not re.search(r"windowspecdefinition\(tile", plan)
+
+
+def test_char_entropy_zero_shuffle(spark, sf_dir):
+    """text_char_entropy is a pure per-row expression chain — the whole
+    100 TB entropy pass must plan with NO exchange (the explode+groupBy
+    formulation that shuffles one row per character is the oracle, not
+    the engine path). The only allowed exchange is the session.spread
+    small-file repartition (rows, not characters)."""
+    plan = plan_of(spark, sf_dir, "text_char_entropy")
+    assert count_exchanges(plan) <= 1
+    assert "Generate explode" not in plan
+    assert "HashAggregate" not in plan

@@ -1051,3 +1051,101 @@ def delete_from_index(
     return index.join(
         F.broadcast(deletes.select(id_col)), id_col, "left_anti"
     )
+
+
+def duplicated_tile_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tile_len: int = 40,
+    stride: int = 20,
+) -> DataFrame:
+    """Exact-substring duplication accounting (the distributed variant of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better": find byte ranges whose content recurs verbatim anywhere in
+    the corpus, the suffix-array ExactSubstr recipe re-expressed as
+    relational algebra).
+
+    Tile anchoring replaces the suffix array: every document is covered
+    by ``tile_len``-char windows at ``stride`` offsets (stride <
+    tile_len ⇒ overlapping, so any verbatim repeat of length ≥
+    tile_len + stride - 1 is guaranteed to contain at least one aligned
+    tile occurring ≥ 2× corpus-wide). A tile whose content occurs ≥ 2
+    times ANYWHERE (other docs or self-repetition — both count, as in
+    the paper) marks its range duplicated; overlapping marked ranges are
+    merged per document with the classic prev-max-end island scan, and
+    the per-doc duplicated-char total and fraction come out of the
+    merged spans.
+
+    Scale shape (100 TB): the tile relation is one generate-per-row map
+    (no text carried past the projection); duplicate detection is ONE
+    hash aggregation on the tile content with map-side partial counts
+    (a boilerplate tile repeated in millions of docs combines before the
+    shuffle); the island merge windows on ``id_col`` — per-document
+    cardinality, never a hot key. Returns one row per input document
+    (zero-duplication docs included, dup_frac = 0).
+    """
+    spans_src = df.select(
+        F.col(id_col),
+        F.length(text_col).alias("_n"),
+        F.when(
+            F.length(text_col) >= tile_len,
+            F.expr(
+                f"transform(sequence(1, length({text_col}) - {tile_len - 1},"
+                f" {stride}), i -> struct(i AS p,"
+                f" substring({text_col}, i, {tile_len}) AS tile))"
+            ),
+        ).otherwise(F.array()).alias("_tiles"),
+    )
+    tiles = _cache(
+        spans_src.select(
+            F.col(id_col), F.explode("_tiles").alias("t")
+        ).select(F.col(id_col), F.col("t.p").alias("p"), F.col("t.tile").alias("tile"))
+    )
+    dup = (
+        tiles.groupBy("tile")
+        .agg(F.count("*").alias("_cnt"))
+        .filter(F.col("_cnt") >= 2)
+        .select("tile")
+    )
+    hits = tiles.join(dup, "tile").select(F.col(id_col), "p")
+
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy(id_col)
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = (
+        hits.withColumn("_prev_end", F.max(F.col("p") + tile_len).over(w_prev))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev_end").isNull() | (F.col("p") > F.col("_prev_end")), 1
+            ).otherwise(0),
+        )
+        .withColumn("_island", F.sum("_new").over(w_cum))
+    )
+    spans = islands.groupBy(id_col, "_island").agg(
+        F.min("p").alias("_s"), (F.max("p") + tile_len).alias("_e")
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum(F.col("_e") - F.col("_s")).alias("dup_chars"),
+    )
+    return (
+        df.select(F.col(id_col), F.length(text_col).alias("_n"))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("dup_chars", F.lit(0)).cast("long").alias("dup_chars"),
+            F.round(
+                F.coalesce("dup_chars", F.lit(0)).cast("double") / F.col("_n"), 6
+            ).alias("dup_frac"),
+        )
+    )

@@ -6790,3 +6790,270 @@ def jl_distortion_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ratio").alias("max_ratio"),
         mean.between(0.7, 1.35).alias("mean_ok"),
     )
+
+
+@_register(
+    "dedup_exact_substring",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, u.p AS p, substring(text, CAST(u.p AS INTEGER), 40) AS tile
+        FROM documents, unnest(range(1, length(text) - 38, 20)) AS u(p)
+        WHERE length(text) >= 40
+    ),
+    d AS (SELECT tile FROM t GROUP BY tile HAVING COUNT(*) >= 2),
+    h AS (SELECT t.doc_id, t.p FROM t JOIN d USING (tile)),
+    m AS (
+        SELECT doc_id, p,
+               MAX(p + 40) OVER (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_end
+        FROM h
+    ),
+    i AS (
+        SELECT doc_id, p,
+               SUM(CASE WHEN prev_end IS NULL OR p > prev_end
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY p
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+        FROM m
+    ),
+    s AS (
+        SELECT doc_id, island, MIN(p) AS sp, MAX(p) + 40 AS ep
+        FROM i GROUP BY 1, 2
+    ),
+    pd AS (
+        SELECT doc_id, COUNT(*) AS n_dup_spans, SUM(ep - sp) AS dup_chars
+        FROM s GROUP BY 1
+    )
+    SELECT doc.doc_id,
+           CAST(COALESCE(pd.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(COALESCE(pd.dup_chars, 0) AS BIGINT) AS dup_chars,
+           ROUND(CAST(COALESCE(pd.dup_chars, 0) AS DOUBLE)
+                 / length(doc.text), 6) AS dup_frac
+    FROM documents doc LEFT JOIN pd USING (doc_id)
+    """,
+    doc="Exact-substring duplication accounting — the distributed"
+        " re-expression of Lee et al. 2022's suffix-array ExactSubstr"
+        " dedup (operators/dedup.py duplicated_tile_spans): 40-char"
+        " tiles at stride 20 anchor every verbatim repeat of length"
+        " ≥ 59; a tile content seen ≥ 2 times corpus-wide (other docs"
+        " OR self-repetition, per the paper) marks its range, and"
+        " overlapping marked ranges merge per doc via the prev-max-end"
+        " island scan. Per-doc duplicated-char totals and fraction come"
+        " from the merged spans; clean docs report 0. Plan: tile"
+        " generation is a pure map (text never carried past the"
+        " projection), duplicate detection is ONE count aggregation on"
+        " tile content WITH map-side partials (hot boilerplate tiles"
+        " combine before the shuffle — the span_dedup_global lesson),"
+        " and the island windows partition on doc_id, never a"
+        " low-cardinality key. All-integer span arithmetic ⇒"
+        " hash-exact across engines.",
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.duplicated_tile_spans(docs, tile_len=40, stride=20)
+
+
+@_register(
+    "partitioned_ingest_pruned",
+    oracle="""
+    WITH b AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events)
+    SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4)
+                AS DECIMAL(18,4)) AS DOUBLE) AS total_value
+    FROM events, b
+    WHERE CAST(ts AS DATE) BETWEEN b.d0 + 2 AND b.d0 + 4
+    GROUP BY 1
+    """,
+    doc="Date-partitioned lake layout + partition-pruned readback — the"
+        " Spark-native analog of the reference's distkey/sortkey DDL"
+        " layout contract (create_tables.py: the layout exists so the"
+        " engine can skip data). Events are written"
+        " partitionBy(event_date) (one directory per day — the standard"
+        " lake layout for a 100 TB fact table), then read back with a"
+        " literal 3-day predicate: Catalyst resolves it against the"
+        " partition COLUMN, so pruning happens at file-listing time —"
+        " the scan touches 3 of ~30 day directories and the predicate"
+        " appears as PartitionFilters, not a post-scan Filter"
+        " (asserted in test_plan_quality). The anchor date is one"
+        " bounded MIN() scalar (the watermark pattern); the oracle"
+        " replays the same 3-day window from the raw parquet, so any"
+        " row lost or double-read through the partitioned round trip"
+        " fails the hash gate.",
+)
+def partitioned_ingest_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    ev = _t(spark, sf_dir, "events")
+    out = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("ts").cast("date").alias("event_date"),
+    )
+    landing = _scratch_dir(sf_dir, "s5_events_daily")
+    out.write.mode("overwrite").partitionBy("event_date").parquet(landing)
+
+    d0 = ev.agg(F.min(F.col("ts").cast("date"))).first()[0]
+    lo = d0 + datetime.timedelta(days=2)
+    hi = d0 + datetime.timedelta(days=4)
+    staged = spark.read.parquet(landing).filter(
+        F.col("event_date").between(F.lit(lo), F.lit(hi))
+    )
+    return staged.groupBy(
+        F.col("event_date").cast("timestamp").alias("event_date")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        _dsum(F.col("value")).alias("total_value"),
+    )
+
+
+@_register(
+    "record_linkage_blocked",
+    oracle="""
+    WITH r AS (
+        SELECT c_custkey, c_name, substring(c_name, 10, 6) AS blk,
+               ROW_NUMBER() OVER (PARTITION BY substring(c_name, 10, 6)
+                                  ORDER BY c_name, c_custkey) AS rk
+        FROM customer
+    )
+    SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_dist
+    FROM r a JOIN r b
+      ON a.blk = b.blk AND b.rk - a.rk BETWEEN 1 AND 3
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+    doc="Entity resolution via blocking + sorted-neighborhood (the"
+        " Hernandez-Stolfo merge/purge recipe — the standard"
+        " record-linkage shape for a customer MDM pass): candidates are"
+        " restricted to a BLOCK (6-digit name-prefix → ≤1000 records"
+        " per block at ANY corpus size, so block count scales with data"
+        " while the within-block window stays bounded), ranked by sort"
+        " key inside each block, and only pairs within neighborhood"
+        " w=3 of the sorted order are compared; survivors need edit"
+        " distance ≤ 2 (JVM levenshtein — DuckDB's levenshtein is the"
+        " same unit-cost edit distance, so the oracle replays"
+        " bit-for-bit). Plan: the window partitions on the"
+        " high-cardinality block key, and the neighborhood band is an"
+        " EXPLODED-OFFSET EQUI-join on (block, rank) — never a range"
+        " join, never a cartesian; comparisons per record are O(w).",
+)
+def record_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("blk").orderBy("c_name", "c_custkey")
+    r = S.track_cache(
+        cust.select(
+            "c_custkey",
+            "c_name",
+            F.substring("c_name", 10, 6).alias("blk"),
+        ).withColumn("rk", F.row_number().over(w))
+    )
+    probe = (
+        r.withColumn("_off", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))))
+        .select(
+            F.col("c_custkey").alias("custkey_a"),
+            F.col("c_name").alias("name_a"),
+            "blk",
+            (F.col("rk") + F.col("_off")).alias("rk"),
+        )
+    )
+    build = r.select(
+        F.col("c_custkey").alias("custkey_b"),
+        F.col("c_name").alias("name_b"),
+        "blk",
+        "rk",
+    )
+    return (
+        probe.join(build, ["blk", "rk"])
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 2)
+        .select("custkey_a", "custkey_b", "name_a", "name_b", "edit_dist")
+    )
+
+
+@_register(
+    "text_char_entropy",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id, substring(text, CAST(u.i AS INTEGER), 1) AS ch
+        FROM documents, unnest(range(1, length(text) + 1)) AS u(i)
+        WHERE length(text) > 0
+    ),
+    k AS (
+        SELECT doc_id, ch, COUNT(*) AS cnt FROM c GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT doc_id,
+               CAST(SUM(cnt) AS BIGINT) AS n_chars,
+               CAST(COUNT(*) AS INTEGER) AS n_distinct_chars,
+               SUM(cnt * CAST(ROUND(log2(cnt), 6) AS DECIMAL(18,6)))
+                   AS sum_terms
+        FROM k GROUP BY 1
+    )
+    SELECT doc_id, n_chars, n_distinct_chars,
+           ROUND(CAST(ROUND(log2(n_chars), 6) AS DOUBLE)
+                 - CAST(sum_terms AS DOUBLE) / n_chars, 6) AS entropy_bits
+    FROM s
+    """,
+    doc="Per-document Shannon character entropy (bits/char) — the"
+        " low-entropy garbage detector (base64 blobs, repeated padding,"
+        " template spam) in every corpus quality stack. The Spark plan"
+        " is a ZERO-SHUFFLE per-row expression chain: chars →"
+        " array_sort → run boundaries (filter over positions) → run"
+        " lengths → H = log2(n) − Σ c·log2(c) / n, entirely inside"
+        " whole-stage codegen — a 100 TB entropy pass with no exchange"
+        " at all (contrast: the naive explode+groupBy shuffles one row"
+        " per CHARACTER; that formulation is the ORACLE, same math,"
+        " different plan). Portability is the DSIR convention: each"
+        " log2 is rounded to 6dp and decimal-cast before the exact"
+        " integer-weighted sum, so libm 1-ulp drift cannot reach the"
+        " hash.",
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    s = F.expr("array_sort(transform(sequence(1, length(text)), i -> substring(text, i, 1)))")
+    expr = (
+        docs.select("doc_id", F.length("text").alias("n_chars"), s.alias("_s"))
+        .withColumn(
+            "_bounds",
+            F.expr(
+                "filter(sequence(1, size(_s)), i -> i = 1 OR"
+                " element_at(_s, i) <> element_at(_s, i - 1))"
+            ),
+        )
+        .withColumn(
+            "_runs",
+            F.expr(
+                "transform(sequence(1, size(_bounds)), j ->"
+                " (CASE WHEN j = size(_bounds) THEN size(_s) + 1"
+                "       ELSE element_at(_bounds, j + 1) END)"
+                " - element_at(_bounds, j))"
+            ),
+        )
+        .withColumn(
+            "_sum_terms",
+            F.expr(
+                "aggregate(_runs, CAST(0 AS DECIMAL(28,6)), (a, c) ->"
+                " CAST(a + c * CAST(ROUND(log2(c), 6) AS DECIMAL(18,6))"
+                " AS DECIMAL(28,6)))"
+            ),
+        )
+    )
+    return expr.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size("_bounds").alias("n_distinct_chars"),
+        F.round(
+            F.round(F.log2("n_chars"), 6).cast("double")
+            - F.col("_sum_terms").cast("double") / F.col("n_chars"),
+            6,
+        ).alias("entropy_bits"),
+    )
