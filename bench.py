@@ -181,13 +181,18 @@ NEW_QUERIES_R04 = [
     "partitioned_ingest_pruned",
     "record_linkage_blocked",
     "text_char_entropy",
+    # wave 4
+    "streaming_stateful_sessions_readback",
+    "incremental_rollup_maintain",
+    "profile_table_stats",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not
 #: the operator: queries.PHASE_TIMINGS records their harness phases
 #: (landing-zone write, stream run) so the report splits harness cost
 #: from the readback/operator cost.
-PHASED = {"streaming_hourly_sink_readback", "streaming_corpus_dedup_readback"}
+PHASED = {"streaming_hourly_sink_readback", "streaming_corpus_dedup_readback",
+          "streaming_stateful_sessions_readback"}
 
 
 def run_one(df) -> None:

@@ -107,6 +107,14 @@ SMOKE = [
     "reservoir_sample_per_group",
     "random_projection_embeddings",
     "jl_distortion_check",
+    # round 4 wave 3
+    "dedup_exact_substring",
+    "partitioned_ingest_pruned",
+    "record_linkage_blocked",
+    "text_char_entropy",
+    # round 4 wave 4
+    "incremental_rollup_maintain",
+    "profile_table_stats",
 ]
 
 

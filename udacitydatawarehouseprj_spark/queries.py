@@ -7057,3 +7057,227 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy_bits"),
     )
+
+
+@_register(
+    "streaming_stateful_sessions_readback",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_ms(ts) AS t FROM events),
+    marked AS (
+        SELECT user_id, t,
+               CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                         IS NULL
+                         OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                            > 1800000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e
+    ),
+    sess AS (
+        SELECT user_id, t,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM marked
+    )
+    SELECT user_id,
+           CAST(MIN(t) AS BIGINT) AS session_start_ms,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sess_id
+    """,
+    doc="Custom stateful streaming operator under the FULL hash gate —"
+        " applyInPandasWithState gap sessionization"
+        " (streaming/events_stream.py run_stateful_sessionizer_stream):"
+        " events land as ndjson split across files, the stream drains"
+        " them in FOUR micro-batches (maxFilesPerTrigger=2 over 8"
+        " files — state genuinely crosses batch boundaries), per-user"
+        " epoch-ms stamps merge into group state and every update"
+        " re-emits the user's current session list tagged with monotone"
+        " n_seen. The readback selects each user's final emission"
+        " (n_seen = per-user max) — which must equal the batch"
+        " lag/gap-cumsum sessionization the oracle computes from the"
+        " raw parquet, row for row, because the state is all-integer"
+        " and arrival order cannot matter. Complements"
+        " sessionize_events (built-in session_window) and the"
+        " watermarked rollup streams; this is the template for stateful"
+        " logic windows can't express.",
+)
+def streaming_stateful_sessions_readback(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    from udacitydatawarehouseprj_spark.streaming import events_stream
+
+    ev = _t(spark, sf_dir, "events")
+    base = _scratch_dir(sf_dir, "stream_sessions")
+    shutil.rmtree(base, ignore_errors=True)
+    src = f"{base}/landing"
+    stream_in = ev.select(
+        "event_id", "ts", "user_id", "event_type", "value",
+        F.col("props").cast("string").alias("props"),
+    )
+    with _phase("streaming_stateful_sessions_readback", "landing_write"):
+        stream_in.coalesce(8).write.mode("overwrite").json(src)
+    with _phase("streaming_stateful_sessions_readback", "stream_run"), \
+            _state_partitions(spark, 8):
+        q = events_stream.run_stateful_sessionizer_stream(
+            spark, src, f"{base}/ckpt", max_files_per_trigger=2
+        )
+        q.awaitTermination(600)
+    sink = spark.table("stateful_sessions_stream")
+    final = sink.withColumn(
+        "_mx", F.max("n_seen").over(Window.partitionBy("user_id"))
+    ).filter(F.col("n_seen") == F.col("_mx"))
+    return final.select(
+        "user_id", "session_start_ms", "n_events"
+    )
+
+
+@_register(
+    "incremental_rollup_maintain",
+    oracle=f"""
+    SELECT {SQL_TIME_KEY.format(ts='ts')} AS time_key,
+           event_type,
+           COUNT(*) AS n_events,
+           {_SQL_DSUM('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Incremental materialized-view maintenance with the rebuild as"
+        " the oracle: the hourly (time_key, event_type) rollup is"
+        " maintained as base (first 20 days) + a late delta batch,"
+        " merged by ONE full-outer join on the rollup key with exact"
+        " count addition and EXACT DECIMAL partial-sum addition — the"
+        " round→narrow→double conversion happens ONCE, after the merge,"
+        " because rounding partials before adding them would not equal"
+        " the rebuilt sum. The oracle computes the rollup FROM SCRATCH"
+        " over all events, so the hash gate IS the"
+        " incremental-≡-rebuild equality (the delete_propagate_index"
+        " contract, applied to view maintenance). At 100 TB the base is"
+        " a stored table and only the delta aggregates — this merge"
+        " join costs |rollup|, not |events|; the split scalar here is"
+        " the watermark pattern.",
+)
+def incremental_rollup_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    ev = _t(spark, sf_dir, "events")
+    d0 = ev.agg(F.min(F.col("ts").cast("date"))).first()[0]
+    split = datetime.datetime.combine(
+        d0 + datetime.timedelta(days=20), datetime.time()
+    )
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            dtf.time_key("ts").alias("time_key"), "event_type"
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+        )
+
+    base = rollup(ev.filter(F.col("ts") < F.lit(split)))
+    delta = rollup(ev.filter(F.col("ts") >= F.lit(split)))
+    b = base.select("time_key", "event_type", F.col("n").alias("n_b"),
+                    F.col("s").alias("s_b"))
+    d = delta.select("time_key", "event_type", F.col("n").alias("n_d"),
+                     F.col("s").alias("s_d"))
+    zero = F.lit(0).cast("decimal(18,6)")
+    merged = b.join(d, ["time_key", "event_type"], "full_outer").select(
+        "time_key",
+        "event_type",
+        (F.coalesce("n_b", F.lit(0)) + F.coalesce("n_d", F.lit(0)))
+        .alias("n_events"),
+        (F.coalesce(F.col("s_b"), zero) + F.coalesce(F.col("s_d"), zero))
+        .alias("s_all"),
+    )
+    return merged.select(
+        "time_key",
+        "event_type",
+        "n_events",
+        F.round(F.col("s_all"), 4)
+        .cast("decimal(18,4)")
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+#: (column, kind) pairs profiled by profile_table_stats — kinds pick the
+#: cross-engine-stable min/max representation (fixed-point decimal for
+#: doubles, epoch-ms for timestamps, verbatim for strings).
+_PROFILE_COLS = [
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_discount", "num"),
+    ("l_returnflag", "str"),
+    ("l_shipdate", "ts"),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "num":
+            lo = f"CAST(CAST(MIN({c}) AS DECIMAL(18,6)) AS VARCHAR)"
+            hi = f"CAST(CAST(MAX({c}) AS DECIMAL(18,6)) AS VARCHAR)"
+        elif kind == "ts":
+            lo = f"CAST(epoch_ms(MIN({c})) AS VARCHAR)"
+            hi = f"CAST(epoch_ms(MAX({c})) AS VARCHAR)"
+        else:
+            lo, hi = f"MIN({c})", f"MAX({c})"
+        parts.append(
+            f"SELECT '{c}' AS col_name, COUNT(*) AS n_rows,"
+            f" COUNT(*) - COUNT({c}) AS n_nulls,"
+            f" CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,"
+            f" {lo} AS min_repr, {hi} AS max_repr FROM lineitem"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@_register(
+    "profile_table_stats",
+    oracle=_profile_oracle(),
+    doc="ANALYZE-style column profiling — the stats pass every warehouse"
+        " runs before planning and every data-quality dashboard reads:"
+        " per column, row/null/exact-distinct counts and min/max, in ONE"
+        " aggregation pass over the table (multiple DISTINCT aggregates"
+        " plan as a single Expand — one scan, not one scan per column)."
+        " Representations are chosen for cross-engine hash identity:"
+        " doubles render as fixed-point DECIMAL(18,6) strings (shortest-"
+        " roundtrip double formatting diverges between Java and C++ in"
+        " exponent ranges), timestamps as epoch-ms, strings verbatim."
+        " At 100 TB swap exact COUNT(DISTINCT) for"
+        " approx_count_distinct and keep this form as the oracle anchor"
+        " (the dedup-family exact/sketch pairing).",
+)
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").alias("_nr")]
+    for c, kind in _PROFILE_COLS:
+        aggs.append((F.count("*") - F.count(c)).alias(f"_nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"_nd_{c}"))
+        if kind == "num":
+            lo = F.min(c).cast("decimal(18,6)").cast("string")
+            hi = F.max(c).cast("decimal(18,6)").cast("string")
+        elif kind == "ts":
+            # l_shipdate loads as TIMESTAMP_NTZ; the session is pinned
+            # UTC so the cast to TIMESTAMP is an identity re-tag
+            lo = F.unix_millis(F.min(c).cast("timestamp")).cast("string")
+            hi = F.unix_millis(F.max(c).cast("timestamp")).cast("string")
+        else:
+            lo, hi = F.min(c), F.max(c)
+        aggs.append(lo.alias(f"_lo_{c}"))
+        aggs.append(hi.alias(f"_hi_{c}"))
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _nn_{c}, _nd_{c}, _lo_{c}, _hi_{c}" for c, _ in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args})"
+            " AS (col_name, n_nulls, n_distinct, min_repr, max_repr)"
+        ),
+        F.col("_nr").alias("n_rows"),
+    ).select(
+        "col_name", "n_rows", "n_nulls", "n_distinct", "min_repr", "max_repr"
+    )

@@ -282,3 +282,89 @@ def run_purchase_attribution_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_stateful_sessionizer_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    sink_table: str = "stateful_sessions_stream",
+    gap_minutes: int = 30,
+    fmt: str = "json",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Custom stateful SESSIONIZER via ``applyInPandasWithState`` — the
+    logic ``session_window`` can't express when you need the session
+    list itself maintained incrementally: per-user event-time stamps are
+    merged into group state across micro-batches (arrival order is
+    irrelevant — the state is re-sessionized after every merge), and
+    each update emits the user's CURRENT session list tagged with a
+    monotone ``n_seen`` so a reader selects the final emission per user
+    deterministically.
+
+    Determinism contract: everything is int64 epoch-milliseconds and
+    counts — no floats touch the state or the output, so the final
+    session set is bit-identical to the batch lag/gap-cumsum SQL
+    regardless of how many micro-batches the source splits into.
+
+    Scale: state is one sorted long array per user. The oracle-exact
+    form keeps every stamp; the production path ages closed sessions out
+    of state via event-time timeout once the watermark passes their gap
+    horizon (the final session set is identical — only the re-scan cost
+    changes), keeping state proportional to OPEN sessions.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = read_events_stream(
+        spark, source_dir, fmt=fmt, max_files_per_trigger=max_files_per_trigger
+    )
+    out_schema = (
+        "user_id long, n_seen long, session_start_ms long, n_events long"
+    )
+    state_schema = "ts_ms array<long>"
+    gap_ms = gap_minutes * 60_000
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        stamps = list(state.get[0]) if state.exists else []
+        for pdf in pdfs:
+            stamps.extend(
+                (pdf["ts"].astype("int64") // 1_000_000).tolist()
+            )
+        stamps.sort()
+        state.update((stamps,))
+        starts: list[int] = []
+        counts: list[int] = []
+        for i, t in enumerate(stamps):
+            if i == 0 or t - stamps[i - 1] > gap_ms:
+                starts.append(t)
+                counts.append(1)
+            else:
+                counts[-1] += 1
+        yield pd.DataFrame(
+            {
+                "user_id": user_id,
+                "n_seen": len(stamps),
+                "session_start_ms": starts,
+                "n_events": counts,
+            }
+        )
+
+    agg = src.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    writer = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink_table)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
