@@ -185,6 +185,7 @@ NEW_QUERIES_R04 = [
     "streaming_stateful_sessions_readback",
     "incremental_rollup_maintain",
     "profile_table_stats",
+    "pagerank_similarity_graph",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

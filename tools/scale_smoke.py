@@ -115,6 +115,7 @@ SMOKE = [
     # round 4 wave 4
     "incremental_rollup_maintain",
     "profile_table_stats",
+    "pagerank_similarity_graph",
 ]
 
 

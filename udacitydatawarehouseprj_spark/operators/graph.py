@@ -1,0 +1,99 @@
+"""Iterative graph algorithms as join+aggregate rounds.
+
+Beyond-reference operators: the reference has no graph surface; this
+module hosts the iterative-algorithm family (connected components lives
+with its dedup consumers in ``operators/dedup.py``; PageRank here).
+
+Scale design (100 TB): one iteration = ONE |E|-linear equi-join plus a
+hash aggregation on the destination key — the canonical distributed
+PageRank shape; no adjacency matrices, no driver-side graph. Lineage is
+truncated per round with ``localCheckpoint`` exactly like
+``dedup.connected_components``, so 10 iterations cost 10 shuffles, not
+an exponentially deep plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: fixed-point scale for integer PageRank (1.0 == 10^12 units)
+PAGERANK_UNIT = 10**12
+
+
+def pagerank_integer(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "n",
+    iterations: int = 6,
+    unit: int = PAGERANK_UNIT,
+) -> DataFrame:
+    """PageRank with damping 0.85 in EXACT integer fixed-point.
+
+    Every quantity is a BIGINT multiple of ``1/unit`` and every division
+    is integral floor division on positives, so the result is
+    bit-identical across engines, partitionings, and summation orders —
+    the property that lets a DuckDB oracle replay the full iteration
+    unrolled (no float accumulation anywhere). The recurrence:
+
+        r₀(v)    = unit // N
+        contrib  = (r(u)·85) // (100·deg(u))        per edge u→v
+        dangling = Σ_{deg(u)=0} (r(u)·85) // 100
+        r'(v)    = (15·unit)//(100·N) + Σ contrib + dangling//N
+
+    Floor-division remainders leak a few units per node per round
+    (deterministically), which is irrelevant to ranking and the price of
+    cross-engine exactness.
+
+    ``edges`` is a directed (a, b) relation — pass both directions for an
+    undirected graph. ``nodes`` must contain every vertex (isolated
+    vertices are dangling mass). N is one bounded driver scalar (the
+    watermark pattern).
+    """
+    deg = edges.groupBy("a").agg(F.count("*").alias("d"))
+    n_nodes = nodes.count()
+    base = (15 * unit) // (100 * n_nodes)
+    node_ids = nodes.select(F.col(id_col).alias("n"))
+    edges_d = edges.join(deg, "a").localCheckpoint(eager=True)
+
+    r = node_ids.select(
+        "n", F.lit(unit // n_nodes).cast("long").alias("r")
+    ).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        contrib = (
+            r.join(edges_d, F.col("n") == F.col("a"))
+            .select(
+                F.col("b").alias("dst"),
+                F.expr("(r * 85) div (100 * d)").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        dang = r.join(deg, F.col("n") == F.col("a"), "left_anti").agg(
+            F.coalesce(F.sum(F.expr("(r * 85) div 100")), F.lit(0)).alias(
+                "dang"
+            )
+        )
+        r = (
+            node_ids.join(contrib, F.col("n") == F.col("dst"), "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "n",
+                (
+                    F.lit(base)
+                    + F.coalesce("c", F.lit(0))
+                    + F.expr(f"dang div {n_nodes}")
+                )
+                .cast("long")
+                .alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        r.join(deg, F.col("n") == F.col("a"), "left")
+        .select(
+            F.col("n").alias(id_col),
+            F.coalesce("d", F.lit(0)).cast("long").alias("degree"),
+            F.col("r").alias("rank_unit"),
+        )
+    )

@@ -7281,3 +7281,82 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "col_name", "n_rows", "n_nulls", "n_distinct", "min_repr", "max_repr"
     )
+
+
+def _pagerank_oracle(iters: int = 6, unit: int = 10**12) -> str:
+    """Unrolled integer-PageRank oracle: damping 85/100 over the
+    symmetric exact-Jaccard pair graph, every division integral — so the
+    iteration is replayable CTE by CTE with no float drift."""
+    ctes = [
+        f"p AS ({_JACCARD_ORACLE})",
+        "edges AS (SELECT doc_a AS a, doc_b AS b FROM p"
+        " UNION SELECT doc_b, doc_a FROM p)",
+        "deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS d"
+        " FROM edges GROUP BY 1)",
+        "nodes AS (SELECT doc_id AS n FROM documents)",
+        "nn AS (SELECT COUNT(*) AS cnt FROM nodes)",
+        f"r0 AS (SELECT n, CAST({unit} // (SELECT cnt FROM nn) AS BIGINT)"
+        " AS r FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        prev = f"r{k - 1}"
+        ctes.append(
+            f"c{k} AS (SELECT e.b AS n, SUM((r.r * 85) // (100 * d.d)) AS c"
+            f" FROM {prev} r JOIN edges e ON r.n = e.a"
+            f" JOIN deg d ON d.a = e.a GROUP BY 1)"
+        )
+        ctes.append(
+            f"d{k} AS (SELECT COALESCE(SUM((r.r * 85) // 100), 0) AS dang"
+            f" FROM {prev} r LEFT JOIN deg ON r.n = deg.a"
+            f" WHERE deg.a IS NULL)"
+        )
+        ctes.append(
+            f"r{k} AS (SELECT n.n,"
+            f" CAST((15 * {unit}) // (100 * (SELECT cnt FROM nn))"
+            f" + COALESCE(c.c, 0)"
+            f" + (SELECT dang FROM d{k}) // (SELECT cnt FROM nn)"
+            f" AS BIGINT) AS r"
+            f" FROM nodes n LEFT JOIN c{k} c ON c.n = n.n)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+    SELECT r.n AS doc_id,
+           CAST(COALESCE(deg.d, 0) AS BIGINT) AS degree,
+           r.r AS rank_unit
+    FROM r{iters} r LEFT JOIN deg ON r.n = deg.a
+    """
+    )
+
+
+@_register(
+    "pagerank_similarity_graph",
+    oracle=_pagerank_oracle(),
+    doc="PageRank over the document near-duplicate similarity graph —"
+        " the iterative-graph-algorithm family, FULLY under the hash"
+        " gate: ranks are exact integer fixed-point (1.0 = 10^12 units,"
+        " damping as ·85//100, every division integral floor on"
+        " positives), so six join+aggregate rounds produce BIT-IDENTICAL"
+        " results regardless of engine, partitioning, or summation"
+        " order, and the oracle replays the whole iteration UNROLLED"
+        " (operators/graph.py pagerank_integer — the same"
+        " determinism-by-integer-arithmetic trick as the stateful"
+        " sessionizer). Edges are the symmetric LSH near-dup pairs —"
+        " FIFTH consumer of the session-shared _lsh_pairs_05 build —"
+        " while the oracle derives the same graph from exact Jaccard"
+        " (the established LSH-equals-exact fixture anchoring). One"
+        " iteration = one |E|-linear equi-join + hash agg on dst,"
+        " lineage localCheckpoint-truncated per round: the canonical"
+        " distributed PageRank, linear at 100 TB. Boilerplate-cluster"
+        " hubs surface as rank mass — the corpus-QA signal for 'which"
+        " duplicate families dominate'.",
+)
+def pagerank_similarity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacitydatawarehouseprj_spark.operators import graph
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _lsh_pairs_05(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+    nodes = docs.select("doc_id")
+    return graph.pagerank_integer(nodes, edges, id_col="doc_id")
