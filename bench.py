@@ -186,6 +186,15 @@ NEW_QUERIES_R04 = [
     "incremental_rollup_maintain",
     "profile_table_stats",
     "pagerank_similarity_graph",
+    # wave 5
+    "linreg_by_group",
+    "event_transition_matrix",
+    "ewma_user_value",
+    "mad_outlier_filter",
+    "triangle_count_similarity",
+    "schema_evolution_read",
+    "bootstrap_ci_mean",
+    "grouped_topk_salted",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

@@ -128,3 +128,40 @@ def merge_upsert(
             for c in cols
         ]
     )
+
+
+def grouped_top_k_salted(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order: Sequence[Column],
+    k: int,
+    salt: Column,
+    n_salt: int = 8,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Hot-group-safe grouped top-k: two window passes instead of one.
+
+    ``grouped_top_k`` sorts each group's ENTIRE row set in one partition
+    — correct, but a single hot group (one event_type owning half a
+    100 TB fact table) becomes one task. This variant first takes top-k
+    within ``n_salt`` deterministic sub-buckets of each group (each
+    bucket sorts ~1/n_salt of the group, in parallel), then reduces the
+    ≤ k·n_salt survivors per group with the plain window. Any global
+    top-k row is necessarily top-k within its own bucket, so the result
+    is row-identical to the single-window form for any total ``order``
+    (callers must include a unique tie-break; ``salt`` must be a
+    deterministic function of a unique column, e.g.
+    ``pmod(xxhash64(id), n_salt)``, so reruns bucket identically).
+    """
+    s = df.withColumn("_salt", salt % n_salt)
+    w1 = Window.partitionBy(*(list(partition_cols) + ["_salt"])).orderBy(*order)
+    survivors = (
+        s.withColumn("_srn", F.row_number().over(w1))
+        .filter(F.col("_srn") <= k)
+        .drop("_salt", "_srn")
+    )
+    w2 = Window.partitionBy(*partition_cols).orderBy(*order)
+    return (
+        survivors.withColumn(rank_col, F.row_number().over(w2))
+        .filter(F.col(rank_col) <= k)
+    )

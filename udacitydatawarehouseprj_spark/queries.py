@@ -7360,3 +7360,525 @@ def pagerank_similarity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
     nodes = docs.select("doc_id")
     return graph.pagerank_integer(nodes, edges, id_col="doc_id")
+
+
+# =====================================================================
+# Round-4 wave 5: grouped regression, Markov transitions, EWMA,
+# robust-MAD outliers, triangle counting, schema evolution,
+# Poissonized bootstrap, salted grouped top-k
+# =====================================================================
+
+
+@_register(
+    "linreg_by_group",
+    oracle=f"""
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               {_SQL_DSUM('l_quantity')} AS sx,
+               {_SQL_DSUM('l_discount')} AS sy,
+               {_SQL_DSUM('l_quantity * l_discount')} AS sxy,
+               {_SQL_DSUM('l_quantity * l_quantity')} AS sxx
+        FROM lineitem GROUP BY 1
+    ),
+    m AS (
+        SELECT l_returnflag, n,
+               sx / CAST(n AS DOUBLE) AS mx,
+               sy / CAST(n AS DOUBLE) AS my,
+               sxy / CAST(n AS DOUBLE) AS mxy,
+               sxx / CAST(n AS DOUBLE) AS mxx
+        FROM s
+    )
+    SELECT l_returnflag, n,
+           ROUND(mx, 6) AS mean_qty,
+           ROUND(my, 6) AS mean_disc,
+           ROUND((mxy - mx * my) / (mxx - mx * mx), 6) AS slope,
+           ROUND(my - (mxy - mx * my) / (mxx - mx * mx) * mx, 6)
+               AS intercept
+    FROM m
+    """,
+    doc="Grouped ordinary-least-squares (slope/intercept of discount on"
+        " quantity per return flag) via the closed-form moment sums —"
+        " the ML-adjacent aggregate family (regr_slope/regr_intercept"
+        " equivalents) computed with the repo's exact-decimal"
+        " determinism contract: each moment (Σx, Σy, Σxy, Σx²) is an"
+        " exact DECIMAL sum narrowed to double, then the normal-equation"
+        " arithmetic is ONE identical IEEE expression tree on both"
+        " engines. Spark never uses regr_* built-ins precisely because"
+        " their raw-double partial aggregation is summation-order-"
+        " dependent. One map-side-combining shuffle over lineitem; the"
+        " moment relation is |groups| rows — the canonical 100 TB"
+        " closed-form-regression shape (a full OLS on billions of rows"
+        " for the price of a groupBy).",
+)
+def linreg_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        _dsum(F.col("l_quantity")).alias("sx"),
+        _dsum(F.col("l_discount")).alias("sy"),
+        _dsum(F.col("l_quantity") * F.col("l_discount")).alias("sxy"),
+        _dsum(F.col("l_quantity") * F.col("l_quantity")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    m = s.select(
+        "l_returnflag",
+        "n",
+        (F.col("sx") / nd).alias("mx"),
+        (F.col("sy") / nd).alias("my"),
+        (F.col("sxy") / nd).alias("mxy"),
+        (F.col("sxx") / nd).alias("mxx"),
+    )
+    slope = (F.col("mxy") - F.col("mx") * F.col("my")) / (
+        F.col("mxx") - F.col("mx") * F.col("mx")
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(F.col("mx"), 6).alias("mean_qty"),
+        F.round(F.col("my"), 6).alias("mean_disc"),
+        F.round(slope, 6).alias("slope"),
+        F.round(F.col("my") - slope * F.col("mx"), 6).alias("intercept"),
+    )
+
+
+@_register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    t AS (
+        SELECT prev AS from_event, event_type AS to_event,
+               COUNT(*) AS n_transitions
+        FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT from_event, CAST(SUM(n_transitions) AS BIGINT) AS tt
+        FROM t GROUP BY 1
+    )
+    SELECT t.from_event, t.to_event, t.n_transitions,
+           ROUND(CAST(t.n_transitions AS DOUBLE) / CAST(tot.tt AS DOUBLE),
+                 6) AS p_transition
+    FROM t JOIN tot USING (from_event)
+    """,
+    doc="First-order Markov transition matrix over per-user event"
+        " sequences (behavioral sequence mining — absent from the"
+        " reference, standard clickstream analytics): LAG over the"
+        " per-user time order pairs consecutive events, one grouped"
+        " count builds the matrix, and transition probabilities are one"
+        " IEEE division of exact integer counts (no float accumulation"
+        " — hash-gate-stable by construction). Scale: the sequence"
+        " window partitions on user_id (unbounded cardinality — each"
+        " user's history sorts independently); the probability"
+        " normalization runs on the |event_types|² AGGREGATED matrix,"
+        " never the fact stream, joined back broadcast.",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    t = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy(
+            F.col("prev").alias("from_event"),
+            F.col("event_type").alias("to_event"),
+        )
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    tot = t.groupBy("from_event").agg(
+        F.sum("n_transitions").cast("long").alias("tt")
+    )
+    return t.join(F.broadcast(tot), "from_event").select(
+        "from_event",
+        "to_event",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double") / F.col("tt").cast("double"),
+            6,
+        ).alias("p_transition"),
+    )
+
+
+@_register(
+    "ewma_user_value",
+    oracle="""
+    WITH r AS (
+        SELECT user_id, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ),
+    k AS (
+        SELECT user_id,
+               CAST(ROUND(value * 1000000.0) AS BIGINT) AS vm,
+               (CAST(1 AS BIGINT) << (16 - rn)) AS w
+        FROM r WHERE rn <= 16
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_used,
+           ROUND(CAST(CAST(SUM(vm * w) AS BIGINT) AS DOUBLE)
+                 / CAST(CAST(SUM(w) AS BIGINT) * 1000000 AS DOUBLE),
+                 6) AS ewma_value
+    FROM k GROUP BY 1
+    """,
+    doc="Per-user exponentially-weighted moving average (α = 1/2) of"
+        " event values over each user's 16 most recent events — the"
+        " recency-weighted feature family, made hash-gate-exact by the"
+        " integer-fixed-point trick (pagerank/sessionizer lineage):"
+        " values quantized to micro-units, EWMA weights are exact"
+        " powers of two (bit shifts, never IEEE pow), the weighted sum"
+        " is pure BIGINT (≤ 5.9e14 — no overflow, no rounding), and the"
+        " single final division has both operands exactly representable"
+        " (< 2^53). Bounded-window truncation at 16 terms drops < 2^-16"
+        " of the mass and is replayed identically by the oracle. Scale:"
+        " one row_number window partitioned on user_id (unbounded"
+        " cardinality) + one map-side-combining groupBy.",
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    k = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 16)
+        .select(
+            "user_id",
+            F.expr("CAST(ROUND(value * 1000000.0) AS BIGINT)").alias("vm"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), 16 - rn)").alias("w"),
+        )
+    )
+    return k.groupBy("user_id").agg(
+        F.count("*").alias("n_used"),
+        F.round(
+            F.sum(F.col("vm") * F.col("w")).cast("double")
+            / (F.sum("w") * F.lit(1000000)).cast("double"),
+            6,
+        ).alias("ewma_value"),
+    )
+
+
+@_register(
+    "mad_outlier_filter",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
+        FROM events GROUP BY 1
+    ),
+    dev AS (
+        SELECT e.event_type, m.med, ABS(e.value - m.med) AS d
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, ROUND(quantile_cont(d, 0.5), 6) AS mad
+        FROM dev GROUP BY 1
+    )
+    SELECT d.event_type, d.med, a.mad,
+           CAST(SUM(CASE WHEN d.d > 3.0 * a.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           COUNT(*) AS n_total
+    FROM dev d JOIN mad a USING (event_type)
+    GROUP BY 1, 2, 3
+    """,
+    doc="Robust outlier detection by median absolute deviation (the"
+        " 3-MAD rule) per event type — the robust-statistics"
+        " counterpart to winsorize_event_values (which clamps at tail"
+        " percentiles; MAD is breakdown-point-0.5 robust to the"
+        " outliers themselves). Two grouped exact medians (interpolated"
+        " percentile, rounded to 6 — the agg_percentiles determinism"
+        " anchor) with the per-group medians broadcast back, so the"
+        " fact stream is never shuffled twice: scan → broadcast join →"
+        " scan-local deviation → one groupBy. At 100 TB the exact"
+        " median swaps for approx_percentile per the documented"
+        " sketch-swap contract; the comparison structure is unchanged.",
+)
+def mad_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("d")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(d, 0.5)"), 6).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum(
+                F.when(F.col("d") > F.lit(3.0) * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.count("*").alias("n_total"),
+        )
+    )
+
+
+_TRIANGLE_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 2, 0) + 1),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+        FROM toks
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT doc_a, doc_b
+        FROM cand JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+        WHERE CAST(n_inter AS DOUBLE)
+              / CAST(x.n_sh + y.n_sh - n_inter AS DOUBLE) >= 0.5
+    ),
+    tri AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM edges e1
+        JOIN edges e2 ON e2.doc_a = e1.doc_b
+        JOIN edges e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    nn AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM (SELECT doc_a AS d FROM edges
+              UNION SELECT doc_b FROM edges)
+    ),
+    ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges)
+    SELECT nn.n_nodes, ne.n_edges, tri.n_triangles FROM nn, ne, tri
+"""
+
+
+@_register(
+    "triangle_count_similarity",
+    oracle=_TRIANGLE_ORACLE,
+    doc="Triangle counting over the near-duplicate similarity graph"
+        " (operators/graph.py triangle_count — degree-ordered"
+        " node-iterator, Suri & Vassilvitskii WWW'11): triangles measure"
+        " how CLIQUE-LIKE duplicate families are (transitive near-dup"
+        " clusters close their wedges; chain-shaped drift clusters"
+        " don't) — the corpus-QA companion to cluster_size_histogram"
+        " and pagerank_similarity_graph. SIXTH consumer of the"
+        " session-shared _lsh_pairs_05 relation; the oracle re-derives"
+        " the same edge set from exact Jaccard (the established"
+        " LSH-equals-exact anchoring) and counts with the naive a<b<c"
+        " enumeration — identical count, since degree-ordered"
+        " orientation only redistributes WORK, never changes which"
+        " triangles exist. Scale: orientation bounds out-degree by"
+        " O(√|E|), so the wedge relation a hub generates is d⁺² not"
+        " deg² — the exact hot-key defense the boilerplate-cluster hubs"
+        " need; three |E|-linear equi-joins, no cartesian.",
+)
+def triangle_count_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacitydatawarehouseprj_spark.operators import graph
+
+    pairs = _lsh_pairs_05(spark, sf_dir)
+    return graph.triangle_count(pairs, src="doc_a", dst="doc_b")
+
+
+@_register(
+    "schema_evolution_read",
+    oracle="""
+    WITH b1 AS (
+        SELECT doc_id, lang, n_chars, CAST(NULL AS VARCHAR) AS source
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    b2 AS (
+        SELECT doc_id, lang, n_chars, source
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    m AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+    SELECT lang,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(source) AS BIGINT) AS n_with_source,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM m GROUP BY 1
+    """,
+    doc="Schema-evolution read: two parquet batches written with"
+        " DIFFERENT schemas (an early batch before the `source` column"
+        " existed, a later batch with it) read back in one scan with"
+        " mergeSchema=true — the lake-format reality every long-lived"
+        " 100 TB corpus hits (columns get added; historical files are"
+        " never rewritten). Spark's parquet reader unions the file"
+        " footers' schemas and null-fills missing columns per file; the"
+        " oracle states that contract as the equivalent UNION ALL over"
+        " the view, so any row loss, mis-fill, or type widening breaks"
+        " the hash. Scale note: mergeSchema=true footer-merges at"
+        " planning time (one pass over file metadata, not data); for"
+        " million-file tables the production form pins the merged"
+        " schema in the catalog instead — same read semantics, no"
+        " planning cost. The batches land partitioned dir-per-batch, so"
+        " the scan prunes by batch directory exactly like"
+        " partitioned_ingest_pruned.",
+)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    root = _scratch_dir(sf_dir, "s6_docs_evolving")
+    docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "lang", "n_chars"
+    ).write.mode("overwrite").parquet(root + "/batch=1")
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "n_chars", "source"
+    ).write.mode("overwrite").parquet(root + "/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        root + "/batch=1", root + "/batch=2"
+    )
+    return merged.groupBy("lang").agg(
+        F.count("*").alias("n_rows"),
+        F.count("source").cast("long").alias("n_with_source"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+#: Poisson(1) CDF thresholds (exact double literals, identical on both
+#: engines) for the Poissonized bootstrap draw-count: P(W ≤ k), k = 0..4.
+_POIS_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+    "0.9963401531726563",
+)
+
+
+def _bootstrap_weight_sql(u: str) -> str:
+    c0, c1, c2, c3, c4 = _POIS_CDF
+    return (
+        f"CASE WHEN {u} < {c0} THEN 0 WHEN {u} < {c1} THEN 1"
+        f" WHEN {u} < {c2} THEN 2 WHEN {u} < {c3} THEN 3"
+        f" WHEN {u} < {c4} THEN 4 ELSE 5 END"
+    )
+
+
+@_register(
+    "bootstrap_ci_mean",
+    oracle=f"""
+    WITH s AS (
+        SELECT bb.b, e.value,
+               ((((e.event_id % 999999937) * 48271 + bb.b * 1664525)
+                   % 999999937) * 48271) % 999999937 AS h
+        FROM events e,
+             (SELECT UNNEST(range(1, 17)) AS b) bb
+    ),
+    u AS (
+        SELECT b, value, CAST(h AS DOUBLE) / 999999937.0 AS u FROM s
+    ),
+    w AS (
+        SELECT b, value, {_bootstrap_weight_sql('u')} AS w FROM u
+    )
+    SELECT b,
+           CAST(SUM(w) AS BIGINT) AS n_drawn,
+           ROUND({_SQL_DSUM('value * CAST(w AS DOUBLE)')}
+                 / CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE), 6) AS boot_mean
+    FROM w GROUP BY 1
+    """,
+    doc="Poissonized bootstrap of the event-value mean (16 resamples) —"
+        " distributed uncertainty quantification: each row's draw count"
+        " per replicate is Poisson(1) (the standard streaming/"
+        " distributed approximation of multinomial resampling — Kleiner"
+        " et al.'s bag-of-little-bootstraps lineage), generated by a"
+        " PORTABLE Lehmer-style integer PRNG (mod-999999937 arithmetic,"
+        " exact in BIGINT on both engines) so the oracle replays every"
+        " draw bit-for-bit; the CDF inversion uses shared exact double"
+        " literals. Per-replicate means use the exact-decimal sum"
+        " contract. Scale: one generated-column explode (×16, no"
+        " shuffle) + one map-side-combining groupBy to 16 rows — the"
+        " whole resampling distribution for the cost of one pass; the"
+        " spread of boot_mean across replicates IS the standard error.",
+)
+def bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    s = ev.select("event_id", "value").withColumn(
+        "b", F.explode(F.sequence(F.lit(1), F.lit(16)))
+    )
+    # two Lehmer rounds: one linear step leaves small ids far below the
+    # modulus (u ≈ 0 → every draw count 0); the second multiply wraps
+    # mod P and mixes. All intermediates ≤ 1e9·48271 < 2^63 — exact
+    # BIGINT on both engines.
+    h = (
+        (
+            ((F.col("event_id") % 999999937) * 48271 + F.col("b") * 1664525)
+            % 999999937
+        )
+        * 48271
+    ) % 999999937
+    u = h.cast("double") / F.lit(999999937.0)
+    w = F.expr(_bootstrap_weight_sql("u"))
+    return (
+        s.withColumn("u", u)
+        .withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            F.sum("w").cast("long").alias("n_drawn"),
+            F.round(
+                _dsum(F.col("value") * F.col("w").cast("double"))
+                / F.sum("w").cast("long").cast("double"),
+                6,
+            ).alias("boot_mean"),
+        )
+    )
+
+
+@_register(
+    "grouped_topk_salted",
+    oracle="""
+    WITH r AS (
+        SELECT event_type, event_id, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY value DESC, event_id ASC) AS rnk
+        FROM events
+    )
+    SELECT event_type, CAST(rnk AS BIGINT) AS rnk, event_id, value
+    FROM r WHERE rnk <= 5
+    """,
+    doc="Hot-group-safe grouped top-k (operators/relational.py"
+        " grouped_top_k_salted): top-5 raw events by value per event"
+        " type computed as two window passes — top-k within 8"
+        " deterministic xxhash64 salt buckets of each group (each"
+        " bucket sorts 1/8 of the group, in parallel), then a final"
+        " window over the ≤ 40 survivors per group. Row-identical to"
+        " the single-window ROW_NUMBER form the oracle uses (any"
+        " global top-k row is top-k in its own bucket), but no"
+        " partition ever sorts a whole hot group — the window-function"
+        " analogue of the salted join, closing the round-3 SCALE.md gap"
+        " for hot window partitions on RAW fact streams (the"
+        " exact_distributed_rank machinery covers coarse-blockable"
+        " orders; salting covers arbitrary ones).",
+)
+def grouped_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    res = rel.grouped_top_k_salted(
+        ev,
+        ["event_type"],
+        [F.col("value").desc(), F.col("event_id").asc()],
+        k=5,
+        salt=F.pmod(F.xxhash64(F.col("event_id")), F.lit(8)),
+        n_salt=8,
+        rank_col="rnk",
+    )
+    return res.select(
+        "event_type", F.col("rnk").cast("long").alias("rnk"), "event_id", "value"
+    )
