@@ -186,6 +186,12 @@ NEW_QUERIES_R04 = [
     "incremental_rollup_maintain",
     "profile_table_stats",
     "pagerank_similarity_graph",
+    # wave 6
+    "ann_pq_topk",
+    "ann_pq_recall_check",
+    "histogram_quantile_sketch",
+    "json_variant_shred",
+    "cross_source_overlap",
     # wave 5
     "linreg_by_group",
     "event_transition_matrix",

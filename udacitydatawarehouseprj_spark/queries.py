@@ -7882,3 +7882,305 @@ def grouped_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "event_type", F.col("rnk").cast("long").alias("rnk"), "event_id", "value"
     )
+
+
+# =====================================================================
+# Round-4 wave 6: product quantization, portable quantile sketch,
+# VariantType shredding, cross-source near-dup overlap
+# =====================================================================
+
+
+@_register(
+    "ann_pq_topk",
+    oracle=None,  # approximate by construction — rows-only
+    doc="Product-quantization ANN (operators/similarity.py pq_train /"
+        " pq_topk / pq_topk_reranked — Jégou et al., TPAMI 2011): 8"
+        " subspace codebooks of 16 centroids trained by FUSED"
+        " deterministic k-means (all subspaces learn in one corpus pass"
+        " + one skinny map-side-combined shuffle per iteration), corpus"
+        " encoded to 8-byte codes (64× compression of the 64-dim float"
+        " vectors), queries answered by ADC table lookups over the"
+        " codes, then an exact fold-dot rerank of the 100-candidate"
+        " shortlist — so reported cosines are EXACT and quantization"
+        " only decides shortlist membership. The third sub-linear ANN"
+        " path beside LSH (hash buckets) and IVF (coarse cells), and"
+        " the one that changes the I/O story: at 100 TB the ADC scan"
+        " reads 8 bytes/vector, not 256.",
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.pq_topk_reranked(
+        emb, queries, k=5, shortlist=100, m=8, ksub=16, iters=3
+    )
+
+
+@_register(
+    "ann_pq_recall_check",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS recall_ge_060
+    FROM ({_ANN_ORACLE}) ex
+    """,
+    doc="Hard-signal invariant for ann_pq_topk: recall@5 of the"
+        " PQ-shortlist-plus-exact-rerank against the exact top-5 must"
+        " hold >= 0.60. Uniform random embeddings are PQ's WORST case"
+        " (no cluster structure for the codebooks to exploit); measured"
+        " 0.90 / 0.82 / 0.72 at sf0.001 / 0.01 / 0.1 with m=8, C=100 —"
+        " the threshold carries margin below the observed floor. The"
+        " exact count comes from the oracle's own exhaustive top-k, so"
+        " a silent recall collapse fails the hash gate.",
+)
+def ann_pq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, q, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity.pq_topk_reranked(
+        emb, q, k=5, shortlist=100, m=8, ksub=16, iters=3
+    ).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(hits.agg(F.count("*").alias("n_hit")))
+        .select(
+            "n_exact",
+            (
+                F.col("n_hit").cast("double") / F.col("n_exact").cast("double")
+                >= 0.60
+            ).alias("recall_ge_060"),
+        )
+    )
+
+
+#: histogram-sketch geometry shared by the Spark query and its oracle
+_HQ_BINS = 1024
+
+
+@_register(
+    "histogram_quantile_sketch",
+    oracle=f"""
+    WITH b AS (
+        SELECT CAST(MIN(value) AS DOUBLE) AS lo,
+               CAST(MAX(value) AS DOUBLE) AS hi
+        FROM events
+    ),
+    h AS (
+        SELECT e.event_type,
+               LEAST(CAST(FLOOR((e.value - b.lo)
+                                / ((b.hi - b.lo) / {_HQ_BINS})) AS BIGINT),
+                     {_HQ_BINS - 1}) AS bin,
+               COUNT(*) AS cnt
+        FROM events e, b
+        GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT event_type, bin, cnt,
+               COALESCE(CAST(SUM(cnt) OVER (
+                   PARTITION BY event_type ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS BIGINT), 0) AS cum_before,
+               CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM h
+    ),
+    qq AS (SELECT UNNEST([0.5, 0.9, 0.99]) AS q),
+    hit AS (
+        SELECT c.event_type, qq.q, c.bin, c.cnt, c.cum_before, c.n,
+               CAST(FLOOR(qq.q * CAST(c.n - 1 AS DOUBLE)) AS BIGINT) AS tgt
+        FROM c, qq
+        WHERE CAST(FLOOR(qq.q * CAST(c.n - 1 AS DOUBLE)) AS BIGINT)
+              BETWEEN c.cum_before AND c.cum_before + c.cnt - 1
+    )
+    SELECT h.event_type, h.q, h.n,
+           ROUND(b.lo + (CAST(h.bin AS DOUBLE)
+                 + (CAST(h.tgt - h.cum_before AS DOUBLE) + 0.5)
+                   / CAST(h.cnt AS DOUBLE))
+                 * ((b.hi - b.lo) / {_HQ_BINS}), 6) AS q_est
+    FROM hit h, b
+    """,
+    doc="Portable MERGEABLE quantile sketch: a fixed {bins}-bin"
+        " equi-width histogram per group (integer counts — map-side"
+        " combinable, mergeable across partitions, grains, and days,"
+        " unlike exact percentile state), with p50/p90/p99 read off by"
+        " locating the target rank's bin and interpolating at its"
+        " within-bin midpoint fraction. Every step is integer counts or"
+        " one shared IEEE expression tree, so the DuckDB oracle replays"
+        " the SKETCH exactly — the approximation itself is under the"
+        " hash gate (the same discipline as decontaminate_bloom's"
+        " bit-exact Bloom replay). Error is bounded by bin width"
+        " ((max−min)/{bins}); unit tests pin the estimates within one"
+        " bin width of the exact interpolated percentiles. At 100 TB"
+        " this is THE grouped-quantile shape: one scan, one skinny"
+        " (group × bin) aggregate, prefix sums over the tiny histogram"
+        " relation — exact percentile needs a per-group sort, and"
+        " approx_percentile's GK sketch is engine-specific state that"
+        " no oracle can replay.".format(bins=_HQ_BINS),
+)
+def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min("value").cast("double").alias("lo"),
+        F.max("value").cast("double").alias("hi"),
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(_HQ_BINS)
+    h = (
+        ev.crossJoin(F.broadcast(b))
+        .select(
+            "event_type",
+            F.least(
+                F.floor((F.col("value") - F.col("lo")) / width).cast("long"),
+                F.lit(_HQ_BINS - 1),
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w_pre = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("event_type")
+    c = h.select(
+        "event_type",
+        "bin",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w_pre), F.lit(0))
+        .cast("long")
+        .alias("cum_before"),
+        F.sum("cnt").over(w_all).cast("long").alias("n"),
+    )
+    qq = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+    tgt = F.floor(F.col("q") * (F.col("n") - 1).cast("double")).cast("long")
+    hit = (
+        c.crossJoin(F.broadcast(qq))
+        .withColumn("tgt", tgt)
+        .filter(
+            (F.col("tgt") >= F.col("cum_before"))
+            & (F.col("tgt") <= F.col("cum_before") + F.col("cnt") - 1)
+        )
+    )
+    est = F.col("lo") + (
+        F.col("bin").cast("double")
+        + ((F.col("tgt") - F.col("cum_before")).cast("double") + F.lit(0.5))
+        / F.col("cnt").cast("double")
+    ) * ((F.col("hi") - F.col("lo")) / F.lit(_HQ_BINS))
+    return (
+        hit.crossJoin(F.broadcast(b))
+        .select(
+            "event_type",
+            "q",
+            "n",
+            F.round(est, 6).alias("q_est"),
+        )
+    )
+
+
+@_register(
+    "json_variant_shred",
+    oracle="""
+    SELECT CAST(CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS BIGINT)
+               AS k_decile,
+           COUNT(*) AS n_events,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS k_min,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS k_max,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Semi-structured shredding through Spark's native VariantType"
+        " (parse_json → variant_get, the Spark-4 path for JSON columns"
+        " — a binary-encoded variant replaces per-query string"
+        " re-parsing; complements json_extract_props which exercises"
+        " the classic get_json_object string path): parse once, extract"
+        " a typed BIGINT, and aggregate per value decile. The oracle"
+        " shreds the same JSON with DuckDB's json_extract — identical"
+        " typed results prove the variant decode is lossless. Scale:"
+        " parse_json runs map-side inside codegen; in a production lake"
+        " the variant column is materialized at ingest so every"
+        " downstream query skips the parse entirely.",
+)
+def json_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy(F.expr("CAST(k DIV 10 AS BIGINT)").alias("k_decile"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.countDistinct("event_type").cast("long").alias("n_types"),
+        )
+    )
+
+
+@_register(
+    "cross_source_overlap",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 2, 0) + 1),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+        FROM toks
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT doc_a, doc_b
+        FROM cand JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+        WHERE CAST(n_inter AS DOUBLE)
+              / CAST(x.n_sh + y.n_sh - n_inter AS DOUBLE) >= 0.5
+    )
+    SELECT LEAST(da.source, db.source) AS source_a,
+           GREATEST(da.source, db.source) AS source_b,
+           COUNT(*) AS n_pairs
+    FROM edges e
+    JOIN documents da ON e.doc_a = da.doc_id
+    JOIN documents db ON e.doc_b = db.doc_id
+    GROUP BY 1, 2
+    """,
+    doc="Cross-source near-duplicate overlap matrix — which corpus"
+        " sources duplicate EACH OTHER (the dataset-curation question"
+        " behind source weighting: if cc and webtext are 30% mutual"
+        " near-dups, their mixing weights double-count). SEVENTH"
+        " consumer of the session-shared LSH pair relation; each pair"
+        " is labeled with its endpoints' sources via two broadcast"
+        " joins of the slim (doc_id, source) projection, then counted"
+        " per unordered source pair. The oracle re-derives the pair"
+        " relation from exact Jaccard (LSH-equals-exact anchoring)."
+        " Scale: |pairs| ∝ true dup rate, the dimension projection is"
+        " columnar-pruned, and the final matrix is |sources|² rows.",
+)
+def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = _lsh_pairs_05(spark, sf_dir)
+    da = docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+        "source", "src_a"
+    )
+    db = docs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+        "source", "src_b"
+    )
+    return (
+        pairs.join(F.broadcast(da), "doc_a")
+        .join(F.broadcast(db), "doc_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_pairs"))
+    )
