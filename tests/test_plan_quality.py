@@ -504,3 +504,78 @@ def test_char_entropy_zero_shuffle(spark, sf_dir):
     assert count_exchanges(plan) <= 1
     assert "Generate explode" not in plan
     assert "HashAggregate" not in plan
+
+
+# --- round-4 wave 5/6 plan shapes -------------------------------------
+
+
+def test_linreg_single_shuffle(spark, sf_dir):
+    """Grouped OLS is one map-side-combining aggregation over lineitem —
+    any second data shuffle means the moment math left the agg."""
+    plan = plan_of(spark, sf_dir, "linreg_by_group")
+    assert count_exchanges(plan) == 1
+    assert "HashAggregate" in plan
+
+
+def test_transition_matrix_single_scan(spark, sf_dir):
+    """The probability normalization is a window over the aggregated
+    |event_types|² matrix — the events table is scanned exactly once
+    (a totals join would re-execute the scan→lag→count pipeline)."""
+    plan = plan_of(spark, sf_dir, "event_transition_matrix")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    # two windows: the per-user LAG and the tiny normalization sum
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2
+
+
+def test_mad_filter_broadcasts_medians(spark, sf_dir):
+    """Both per-group median relations come back as broadcast joins —
+    the fact stream shuffles only for the grouped aggregations."""
+    plan = plan_of(spark, sf_dir, "mad_outlier_filter")
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_grouped_topk_salted_two_windows(spark, sf_dir):
+    """The salted top-k is exactly two window passes; the first
+    partitions on (group, salt) so no hot group sorts in one task."""
+    plan = plan_of(spark, sf_dir, "grouped_topk_salted")
+    wins = re.findall(r"\(\d+\) Window\b", plan)
+    assert len(wins) == 2
+    assert "_salt" in plan
+    # both passes get Spark's rank-limit pushdown: each map partition
+    # prunes to k rows per (group[, salt]) BEFORE its shuffle
+    assert len(re.findall(r"\(\d+\) WindowGroupLimit", plan)) >= 2
+
+
+def test_bootstrap_no_shuffle_before_agg(spark, sf_dir):
+    """The ×16 replicate explode is a generator inside the scan stage;
+    the only shuffle is the 16-group aggregation."""
+    plan = plan_of(spark, sf_dir, "bootstrap_ci_mean")
+    assert "Generate explode" in plan or "Generate" in plan
+    assert count_exchanges(plan) == 1
+
+
+def test_histogram_sketch_windows_on_aggregated_relation(spark, sf_dir):
+    """The prefix-sum windows run on the (group × bin) histogram — the
+    fact stream sees one aggregation; bounds and quantile probes arrive
+    broadcast."""
+    plan = plan_of(spark, sf_dir, "histogram_quantile_sketch")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the raw events relation shuffles once (into the histogram agg)
+    assert "CartesianProduct" not in plan
+
+
+def test_variant_shred_single_aggregation(spark, sf_dir):
+    # 2 exchanges: the exact COUNT(DISTINCT event_type) expands into the
+    # standard two-phase distinct aggregation; the variant decode itself
+    # is map-side inside the scan stage
+    plan = plan_of(spark, sf_dir, "json_variant_shred")
+    assert count_exchanges(plan) == 2
+    assert "parse_json" in plan or "variant_get" in plan
+
+
+def test_cross_source_overlap_broadcasts_dims(spark, sf_dir):
+    """Both (doc_id, source) label joins broadcast the slim projection —
+    the pair relation is never shuffled for labeling."""
+    plan = plan_of(spark, sf_dir, "cross_source_overlap")
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2

@@ -152,6 +152,17 @@ def grouped_top_k_salted(
     (callers must include a unique tie-break; ``salt`` must be a
     deterministic function of a unique column, e.g.
     ``pmod(xxhash64(id), n_salt)``, so reruns bucket identically).
+
+    Interplay with Spark's rank-limit pushdown (WindowGroupLimit,
+    SPARK-37099, observed in both passes' plans): the pushdown already
+    prunes each MAP partition to k rows per group before the shuffle,
+    so the plain window moves only k·n_map_partitions rows per group —
+    but it still SORTS all of a hot group's survivors in one final
+    task (k × 800k map partitions at 100 TB = millions of rows for one
+    group). Salting interposes a parallel reduction level: the final
+    window sees ≤ k·n_salt survivors per group regardless of corpus
+    size. On engines without the pushdown the first pass also bounds
+    the map-side sort itself.
     """
     s = df.withColumn("_salt", salt % n_salt)
     w1 = Window.partitionBy(*(list(partition_cols) + ["_salt"])).orderBy(*order)

@@ -7474,8 +7474,10 @@ def linreg_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         " — hash-gate-stable by construction). Scale: the sequence"
         " window partitions on user_id (unbounded cardinality — each"
         " user's history sorts independently); the probability"
-        " normalization runs on the |event_types|² AGGREGATED matrix,"
-        " never the fact stream, joined back broadcast.",
+        " normalization is a window SUM over the |event_types|²"
+        " AGGREGATED matrix — one pipeline, one scan (a groupBy+join"
+        " would re-execute the scan→lag→count pipeline for the totals"
+        " side; plan test pins single-scan).",
 )
 def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -7495,15 +7497,18 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_transitions"))
     )
-    tot = t.groupBy("from_event").agg(
-        F.sum("n_transitions").cast("long").alias("tt")
-    )
-    return t.join(F.broadcast(tot), "from_event").select(
+    # normalization as a window over the AGGREGATED |types|² matrix —
+    # one pipeline, one scan (a groupBy+join re-executes the whole
+    # scan→lag→count pipeline for the totals side); the partition key is
+    # low-cardinality but the relation is already bounded-aggregated.
+    w_tot = Window.partitionBy("from_event")
+    return t.select(
         "from_event",
         "to_event",
         "n_transitions",
         F.round(
-            F.col("n_transitions").cast("double") / F.col("tt").cast("double"),
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w_tot).cast("long").cast("double"),
             6,
         ).alias("p_transition"),
     )
