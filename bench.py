@@ -186,6 +186,11 @@ NEW_QUERIES_R04 = [
     "incremental_rollup_maintain",
     "profile_table_stats",
     "pagerank_similarity_graph",
+    # wave 7
+    "dedup_ngram_containment",
+    "count_min_heavy_hitters",
+    "tokenizer_oov_rate",
+    "retrieval_mrr_eval",
     # wave 6
     "ann_pq_topk",
     "ann_pq_recall_check",

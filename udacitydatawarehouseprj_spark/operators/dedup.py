@@ -1149,3 +1149,57 @@ def duplicated_tile_spans(
             ).alias("dup_frac"),
         )
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """ASYMMETRIC near-duplication by shingle containment:
+    C(A⊂B) = |A∩B| / |A| — the template/boilerplate relation Jaccard
+    misses. A 50-shingle licence block fully embedded in a 5000-shingle
+    page has C = 1.0 but Jaccard ≈ 0.01: containment is the measure
+    RefinedWeb/C4-style template removal and train-test contamination
+    audits actually need (a test document CONTAINED in a training page
+    is contamination regardless of the page's extra bulk).
+
+    Emits each unordered pair (doc_a < doc_b) whose larger directed
+    containment clears ``threshold``, with BOTH directions reported.
+    Same plan shape and cost as ``ngram_jaccard_pairs`` (shingle
+    self-join, cached three-consumer relation); the MinHash/LSH
+    candidate route composes identically at 100 TB — banding recalls by
+    Jaccard, so for small-in-large containment pairs the production
+    path lowers the LSH threshold and verifies containment exactly on
+    candidates.
+    """
+    sh = _cache(shingles(df, id_col, text_col, n))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    c_ab = F.col("n_inter").cast("double") / F.col("n_a").cast("double")
+    c_ba = F.col("n_inter").cast("double") / F.col("n_b").cast("double")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter((c_ab >= threshold) | (c_ba >= threshold))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(c_ab, 6).alias("containment_a_in_b"),
+            F.round(c_ba, 6).alias("containment_b_in_a"),
+        )
+    )

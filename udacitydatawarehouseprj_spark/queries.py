@@ -8189,3 +8189,361 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+# =====================================================================
+# Round-4 wave 7: containment near-dup, count-min sketch, tokenizer
+# OOV coverage, retrieval-quality evaluation
+# =====================================================================
+
+
+@_register(
+    "dedup_ngram_containment",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 2, 0) + 1),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+        FROM toks
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_inter AS DOUBLE) / CAST(x.n_sh AS DOUBLE), 6)
+               AS containment_a_in_b,
+           ROUND(CAST(n_inter AS DOUBLE) / CAST(y.n_sh AS DOUBLE), 6)
+               AS containment_b_in_a
+    FROM inter
+    JOIN sz x ON doc_a = x.doc_id
+    JOIN sz y ON doc_b = y.doc_id
+    WHERE CAST(n_inter AS DOUBLE) / CAST(x.n_sh AS DOUBLE) >= 0.8
+       OR CAST(n_inter AS DOUBLE) / CAST(y.n_sh AS DOUBLE) >= 0.8
+    """,
+    doc="ASYMMETRIC near-duplication by shingle containment"
+        " (operators/dedup.py ngram_containment_pairs): C(A⊂B) ="
+        " |A∩B|/|A| — the template/boilerplate relation Jaccard misses"
+        " (a 50-shingle licence block inside a 5000-shingle page has"
+        " C = 1.0, Jaccard ≈ 0.01); the measure RefinedWeb-style"
+        " template removal and contained-test-set contamination audits"
+        " actually need. Both directed containments reported per"
+        " unordered pair clearing 0.8 in either direction. Same"
+        " cached-shingle self-join shape as dedup_ngram_jaccard; at"
+        " 100 TB the LSH candidate route composes (lower banding"
+        " threshold, verify containment exactly on candidates).",
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_containment_pairs(docs, threshold=0.8)
+
+
+#: count-min sketch geometry + per-row Lehmer multipliers (shared by the
+#: Spark build and the oracle replay — classic minimal-standard family)
+_CMS_W = 512
+_CMS_KS = (48271, 16807, 69621, 40692)
+_CMS_P = 999_999_937
+
+
+def _cms_cell_sql(u: str, j: int) -> str:
+    return f"((({u} % {_CMS_P}) * {_CMS_KS[j]}) % {_CMS_P}) % {_CMS_W}"
+
+
+@_register(
+    "count_min_heavy_hitters",
+    oracle=f"""
+    WITH cells AS (
+        SELECT j.j,
+               CASE j.j
+                 WHEN 0 THEN {_cms_cell_sql('user_id', 0)}
+                 WHEN 1 THEN {_cms_cell_sql('user_id', 1)}
+                 WHEN 2 THEN {_cms_cell_sql('user_id', 2)}
+                 ELSE {_cms_cell_sql('user_id', 3)}
+               END AS cell
+        FROM events, (SELECT UNNEST(range(0, 4)) AS j) j
+    ),
+    cms AS (
+        SELECT j, cell, COUNT(*) AS cnt FROM cells GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY 1
+    ),
+    probe AS (
+        SELECT user_id, exact_n
+        FROM (
+            SELECT user_id, exact_n,
+                   ROW_NUMBER() OVER (ORDER BY exact_n DESC, user_id) AS r
+            FROM exact
+        ) WHERE r <= 20
+    ),
+    est AS (
+        SELECT p.user_id, p.exact_n,
+               MIN(c.cnt) AS cms_est
+        FROM probe p,
+             (SELECT UNNEST(range(0, 4)) AS j) j
+        JOIN cms c
+          ON c.j = j.j
+         AND c.cell = CASE j.j
+                 WHEN 0 THEN {_cms_cell_sql('p.user_id', 0)}
+                 WHEN 1 THEN {_cms_cell_sql('p.user_id', 1)}
+                 WHEN 2 THEN {_cms_cell_sql('p.user_id', 2)}
+                 ELSE {_cms_cell_sql('p.user_id', 3)}
+               END
+        GROUP BY 1, 2
+    )
+    SELECT user_id, CAST(exact_n AS BIGINT) AS exact_n,
+           CAST(cms_est AS BIGINT) AS cms_est,
+           cms_est >= exact_n AS never_underestimates
+    FROM est
+    """,
+    doc="Portable count-min sketch (Cormode & Muthukrishnan 2005): 4×512"
+        " integer counters built in ONE map-side-combined aggregation"
+        " (the third fully-oracle-replayable mergeable sketch, after the"
+        " Bloom filter and the histogram quantile — hash rows are"
+        " Lehmer-multiplier mod arithmetic, exact BIGINT on both"
+        " engines, so DuckDB replays build AND probe bit-for-bit"
+        " including collision overestimates). Probes the 20 heaviest"
+        " users: estimate = min over rows, with the CMS one-sided-error"
+        " guarantee (never underestimates) as an oracle-checked boolean."
+        " At 100 TB: counters are constant memory, mergeable across"
+        " partitions/days, and frequency queries never rescan events —"
+        " the streaming-compatible heavy-hitter shape (vs"
+        " heavy_hitters_check's exact two-pass).",
+)
+def count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+
+    def cms_cell(u: F.Column, j: int) -> F.Column:
+        return ((u % _CMS_P) * _CMS_KS[j] % _CMS_P) % _CMS_W
+
+    cells = ev.select("user_id").withColumn(
+        "j", F.explode(F.sequence(F.lit(0), F.lit(3)))
+    )
+    cell = (
+        F.when(F.col("j") == 0, cms_cell(F.col("user_id"), 0))
+        .when(F.col("j") == 1, cms_cell(F.col("user_id"), 1))
+        .when(F.col("j") == 2, cms_cell(F.col("user_id"), 2))
+        .otherwise(cms_cell(F.col("user_id"), 3))
+    )
+    cms = (
+        cells.withColumn("cell", cell)
+        .groupBy("j", "cell")
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_n"))
+    probe = exact.orderBy(F.col("exact_n").desc(), F.col("user_id")).limit(20)
+    probed = probe.withColumn(
+        "j", F.explode(F.sequence(F.lit(0), F.lit(3)))
+    ).withColumn(
+        "cell",
+        F.when(F.col("j") == 0, cms_cell(F.col("user_id"), 0))
+        .when(F.col("j") == 1, cms_cell(F.col("user_id"), 1))
+        .when(F.col("j") == 2, cms_cell(F.col("user_id"), 2))
+        .otherwise(cms_cell(F.col("user_id"), 3)),
+    )
+    return (
+        probed.join(F.broadcast(cms), ["j", "cell"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            "user_id",
+            F.col("exact_n").cast("long").alias("exact_n"),
+            F.col("cms_est").cast("long").alias("cms_est"),
+            (F.col("cms_est") >= F.col("exact_n")).alias(
+                "never_underestimates"
+            ),
+        )
+    )
+
+
+@_register(
+    "tokenizer_oov_rate",
+    oracle=r"""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+        FROM documents
+    ),
+    counts AS (
+        SELECT token, COUNT(*) AS n FROM toks WHERE token <> ''
+        GROUP BY 1 HAVING COUNT(*) >= 2
+    ),
+    vocab AS (
+        SELECT token FROM (
+            SELECT token, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS r
+            FROM counts
+        ) WHERE r <= 500
+    ),
+    lt AS (
+        SELECT d.lang, unnest(string_split_regex(lower(d.text), '\s+'))
+               AS token
+        FROM documents d
+    ),
+    flags AS (
+        SELECT lt.lang, lt.token,
+               CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+        FROM lt LEFT JOIN vocab v ON lt.token = v.token
+        WHERE lt.token <> ''
+    )
+    SELECT lang,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           ROUND(CAST(CAST(SUM(oov) AS BIGINT) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+    FROM flags GROUP BY 1
+    """,
+    doc="Tokenizer vocabulary coverage: per-language share of token"
+        " OCCURRENCES outside the learned top-500 vocabulary (the"
+        " vocab_build_topk mapping, min_count 2) — the"
+        " coverage/OOV-rate metric that decides whether a tokenizer's"
+        " vocab serves every language in the mix (a lang with 40% OOV"
+        " trains badly no matter its mixing weight). Vocab is broadcast"
+        " (≤ top_n rows by construction); the corpus-side cost is one"
+        " token explode + broadcast anti-probe + one groupBy — no"
+        " shuffle of the token stream beyond the count combine.",
+)
+def tokenizer_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    vocab = textops.vocab_topk(docs, top_n=500, min_count=2).select("token")
+    toks = (
+        S.spread(docs.select("lang", "text"), ())
+        .select(
+            "lang",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    flags = toks.join(
+        F.broadcast(vocab.withColumn("_inv", F.lit(1))), "token", "left"
+    ).select(
+        "lang", F.when(F.col("_inv").isNull(), 1).otherwise(0).alias("oov")
+    )
+    return flags.groupBy("lang").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("oov").cast("long").alias("n_oov"),
+        F.round(
+            F.sum("oov").cast("long").cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("oov_rate"),
+    )
+
+
+def _dot_sql_n(a: str, b: str, n: int) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {n + 1}), i -> {a}[i] * {b}[i]),"
+        " (x, y) -> x + y)"
+    )
+
+
+@_register(
+    "retrieval_mrr_eval",
+    oracle=f"""
+    WITH p AS (
+        SELECT vec_id,
+               [{", ".join(f"y{j:02d}" for j in range(16))}] AS pv
+        FROM (SELECT vec_id, {_proj_oracle_terms()} FROM embeddings)
+    ),
+    pn AS (
+        SELECT vec_id, pv, sqrt({_dot_sql_n('pv', 'pv', 16)}) AS nrm
+        FROM p
+    ),
+    sys AS (
+        SELECT query_id, neighbor_id, rnk FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_dot_sql_n('c.pv', 'q.pv', 16)}
+                                / (c.nrm * q.nrm) DESC, c.vec_id) AS rnk
+            FROM pn c JOIN pn q ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 10
+        ) WHERE rnk <= 5
+    ),
+    gt AS (SELECT query_id, neighbor_id, rank FROM ({_ANN_ORACLE})),
+    gt1 AS (SELECT query_id, neighbor_id AS nn1 FROM gt WHERE rank = 1),
+    rr AS (
+        SELECT g.query_id,
+               COALESCE(1.0 / CAST(MIN(s.rnk) AS DOUBLE), 0.0)
+                   AS reciprocal_rank
+        FROM gt1 g
+        LEFT JOIN sys s
+          ON s.query_id = g.query_id AND s.neighbor_id = g.nn1
+        GROUP BY 1
+    ),
+    hits AS (
+        SELECT g.query_id, CAST(COUNT(s.neighbor_id) AS BIGINT) AS n_hits
+        FROM gt g
+        LEFT JOIN sys s
+          ON s.query_id = g.query_id AND s.neighbor_id = g.neighbor_id
+        GROUP BY 1
+    )
+    SELECT r.query_id, ROUND(r.reciprocal_rank, 6) AS reciprocal_rank,
+           h.n_hits
+    FROM rr r JOIN hits h ON r.query_id = h.query_id
+    """,
+    doc="Retrieval-quality evaluation harness — MRR and recall@5 of a"
+        " candidate retrieval SYSTEM against exact ground truth, per"
+        " query. The evaluated system here is exact search in the"
+        " 16-dim JL-projected space (random_projection_embeddings'"
+        " deterministic ±1 transform), so BOTH sides of the eval are"
+        " SQL-replayable and the entire metric pipeline — ground-truth"
+        " build, system ranking, reciprocal-rank join, hit counting —"
+        " sits under the driver's hash gate (eval bugs are data bugs:"
+        " a wrong join key or off-by-one rank silently corrupts every"
+        " model comparison downstream). Swap any ANN query (LSH / IVF /"
+        " PQ) in as the system: same harness, rows-only check. Scale:"
+        " metrics are joins over |Q|·k candidate rows, independent of"
+        " corpus size.",
+)
+def retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    gt = similarity.cosine_topk(emb, q, k=5)
+    proj = similarity.random_projection(emb, k=16, dims=64)
+    ycols = [f"y{j:02d}" for j in range(16)]
+    pv = proj.select(
+        "vec_id", F.array(*[F.col(c) for c in ycols]).alias("embedding")
+    )
+    sys_topk = similarity.cosine_topk(
+        pv, pv.filter(F.col("vec_id") < 10), k=5
+    )
+    gt1 = gt.filter(F.col("rank") == 1).select(
+        "query_id", F.col("neighbor_id").alias("nn1")
+    )
+    rr = (
+        gt1.join(
+            sys_topk.select(
+                "query_id", F.col("neighbor_id").alias("nn1"), "rank"
+            ),
+            ["query_id", "nn1"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.coalesce(
+                F.lit(1.0) / F.min("rank").cast("double"), F.lit(0.0)
+            ).alias("reciprocal_rank")
+        )
+    )
+    hits = (
+        gt.select("query_id", "neighbor_id")
+        .join(
+            sys_topk.select("query_id", "neighbor_id", F.lit(1).alias("_h")),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("_h").cast("long").alias("n_hits"))
+    )
+    return rr.join(hits, "query_id").select(
+        "query_id",
+        F.round("reciprocal_rank", 6).alias("reciprocal_rank"),
+        "n_hits",
+    )
