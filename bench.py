@@ -186,6 +186,9 @@ NEW_QUERIES_R04 = [
     "incremental_rollup_maintain",
     "profile_table_stats",
     "pagerank_similarity_graph",
+    # wave 8
+    "multimodal_image_resize",
+    "hll_sketch_rollup",
     # wave 7
     "dedup_ngram_containment",
     "count_min_heavy_hitters",

@@ -421,3 +421,71 @@ def decode_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 )
 
     return df.mapInPandas(batches, schema=AUDIO_FEATURES_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+    ]
+)
+
+
+def resize_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """2× box-filter downsample of PPM payloads — the canonical image
+    preprocessing op (resize-before-embed), run as a REAL decode →
+    block-reduce inside Arrow-batched ``mapInPandas``.
+
+    Each output pixel is the 2×2 source-block sum (integer — no
+    division, so the result is exactly replayable); emitted features
+    are the per-channel totals plus a POSITION-WEIGHTED checksum
+    Σ block[y, x, c] · (1 + x + 2y + 3c) — sensitive to stride, offset,
+    transpose, and channel-order bugs that a bare mean would mask.
+    One output row per input row, streamed batch-by-batch (never
+    accumulated across the partition — the round-3 audio-decode
+    lesson)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ows, ohs = [], [], []
+            sr, sg, sb, cks = [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                w, h, px = _decode_ppm(bytes(payload))
+                if w % 2 or h % 2:
+                    raise ValueError("2x box resize needs even dims")
+                blocks = (
+                    px.astype("int64")
+                    .reshape(h // 2, 2, w // 2, 2, 3)
+                    .sum(axis=(1, 3))
+                )  # [h/2, w/2, 3]
+                oh, ow = blocks.shape[0], blocks.shape[1]
+                ys = np.arange(oh)[:, None, None]
+                xs = np.arange(ow)[None, :, None]
+                cs = np.arange(3)[None, None, :]
+                weight = 1 + xs + 2 * ys + 3 * cs
+                ids.append(int(did))
+                ows.append(ow)
+                ohs.append(oh)
+                sr.append(int(blocks[:, :, 0].sum()))
+                sg.append(int(blocks[:, :, 1].sum()))
+                sb.append(int(blocks[:, :, 2].sum()))
+                cks.append(int((blocks * weight).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "out_width": pd.array(ows, dtype="int32"),
+                    "out_height": pd.array(ohs, dtype="int32"),
+                    "sum_r": sr,
+                    "sum_g": sg,
+                    "sum_b": sb,
+                    "checksum": cks,
+                }
+            )
+
+    return df.mapInPandas(batches, schema=RESIZE_SCHEMA)

@@ -8547,3 +8547,110 @@ def retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("reciprocal_rank", 6).alias("reciprocal_rank"),
         "n_hits",
     )
+
+
+# =====================================================================
+# Round-4 wave 8: image resize plumbing, re-aggregable HLL sketches
+# =====================================================================
+
+
+def _ppm_block_sum_sql(c: int) -> str:
+    """4-term 2×2 block sum of the synthetic PPM pixel formula at output
+    pixel i (X = i%8, Y = i//8), channel c — the oracle-side replay of
+    the box filter."""
+    terms = []
+    for dy in (0, 1):
+        for dx in (0, 1):
+            terms.append(
+                f"(31*doc_id + 7*(2*(i % 8) + {dx})"
+                f" + 13*(2*(i // 8) + {dy}) + {5 * c}) % 256"
+            )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _ppm_resize_channel_sql(c: int, weighted: bool) -> str:
+    w = f" * (1 + (i % 8) + 2*(i // 8) + {3 * c})" if weighted else ""
+    return (
+        f"list_sum(list_transform(range(0, 32),"
+        f" i -> {_ppm_block_sum_sql(c)}{w}))"
+    )
+
+
+@_register(
+    "multimodal_image_resize",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(8 AS INTEGER) AS out_width,
+           CAST(4 AS INTEGER) AS out_height,
+           CAST({_ppm_resize_channel_sql(0, False)} AS BIGINT) AS sum_r,
+           CAST({_ppm_resize_channel_sql(1, False)} AS BIGINT) AS sum_g,
+           CAST({_ppm_resize_channel_sql(2, False)} AS BIGINT) AS sum_b,
+           CAST({_ppm_resize_channel_sql(0, True)}
+                + {_ppm_resize_channel_sql(1, True)}
+                + {_ppm_resize_channel_sql(2, True)} AS BIGINT) AS checksum
+    FROM documents
+    """,
+    doc="Image RESIZE under the hash gate (operators/multimodal.py"
+        " resize_image_features): every doc's real binary PPM payload is"
+        " decoded and 2× box-downsampled (16×8 → 8×4; output pixel ="
+        " exact integer 2×2 block sum) inside Arrow-batched mapInPandas,"
+        " emitting per-channel totals plus a position-weighted checksum"
+        " Σ block·(1 + x + 2y + 3c) that catches stride/offset/"
+        "transpose/channel-order bugs a mean would mask. The oracle"
+        " replays decode AND resize analytically from the pixel formula"
+        " — the resize-before-embed preprocessing stage of any"
+        " image-corpus pipeline, proven lossless. Scale: pure map-side"
+        " (zero shuffle), payload bytes stay in one Arrow buffer per"
+        " batch, output streamed frame-per-batch.",
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    imgs = mm.attach_ppm_payload(S.spread(docs, ("doc_id",)))
+    return mm.resize_image_features(imgs)
+
+
+@_register(
+    "hll_sketch_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_nd,
+           CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+           TRUE AS merged_within_5pct
+    FROM events GROUP BY event_type
+    """,
+    doc="Re-aggregable distinct-count sketches (Spark's Apache"
+        " DataSketches HLL surface, 3.5+): per-(event_type, day) user"
+        " sketches built ONCE with hll_sketch_agg, then rolled up to"
+        " event_type totals by hll_union_agg WITHOUT rescanning events"
+        " — the production daily→weekly→all-time rollup pattern where"
+        " the raw fact table is read once ever and every coarser grain"
+        " merges binary sketch columns (contrast agg_approx_distinct,"
+        " which re-reads raw data per grain). The merged estimate must"
+        " land within 5% of exact — estimate, day count, and the"
+        " boolean all under the oracle gate. Sketch BYTES are"
+        " engine-specific (DataSketches binary) so the oracle checks"
+        " the ESTIMATE's accuracy contract, not the bits: exact_nd and"
+        " n_days are recomputed exhaustively by DuckDB.",
+)
+def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    rolled = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"),
+        F.count("*").alias("n_days"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_nd")
+    )
+    return rolled.join(exact, "event_type").select(
+        "event_type",
+        "exact_nd",
+        F.col("n_days").cast("long").alias("n_days"),
+        (
+            F.abs(F.col("_est") - F.col("exact_nd")).cast("double")
+            / F.col("exact_nd").cast("double")
+            <= 0.05
+        ).alias("merged_within_5pct"),
+    )
