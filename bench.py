@@ -186,6 +186,10 @@ NEW_QUERIES_R04 = [
     "incremental_rollup_maintain",
     "profile_table_stats",
     "pagerank_similarity_graph",
+    # wave 9
+    "cooccurrence_event_pairs",
+    "key_skew_report",
+    "rfm_customer_segments",
     # wave 8
     "multimodal_image_resize",
     "hll_sketch_rollup",

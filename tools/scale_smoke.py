@@ -116,6 +116,24 @@ SMOKE = [
     "incremental_rollup_maintain",
     "profile_table_stats",
     "pagerank_similarity_graph",
+    # round 4 waves 5-8
+    "linreg_by_group",
+    "event_transition_matrix",
+    "ewma_user_value",
+    "mad_outlier_filter",
+    "triangle_count_similarity",
+    "bootstrap_ci_mean",
+    "grouped_topk_salted",
+    "ann_pq_topk",
+    "histogram_quantile_sketch",
+    "json_variant_shred",
+    "cross_source_overlap",
+    "dedup_ngram_containment",
+    "count_min_heavy_hitters",
+    "tokenizer_oov_rate",
+    "retrieval_mrr_eval",
+    "multimodal_image_resize",
+    "hll_sketch_rollup",
 ]
 
 

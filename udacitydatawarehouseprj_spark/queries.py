@@ -8654,3 +8654,246 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05
         ).alias("merged_within_5pct"),
     )
+
+
+# =====================================================================
+# Round-4 wave 9: co-occurrence mining, key-skew diagnostics, RFM
+# segmentation
+# =====================================================================
+
+
+@_register(
+    "cooccurrence_event_pairs",
+    oracle="""
+    WITH b AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day, event_type
+        FROM events
+    ),
+    nb AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT DISTINCT user_id, day FROM b)
+    ),
+    supp AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_b FROM b GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.event_type AS et_a, b2.event_type AS et_b,
+               COUNT(*) AS n_cobaskets
+        FROM b a JOIN b b2
+          ON a.user_id = b2.user_id AND a.day = b2.day
+         AND a.event_type < b2.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.et_a, p.et_b, p.n_cobaskets,
+           ROUND(CAST(p.n_cobaskets AS DOUBLE) / CAST(nb.n AS DOUBLE), 6)
+               AS support,
+           ROUND((CAST(p.n_cobaskets AS DOUBLE) / CAST(nb.n AS DOUBLE))
+                 / ((CAST(sa.n_b AS DOUBLE) / CAST(nb.n AS DOUBLE))
+                    * (CAST(sb.n_b AS DOUBLE) / CAST(nb.n AS DOUBLE))), 6)
+               AS lift
+    FROM pairs p, nb
+    JOIN supp sa ON sa.event_type = p.et_a
+    JOIN supp sb ON sb.event_type = p.et_b
+    """,
+    doc="Market-basket co-occurrence mining (support + lift per"
+        " event-type pair, basket = user-day) — the association-rule"
+        " family: which behaviors happen TOGETHER beyond what their"
+        " individual frequencies predict (lift > 1). All counts exact"
+        " integers; support and lift are shared IEEE expression trees,"
+        " so the whole metric sits under the hash gate. Scale: the"
+        " basket relation is DISTINCT (user, day, type) — bounded at"
+        " |types| items per basket, so the within-basket self-join is"
+        " O(|types|²) per basket, linear overall; supports and the"
+        " basket count are broadcast scalars/dims.",
+)
+def cooccurrence_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type",
+    ).distinct()
+    b = S.track_cache(b)
+    nb = b.select("user_id", "day").distinct().agg(
+        F.count("*").cast("long").alias("n")
+    )
+    supp = b.groupBy("event_type").agg(F.count("*").cast("long").alias("n_b"))
+    a = b.alias("a")
+    b2 = b.alias("b2")
+    pairs = (
+        a.join(
+            b2,
+            (F.col("a.user_id") == F.col("b2.user_id"))
+            & (F.col("a.day") == F.col("b2.day"))
+            & (F.col("a.event_type") < F.col("b2.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("et_a"),
+            F.col("b2.event_type").alias("et_b"),
+        )
+        .agg(F.count("*").alias("n_cobaskets"))
+    )
+    sa = supp.select(
+        F.col("event_type").alias("et_a"), F.col("n_b").alias("na")
+    )
+    sb = supp.select(
+        F.col("event_type").alias("et_b"), F.col("n_b").alias("nbb")
+    )
+    nd = F.col("n").cast("double")
+    support = F.col("n_cobaskets").cast("double") / nd
+    lift = support / (
+        (F.col("na").cast("double") / nd) * (F.col("nbb").cast("double") / nd)
+    )
+    return (
+        pairs.crossJoin(F.broadcast(nb))
+        .join(F.broadcast(sa), "et_a")
+        .join(F.broadcast(sb), "et_b")
+        .select(
+            "et_a",
+            "et_b",
+            "n_cobaskets",
+            F.round(support, 6).alias("support"),
+            F.round(lift, 6).alias("lift"),
+        )
+    )
+
+
+@_register(
+    "key_skew_report",
+    oracle="""
+    WITH freq AS (
+        SELECT o_custkey, COUNT(*) AS f FROM orders GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(f) AS BIGINT) AS n_rows,
+               CAST(MAX(f) AS BIGINT) AS max_freq,
+               ROUND(quantile_cont(f, 0.5), 6) AS p50_freq,
+               ROUND(quantile_cont(f, 0.99), 6) AS p99_freq
+        FROM freq
+    ),
+    top10 AS (
+        SELECT CAST(SUM(f) AS BIGINT) AS top10_rows
+        FROM (
+            SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, o_custkey) AS r
+            FROM freq
+        ) WHERE r <= 10
+    )
+    SELECT t.n_keys, t.n_rows, t.max_freq, t.p50_freq, t.p99_freq,
+           x.top10_rows,
+           ROUND(CAST(x.top10_rows AS DOUBLE) / CAST(t.n_rows AS DOUBLE), 6)
+               AS top10_share
+    FROM tot t, top10 x
+    """,
+    doc="Join-key skew diagnostics — the report that DECIDES which"
+        " remedy from the skew playbook applies before a 100 TB join"
+        " runs (AQE splitting vs salted join vs broadcast): per-key"
+        " frequency distribution of orders.o_custkey as key count, row"
+        " count, max/median/p99 frequency, and the top-10-key row share."
+        " One map-side-combining groupBy builds the frequency relation;"
+        " the top-10 probe is TakeOrderedAndProject (per-partition"
+        " top-k, never a global sort) and the percentiles aggregate the"
+        " |keys|-row relation (approx_percentile is the documented swap"
+        " when |keys| itself is huge).",
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    freq = od.groupBy("o_custkey").agg(F.count("*").alias("f"))
+    freq = S.track_cache(freq)
+    tot = freq.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("f").cast("long").alias("n_rows"),
+        F.max("f").cast("long").alias("max_freq"),
+        F.round(F.expr("percentile(f, 0.5)"), 6).alias("p50_freq"),
+        F.round(F.expr("percentile(f, 0.99)"), 6).alias("p99_freq"),
+    )
+    top10 = (
+        freq.orderBy(F.col("f").desc(), F.col("o_custkey"))
+        .limit(10)
+        .agg(F.sum("f").cast("long").alias("top10_rows"))
+    )
+    return tot.crossJoin(F.broadcast(top10)).select(
+        "n_keys",
+        "n_rows",
+        "max_freq",
+        "p50_freq",
+        "p99_freq",
+        "top10_rows",
+        F.round(
+            F.col("top10_rows").cast("double") / F.col("n_rows").cast("double"),
+            6,
+        ).alias("top10_share"),
+    )
+
+
+@_register(
+    "rfm_customer_segments",
+    oracle="""
+    WITH m AS (
+        SELECT o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 4)
+                    AS DECIMAL(18,4)) AS DOUBLE) AS monetary,
+               MAX(o_orderdate) AS last_order
+        FROM orders GROUP BY 1
+    ),
+    mx AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+    r AS (
+        SELECT m.*, mx.maxd,
+               CAST(date_diff('day', m.last_order, mx.maxd) AS BIGINT)
+                   AS recency_days,
+               ROW_NUMBER() OVER (ORDER BY m.monetary, m.o_custkey) AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM m, mx
+    )
+    SELECT CAST((rn - 1) * 10 // n + 1 AS BIGINT) AS m_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(CAST(ROUND(SUM(CAST(monetary AS DECIMAL(18,6))), 4)
+                AS DECIMAL(18,4)) AS DOUBLE) AS total_monetary,
+           CAST(SUM(n_orders) AS BIGINT) AS total_orders,
+           CAST(SUM(recency_days) AS BIGINT) AS total_recency_days
+    FROM r GROUP BY 1
+    """,
+    doc="RFM (recency/frequency/monetary) customer segmentation — the"
+        " classic warehouse LTV analysis: per-customer order count,"
+        " exact-decimal spend, and days-since-last-order, bucketed into"
+        " exact monetary deciles and aggregated per segment. The decile"
+        " is CLOSED-FORM from the exact distributed rank"
+        " ((rank−1)·10 div n + 1 — integer arithmetic, no ntile window):"
+        " rank comes from operators/relational.exact_distributed_rank"
+        " over monetary-range blocks, so no single partition ever sorts"
+        " the full customer base (the ntile/global-window shape the"
+        " round-3 playbook bans). The oracle replays the same decile"
+        " formula from a plain ROW_NUMBER.",
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    m = od.groupBy("o_custkey").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        _dsum(F.col("o_totalprice")).alias("monetary"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+    mx = od.agg(F.max("o_orderdate").alias("maxd"))
+    r = m.crossJoin(F.broadcast(mx)).withColumn(
+        "recency_days",
+        F.datediff(F.col("maxd"), F.col("last_order")).cast("long"),
+    )
+    n = m.agg(F.count("*").cast("long").alias("n"))
+    ranked = rel.exact_distributed_rank(
+        r,
+        block=F.floor(F.col("monetary") / F.lit(1000.0)).cast("long"),
+        order=[F.col("monetary"), F.col("o_custkey")],
+        rank_col="rn",
+    ).crossJoin(F.broadcast(n))
+    return (
+        ranked.withColumn(
+            "m_decile", F.expr("CAST((rn - 1) * 10 DIV n + 1 AS BIGINT)")
+        )
+        .groupBy("m_decile")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            _dsum(F.col("monetary")).alias("total_monetary"),
+            F.sum("n_orders").cast("long").alias("total_orders"),
+            F.sum("recency_days").cast("long").alias("total_recency_days"),
+        )
+    )
