@@ -187,6 +187,7 @@ NEW_QUERIES_R04 = [
     "profile_table_stats",
     "pagerank_similarity_graph",
     # wave 9
+    "streaming_running_totals_readback",
     "cooccurrence_event_pairs",
     "key_skew_report",
     "rfm_customer_segments",
@@ -220,7 +221,8 @@ NEW_QUERIES_R04 = [
 #: (landing-zone write, stream run) so the report splits harness cost
 #: from the readback/operator cost.
 PHASED = {"streaming_hourly_sink_readback", "streaming_corpus_dedup_readback",
-          "streaming_stateful_sessions_readback"}
+          "streaming_stateful_sessions_readback",
+          "streaming_running_totals_readback"}
 
 
 def run_one(df) -> None:

@@ -8897,3 +8897,59 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("recency_days").cast("long").alias("total_recency_days"),
         )
     )
+
+
+@_register(
+    "streaming_running_totals_readback",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))
+                AS BIGINT) AS DOUBLE) / 1000000.0 AS total_value
+    FROM events GROUP BY 1
+    """,
+    doc="Arbitrary stateful streaming (applyInPandasWithState,"
+        " streaming/events_stream.py run_running_totals_stream) under"
+        " the FULL hash gate: per-user running (count, total) counters"
+        " maintained in group state across micro-batches — the custom-"
+        "stateful-operator template windows can't express. State"
+        " accumulates value in exact integer MICRO-UNITS, so the final"
+        " totals are bit-identical for ANY micro-batch split or row"
+        " arrival order — which is precisely what lets a batch SQL"
+        " oracle verify a streaming execution. The readback takes each"
+        " user's LAST update (max n_events — updates are monotone)."
+        " Fourth streaming proof: hourly windows, incremental dedup,"
+        " session state with timeouts, now unbounded running state."
+        " Scale: one (count, long) pair per user — constant memory per"
+        " key; the groupBy shuffle partitions users like any batch agg.",
+)
+def streaming_running_totals_readback(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+
+    from udacitydatawarehouseprj_spark.streaming import events_stream
+
+    ev = _t(spark, sf_dir, "events")
+    base = _scratch_dir(sf_dir, "stream_totals")
+    shutil.rmtree(base, ignore_errors=True)
+    src = f"{base}/landing"
+    with _phase("streaming_running_totals_readback", "landing_write"):
+        ev.select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        ).coalesce(8).write.mode("overwrite").json(src)
+    with _phase("streaming_running_totals_readback", "stream_run"), \
+            _state_partitions(spark, 8):
+        q = events_stream.run_running_totals_stream(
+            spark, src, f"{base}/ckpt", sink_table="rt_totals_readback"
+        )
+        q.awaitTermination(600)
+    updates = spark.sql("SELECT * FROM rt_totals_readback")
+    last = updates.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "total_value")).alias("s")
+    )
+    return last.select(
+        "user_id",
+        F.col("s.n_events").alias("n_events"),
+        F.col("s.total_value").alias("total_value"),
+    )

@@ -158,17 +158,28 @@ def run_running_totals_stream(
     src = read_events_stream(spark, source_dir, fmt=fmt)
 
     output_schema = "user_id long, n_events long, total_value double"
-    state_schema = "n long, total double"
+    state_schema = "n long, micro long"
 
     def update(key, pdfs, state: GroupState):
         (user_id,) = key
-        n, total = state.get if state.exists else (0, 0.0)
+        # state accumulates VALUE IN MICRO-UNITS (exact integers): a
+        # float running sum would depend on batch/row arrival order —
+        # non-deterministic across retries and unverifiable by a SQL
+        # oracle; the integer path is bit-identical for any arrival
+        # order (the engine's fixed-point determinism family)
+        n, micro = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
+            micro += int(
+                (pdf["value"] * 1e6).round().astype("int64").sum()
+            )
+        state.update((n, micro))
         yield pd.DataFrame(
-            {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [micro / 1e6],
+            }
         )
 
     agg = src.groupBy("user_id").applyInPandasWithState(
