@@ -186,6 +186,10 @@ NEW_QUERIES_R04 = [
     "incremental_rollup_maintain",
     "profile_table_stats",
     "pagerank_similarity_graph",
+    # wave 10
+    "dpp_partitioned_join",
+    "map_functions_suite",
+    "array_hof_suite",
     # wave 9
     "streaming_running_totals_readback",
     "cooccurrence_event_pairs",

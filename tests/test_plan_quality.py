@@ -579,3 +579,23 @@ def test_cross_source_overlap_broadcasts_dims(spark, sf_dir):
     the pair relation is never shuffled for labeling."""
     plan = plan_of(spark, sf_dir, "cross_source_overlap")
     assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2
+
+
+def test_dpp_partitioned_join_prunes_dynamically(spark, sf_dir):
+    """The fact scan must carry a dynamicpruning partition filter —
+    runtime partition pruning driven by the dim side, not a literal."""
+    plan = plan_of(spark, sf_dir, "dpp_partitioned_join")
+    assert "dynamicpruning" in plan.lower()
+    assert "PartitionFilters" in plan
+
+
+def test_array_hof_suite_zero_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "array_hof_suite")
+    assert count_exchanges(plan) == 0
+
+
+def test_map_suite_two_aggregations(spark, sf_dir):
+    # (user, type) counts then per-user map build — two shuffles, no more
+    plan = plan_of(spark, sf_dir, "map_functions_suite")
+    assert count_exchanges(plan) == 2
+    assert "map_from_entries" in plan

@@ -8953,3 +8953,167 @@ def streaming_running_totals_readback(
         F.col("s.n_events").alias("n_events"),
         F.col("s.total_value").alias("total_value"),
     )
+
+
+# =====================================================================
+# Round-4 wave 10: dynamic partition pruning, map-typed columns,
+# array higher-order functions
+# =====================================================================
+
+
+@_register(
+    "dpp_partitioned_join",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4)
+                AS DECIMAL(18,4)) AS DOUBLE) AS total_value
+    FROM events
+    WHERE date_part('dow', CAST(ts AS DATE)) = 0
+    GROUP BY 1
+    """,
+    doc="DYNAMIC partition pruning proof: the daily-partitioned events"
+        " lake (the partitioned_ingest_pruned layout) joined on its"
+        " partition column against a runtime-filtered dimension (the"
+        " Sunday dates) — the predicate is NOT a literal the planner"
+        " can fold statically, so Catalyst inserts a dynamicpruning"
+        " subquery that executes the dim side first and prunes fact"
+        " PARTITIONS at runtime (plan test asserts the subquery)."
+        " This is THE mechanism that makes star-join-on-partition-key"
+        " read days, not years, at 100 TB — static pruning covers"
+        " literal predicates (partitioned_ingest_pruned); DPP covers"
+        " dimension-driven ones. Oracle computes the same Sunday"
+        " aggregate directly from the events view.",
+)
+def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.col("ts").cast("date").alias("event_date"),
+    )
+    landing = _scratch_dir(sf_dir, "s8_events_dpp")
+    out.write.mode("overwrite").partitionBy("event_date").parquet(landing)
+    fact = spark.read.parquet(landing)
+    dim = (
+        ev.select(F.col("ts").cast("date").alias("event_date"))
+        .distinct()
+        .filter(F.dayofweek("event_date") == 1)
+    )
+    return (
+        fact.join(F.broadcast(dim), "event_date")
+        .groupBy(F.col("event_date").cast("timestamp").alias("event_date"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            _dsum(F.col("value")).alias("total_value"),
+        )
+    )
+
+
+@_register(
+    "map_functions_suite",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases,
+           COUNT(*) AS n_total
+    FROM events GROUP BY 1
+    """,
+    doc="Map-typed column surface (the complex-type family beside"
+        " arrays and structs): per-user event-type counts built as a"
+        " REAL MapType column (map_from_entries over the aggregated"
+        " entry structs), then consumed with map_keys / element_at /"
+        " aggregate-over-map_values — and the derived numbers must"
+        " round-trip exactly to the oracle's direct relational"
+        " aggregates, proving the map construction/lookup/fold"
+        " semantics lossless. Integer fold over map_values is"
+        " summation-order-free by construction. Scale: maps stay"
+        " bounded at |event_types| entries per user; one groupBy.",
+)
+def map_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("c")
+    )
+    with_map = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(
+                F.collect_list(F.struct("event_type", "c"))
+            )
+        ).alias("m")
+    )
+    return with_map.select(
+        "user_id",
+        F.size(F.map_keys(F.col("m"))).cast("long").alias("n_types"),
+        F.coalesce(F.element_at(F.col("m"), "purchase"), F.lit(0))
+        .cast("long")
+        .alias("n_purchases"),
+        F.expr(
+            "aggregate(map_values(m), 0L, (acc, x) -> acc + x)"
+        ).alias("n_total"),
+    )
+
+
+@_register(
+    "array_hof_suite",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(len(list_filter(emb, x -> x > 0.5)) AS INTEGER)
+               AS n_above_half,
+           CAST(len(list_filter(emb, x -> x > 0.99)) > 0 AS BOOLEAN)
+               AS has_extreme,
+           ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(emb, x -> x * x)), (a, b) -> a + b), 6)
+               AS sum_sq,
+           ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_sort(emb, 'DESC')[1:8]), (a, b) -> a + b), 6)
+               AS top8_sum
+    FROM e
+    """,
+    doc="Array higher-order-function suite (filter / exists-as-filter /"
+        " transform / sequential fold / sort+slice+fold) over the"
+        " embedding vectors — the lambda-expression surface Catalyst"
+        " executes INSIDE codegen, zero Python: counting, thresholding,"
+        " an index-order sum of squares, and a sorted top-8 partial sum,"
+        " each mirrored by DuckDB list_* lambdas with the identical"
+        " operation tree (sequential left folds — the engine's exact-"
+        "dot-product convention — so float results are bit-identical,"
+        " no tolerance). Pure per-row map: no shuffle at any scale.",
+)
+def array_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.expr(
+            "CAST(size(filter(transform(embedding, x -> CAST(x AS DOUBLE)),"
+            " x -> x > 0.5)) AS INT)"
+        ).alias("n_above_half"),
+        F.expr(
+            "size(filter(transform(embedding, x -> CAST(x AS DOUBLE)),"
+            " x -> x > 0.99)) > 0"
+        ).alias("has_extreme"),
+        F.round(
+            F.expr(
+                "aggregate(transform(embedding, x -> CAST(x AS DOUBLE)),"
+                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)"
+            ),
+            6,
+        ).alias("sum_sq"),
+        F.round(
+            F.expr(
+                "aggregate(slice(reverse(array_sort(transform(embedding,"
+                " x -> CAST(x AS DOUBLE)))), 1, 8),"
+                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            ),
+            6,
+        ).alias("top8_sum"),
+    )
