@@ -187,6 +187,7 @@ NEW_QUERIES_R04 = [
     "profile_table_stats",
     "pagerank_similarity_graph",
     # wave 10
+    "python_datasource_scan",
     "dpp_partitioned_join",
     "map_functions_suite",
     "array_hof_suite",

@@ -9117,3 +9117,59 @@ def array_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("top8_sum"),
     )
+
+
+@_register(
+    "python_datasource_scan",
+    oracle="""
+    WITH ids AS (SELECT UNNEST(range(5000, 20000)) AS doc_id),
+    s AS (
+        SELECT doc_id,
+               doc_id % 37 AS group_key,
+               CAST((((doc_id % 999999937) * 48271 + 12345) % 999999937)
+                    * 48271 % 999999937 AS DOUBLE) / 999999937.0 AS score
+        FROM ids
+    )
+    SELECT group_key,
+           COUNT(*) AS n_rows,
+           ROUND(MIN(score), 6) AS min_score,
+           ROUND(MAX(score), 6) AS max_score,
+           CAST(CAST(ROUND(SUM(CAST(score AS DECIMAL(18,6))), 4)
+                AS DECIMAL(18,4)) AS DOUBLE) AS total_score
+    FROM s GROUP BY 1
+    """,
+    doc="Custom Python DataSource (the Spark 4 DataSource API,"
+        " sources/python_source.py): a deterministic synthetic-corpus"
+        " generator registered as a first-class `synthcorpus` format"
+        " with PARTITION PLANNING (one task per id-range split —"
+        " scales out like a file scan), ARROW-BATCH reads (RecordBatch"
+        " yields, the vectorized path), and FILTER PUSHDOWN (the"
+        " doc_id >= 5000 predicate narrows the GENERATED range before"
+        " partitions are planned — skipped rows are never produced;"
+        " unit test pins the shrunken split set). Row values are the"
+        " portable two-round Lehmer family, so the oracle replays the"
+        " SOURCE itself bit-for-bit — the extension point for REST"
+        " paginators / proprietary formats / feature stores, proven"
+        " under the hash gate.",
+)
+def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacitydatawarehouseprj_spark.sources import python_source
+
+    S.configure(spark)
+    python_source.register(spark)
+    df = (
+        spark.read.format("synthcorpus")
+        .option("n_rows", 20000)
+        .option("partitions", 16)
+        .load()
+    )
+    return (
+        df.filter(F.col("doc_id") >= 5000)
+        .groupBy("group_key")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.min("score"), 6).alias("min_score"),
+            F.round(F.max("score"), 6).alias("max_score"),
+            _dsum(F.col("score")).alias("total_score"),
+        )
+    )

@@ -51,6 +51,9 @@ RUNTIME_CONF = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # write micros, not legacy INT96 (which pyarrow reports as ns)
     "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+    # Python DataSource filter pushdown (sources/python_source.py
+    # implements pushFilters; the API refuses to plan without the flag)
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 
