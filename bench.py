@@ -188,6 +188,7 @@ NEW_QUERIES_R04 = [
     "pagerank_similarity_graph",
     # wave 10
     "python_datasource_scan",
+    "python_datasink_roundtrip",
     "dpp_partitioned_join",
     "map_functions_suite",
     "array_hof_suite",

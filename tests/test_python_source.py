@@ -74,3 +74,55 @@ def test_scan_values_match_formula(spark):
     assert np.array_equal(scores[order], ps.score_of(np.arange(200)))
     for r in rows[:10]:
         assert r.group_key == r.doc_id % ps.N_GROUPS
+
+
+def test_sink_commit_protocol_atomicity(spark, tmp_path):
+    """Uncommitted staging files must be invisible to the manifest
+    reader; committed files must carry exactly the written rows."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    ps.register_sink(spark)
+    out = str(tmp_path / "sink")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    df.repartition(4).write.format("ndjsonatomic").mode("append").save(out)
+    # manifest exists, staging is gone
+    assert os.path.exists(os.path.join(out, "_MANIFEST.json"))
+    assert not os.path.exists(os.path.join(out, "_tmp"))
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["n_rows"] == 100
+    # plant an UNCOMMITTED file: the reader must not see it
+    with open(os.path.join(out, "part-99999-0.json"), "w") as fh:
+        fh.write('{"k": 424242, "v": 0}\n')
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    back = ps.read_committed(spark, out, schema)
+    assert back.count() == 100
+    assert back.filter(F.col("k") == 424242).count() == 0
+    assert back.agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(100))
+
+
+def test_sink_roundtrips_doubles_exactly(spark, tmp_path):
+    """JSON shortest-roundtrip serialization must reproduce doubles
+    bit-for-bit through the sink and the declared-schema reader."""
+    from pyspark.sql import types as T
+
+    ps.register_sink(spark)
+    out = str(tmp_path / "sinkd")
+    vals = [(i, i / 7.0) for i in range(50)]
+    df = spark.createDataFrame(vals, "k long, v double")
+    df.write.format("ndjsonatomic").mode("append").save(out)
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    back = {
+        r.k: r.v
+        for r in ps.read_committed(spark, out, schema).collect()
+    }
+    for k, v in vals:
+        assert back[k] == v  # exact, no tolerance

@@ -9173,3 +9173,72 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum(F.col("score")).alias("total_score"),
         )
     )
+
+
+@_register(
+    "python_datasink_roundtrip",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           MIN(epoch_ms(ts)) AS min_ts_ms,
+           CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4)
+                AS DECIMAL(18,4)) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+    """,
+    doc="Custom Python SINK with a real commit protocol"
+        " (sources/python_source.py NdjsonAtomicWriter, the"
+        " DataSourceArrowWriter API): executor tasks stream Arrow"
+        " batches to a _tmp staging area (file names from partition +"
+        " task-attempt ids, so RETRIES never double-publish), the"
+        " driver's commit() atomically publishes the file list as a"
+        " _MANIFEST, abort() leaves only unreferenced staging files,"
+        " and the reader resolves the manifest — half-written jobs are"
+        " INVISIBLE, the Python-sink analogue of the Hadoop commit"
+        " protocol. The round trip (events → custom sink → manifest"
+        " reader with DECLARED schema → aggregate) must reproduce the"
+        " oracle's aggregates from the parquet view: any dropped,"
+        " doubled, or mangled row across the sink's serialization and"
+        " commit path breaks the hash.",
+)
+def python_datasink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from udacitydatawarehouseprj_spark.sources import python_source
+
+    S.configure(spark)
+    python_source.register_sink(spark)
+    ev = _t(spark, sf_dir, "events")
+    out_dir = _scratch_dir(sf_dir, "s9_events_pysink")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        )
+        .repartition(8)
+        .write.format("ndjsonatomic")
+        .mode("append")
+        .save(out_dir)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts_ms", T.LongType()),
+        ]
+    )
+    staged = python_source.read_committed(spark, out_dir, schema)
+    return staged.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("ts_ms").alias("min_ts_ms"),
+        _dsum(F.col("value")).alias("total_value"),
+    )
