@@ -186,6 +186,9 @@ NEW_QUERIES_R04 = [
     "incremental_rollup_maintain",
     "profile_table_stats",
     "pagerank_similarity_graph",
+    # wave 12
+    "sql_scripting_control_flow",
+    "pipeline_observe_metrics",
     # wave 10
     "python_datasource_scan",
     "python_datasink_roundtrip",

@@ -9242,3 +9242,131 @@ def python_datasink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts_ms").alias("min_ts_ms"),
         _dsum(F.col("value")).alias("total_value"),
     )
+
+
+# =====================================================================
+# Round-4 wave 12: SQL scripting (control flow), Observation metrics
+# =====================================================================
+
+
+@_register(
+    "sql_scripting_control_flow",
+    oracle="""
+    WITH ks AS (SELECT UNNEST(range(0, 21)) AS k),
+    counts AS (
+        SELECT ks.k,
+               (SELECT COUNT(*) FROM events e
+                WHERE e.value > POW(2.0, ks.k)) AS n_above,
+               (SELECT COUNT(*) FROM events) AS n
+        FROM ks
+    ),
+    hit AS (
+        SELECT k, n_above, n
+        FROM counts
+        WHERE CAST(n_above AS DOUBLE) / CAST(n AS DOUBLE) < 0.01
+        ORDER BY k LIMIT 1
+    )
+    SELECT CAST(k AS BIGINT) AS threshold_exp,
+           POW(2.0, k) AS threshold,
+           CAST(n_above AS BIGINT) AS n_above,
+           ROUND(CAST(n_above AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS frac_above
+    FROM hit
+    """,
+    doc="SQL SCRIPTING (the Spark 4 procedural surface: BEGIN/END,"
+        " DECLARE, WHILE, SET): an iterative threshold search — double"
+        " a candidate outlier cutoff until fewer than 1% of events"
+        " exceed it — expressed as a control-flow script the way a"
+        " warehouse stored procedure would, executed by spark.sql()"
+        " directly. The oracle replays the loop CLOSED-FORM (smallest"
+        " power of two under the 1% tail), so the script's iteration"
+        " logic is under the hash gate. POW(2,k) is exact for integer"
+        " k on both engines. Each loop iteration is one scan-count;"
+        " the loop depth is log₂(max value) — bounded regardless of"
+        " corpus size.",
+)
+def sql_scripting_control_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    S.configure(spark)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    ev.createOrReplaceTempView("events_script_v")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE k INT DEFAULT 0;
+          DECLARE n BIGINT DEFAULT 0;
+          DECLARE n_above BIGINT DEFAULT 0;
+          SET n = (SELECT COUNT(*) FROM events_script_v);
+          SET n_above = (SELECT COUNT(*) FROM events_script_v
+                         WHERE value > POW(2.0, k));
+          WHILE CAST(n_above AS DOUBLE) / CAST(n AS DOUBLE) >= 0.01
+                AND k < 20 DO
+            SET k = k + 1;
+            SET n_above = (SELECT COUNT(*) FROM events_script_v
+                           WHERE value > POW(2.0, k));
+          END WHILE;
+          SELECT CAST(k AS BIGINT) AS threshold_exp,
+                 POW(2.0, k) AS threshold,
+                 CAST(n_above AS BIGINT) AS n_above,
+                 ROUND(CAST(n_above AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                     AS frac_above;
+        END
+        """
+    )
+
+
+@_register(
+    "pipeline_observe_metrics",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases,
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_values,
+           CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4)
+                AS DECIMAL(18,4)) AS DOUBLE) AS total_value
+    FROM events
+    """,
+    doc="Pipeline observability via the Observation API (df.observe):"
+        " data-quality metrics — row count, purchase count, null"
+        " count, exact-decimal value sum — accumulate ON the pipeline's"
+        " own action as AccumulatorV2-backed observed metrics, with"
+        " ZERO extra passes over the data (contrast a separate metrics"
+        " query: at 100 TB a second scan costs what the pipeline"
+        " costs). The observed values are returned as the result and"
+        " must hash-match the oracle's direct aggregates — proving the"
+        " monitoring plane reports the truth. This is the"
+        " dropped-row/violation-counter pattern every production ETL"
+        " job carries alongside its real output.",
+)
+def pipeline_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    ev = _t(spark, sf_dir, "events")
+    obs = Observation("etl_metrics")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchases"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_values"),
+        _dsum(F.col("value")).alias("total_value"),
+    )
+    # the pipeline's real action (a write) drives the metrics for free
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["n_purchases"]),
+                int(m["n_null_values"]),
+                float(m["total_value"]),
+            )
+        ],
+        "n_rows long, n_purchases long, n_null_values long,"
+        " total_value double",
+    )
