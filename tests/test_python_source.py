@@ -126,3 +126,41 @@ def test_sink_roundtrips_doubles_exactly(spark, tmp_path):
     }
     for k, v in vals:
         assert back[k] == v  # exact, no tolerance
+
+
+def test_streaming_source_drains_deterministically(spark, tmp_path):
+    """The custom streaming source must deliver exactly the id range in
+    micro-batches, and offset replay must regenerate identical rows."""
+    import time
+
+    ps.register_stream(spark)
+    q = (
+        spark.readStream.format("synthcorpusstream")
+        .option("n_rows", 500)
+        .option("rows_per_batch", 128)
+        .load()
+        .writeStream.format("memory")
+        .queryName("synth_stream_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.sql("SELECT COUNT(*) FROM synth_stream_t").collect()[0][0] >= 500:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM synth_stream_t").collect()
+    assert len(rows) == 500
+    ids = sorted(r.doc_id for r in rows)
+    assert ids == list(range(500))
+    by_id = {r.doc_id: r.score for r in rows}
+    for i in (0, 1, 137, 499):
+        assert by_id[i] == ps.score_of_scalar(i)
+    # replay contract: identical rows for identical offsets
+    rdr = ps.SynthCorpusStreamReader({"n_rows": "500", "rows_per_batch": "128"})
+    replay = list(rdr.readBetweenOffsets({"pos": 128}, {"pos": 256}))
+    first_read, nxt = rdr.read({"pos": 128})
+    assert list(first_read) == replay and nxt == {"pos": 256}

@@ -134,6 +134,17 @@ SMOKE = [
     "retrieval_mrr_eval",
     "multimodal_image_resize",
     "hll_sketch_rollup",
+    # round 4 waves 9-12
+    "cooccurrence_event_pairs",
+    "key_skew_report",
+    "rfm_customer_segments",
+    "dpp_partitioned_join",
+    "map_functions_suite",
+    "array_hof_suite",
+    "python_datasource_scan",
+    "python_datasink_roundtrip",
+    "sql_scripting_control_flow",
+    "pipeline_observe_metrics",
 ]
 
 

@@ -235,3 +235,67 @@ def read_committed(spark, path, schema):
     if not files:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).json(files)
+
+
+# --- Custom Python STREAMING source ------------------------------------
+#
+# ``synthcorpus`` as a micro-batch stream: offsets are positions in the
+# same deterministic id space the batch reader generates, so every
+# micro-batch's contents are a pure function of its (start, end) offset
+# pair — exactly-once replay after failure recovery is trivially
+# correct (readBetweenOffsets regenerates identical rows). This is the
+# SimpleDataSourceStreamReader shape for low-throughput sources (API
+# polls, changelogs); partition-planned DataSourceStreamReader is the
+# high-throughput variant of the same offset contract.
+
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
+
+
+class SynthCorpusStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self.n = int(options.get("n_rows", 10_000))
+        self.batch = int(options.get("rows_per_batch", 1_000))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def _rows(self, start: int, end: int):
+        return [
+            (int(i), int(i % N_GROUPS), float(score_of_scalar(i)))
+            for i in range(start, end)
+        ]
+
+    def read(self, start: dict):
+        s = int(start["pos"])
+        e = min(s + self.batch, self.n)
+        return iter(self._rows(s, e)), {"pos": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # failure replay: identical rows for identical offsets
+        return iter(self._rows(int(start["pos"]), int(end["pos"])))
+
+    def commit(self, end: dict):
+        pass  # generated source: nothing to clean up
+
+
+def score_of_scalar(i: int) -> float:
+    h1 = ((i % MOD) * MULT + OFFSET) % MOD
+    h2 = (h1 * MULT) % MOD
+    return h2 / float(MOD)
+
+
+class SynthCorpusStreamDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "synthcorpusstream"
+
+    def schema(self):
+        return "doc_id bigint, group_key bigint, score double"
+
+    def simpleStreamReader(self, schema):
+        return SynthCorpusStreamReader(self.options)
+
+
+def register_stream(spark) -> None:
+    spark.dataSource.register(SynthCorpusStreamDataSource)
