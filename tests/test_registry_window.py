@@ -84,3 +84,32 @@ def test_rotate_window_tool_proposes_valid_window(tmp_path, monkeypatch):
     head = [n for n in names[1:] if needs_signal(n)]
     tail = [n for n in names[1:] if not needs_signal(n)]
     assert names[1:] == head + tail
+
+
+def test_queries_md_is_fresh(tmp_path):
+    """QUERIES.md must match a fresh regeneration from the registry —
+    docs cannot drift from code (the generator is the contract)."""
+    import subprocess
+    import sys
+
+    committed = open("QUERIES.md").read()  # BEFORE regeneration
+    out = subprocess.run(
+        [sys.executable, "tools/gen_queries_md.py"],
+        capture_output=True, text=True, cwd=".",
+    )
+    assert out.returncode == 0, out.stderr[-300:]
+    regenerated = open("QUERIES.md").read()
+    assert committed == regenerated, (
+        "QUERIES.md is stale — rerun tools/gen_queries_md.py"
+    )
+
+
+def test_readme_counts_match_registry():
+    from udacitydatawarehouseprj_spark import queries as Q
+
+    n = len(Q.REGISTRY)
+    n_oracle = sum(1 for s in Q.REGISTRY.values() if s.oracle)
+    readme = open("README.md").read()
+    assert f"{n} queries, {n_oracle} with DuckDB" in readme, (
+        f"README out of date: registry has {n}/{n_oracle}"
+    )
