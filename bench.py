@@ -186,6 +186,8 @@ NEW_QUERIES_R04 = [
     "incremental_rollup_maintain",
     "profile_table_stats",
     "pagerank_similarity_graph",
+    # wave 13
+    "agg_modern_suite",
     # wave 12
     "sql_scripting_control_flow",
     "pipeline_observe_metrics",

@@ -9370,3 +9370,91 @@ def pipeline_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, n_purchases long, n_null_values long,"
         " total_value double",
     )
+
+
+@_register(
+    "agg_modern_suite",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med_value
+        FROM events GROUP BY 1
+    ),
+    nd AS (
+        SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+               AS bitmap_distinct_users
+        FROM events GROUP BY 1
+    ),
+    ranked AS (
+        SELECT event_type, user_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY user_id) AS r
+        FROM (SELECT DISTINCT event_type, user_id FROM events)
+    ),
+    la AS (
+        SELECT event_type,
+               string_agg(CAST(user_id AS VARCHAR), ','
+                          ORDER BY user_id) AS first_users
+        FROM ranked WHERE r <= 5 GROUP BY 1
+    )
+    SELECT m.event_type, m.med_value, n.bitmap_distinct_users,
+           la.first_users, TRUE AS try_div_zero_is_null
+    FROM med m
+    JOIN nd n ON m.event_type = n.event_type
+    JOIN la ON m.event_type = la.event_type
+    """,
+    doc="Modern aggregate surface in one suite: exact MEDIAN (the"
+        " median() builtin ≙ interpolated quantile_cont), ordered"
+        " LISTAGG (deterministic string aggregation — full ORDER BY, no"
+        " arbitrary concat order), BITMAP exact-distinct"
+        " (bitmap_construct_agg/bitmap_count over bit positions — the"
+        " modern warehouse pattern for EXACT re-aggregable distinct"
+        " counts: per-bucket bitmaps OR-merge across partitions, days,"
+        " and grains like the HLL rollup but with zero error; verified"
+        " against COUNT(DISTINCT)), and the try_* ANSI-safe family"
+        " (try_divide by zero yields NULL instead of the ANSI error —"
+        " asserted as an oracle-checked boolean). Scale: bitmaps"
+        " shuffle one fixed-width binary per (group, 32768-id bucket);"
+        " the listagg runs on the ranked ≤ 5-row-per-group relation.",
+)
+def agg_modern_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.median("value"), 6).alias("med_value")
+    )
+    # exact mergeable distinct: per-bucket bitmaps, then count + sum
+    buckets = ev.groupBy(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("_bkt"),
+    ).agg(
+        F.expr(
+            "bitmap_construct_agg(bitmap_bit_position(user_id))"
+        ).alias("_bm")
+    )
+    nd = buckets.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(_bm)"))
+        .cast("long")
+        .alias("bitmap_distinct_users")
+    )
+    w = Window.partitionBy("event_type").orderBy("user_id")
+    ranked = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 5)
+    )
+    la = ranked.groupBy("event_type").agg(
+        F.expr(
+            "listagg(CAST(user_id AS STRING), ',')"
+            " WITHIN GROUP (ORDER BY user_id)"
+        ).alias("first_users")
+    )
+    return (
+        med.join(nd, "event_type")
+        .join(la, "event_type")
+        .withColumn(
+            "try_div_zero_is_null",
+            F.expr("try_divide(1.0, 0.0)").isNull(),
+        )
+    )
