@@ -599,3 +599,13 @@ def test_map_suite_two_aggregations(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "map_functions_suite")
     assert count_exchanges(plan) == 2
     assert "map_from_entries" in plan
+
+
+def test_lateral_join_decorrelates(spark, sf_dir):
+    """The correlated LATERAL subquery must decorrelate into a single
+    join + per-key rank — never a per-outer-row re-execution or a
+    cartesian product."""
+    plan = plan_of(spark, sf_dir, "lateral_join_top_lineitems")
+    assert "CartesianProduct" not in plan
+    assert re.search(r"\(\d+\) \w*Join", plan)
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) >= 1

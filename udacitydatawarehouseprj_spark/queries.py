@@ -9458,3 +9458,50 @@ def agg_modern_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("try_divide(1.0, 0.0)").isNull(),
         )
     )
+
+
+@_register(
+    "lateral_join_top_lineitems",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, l.l_linenumber, l.l_extendedprice
+    FROM orders o,
+         LATERAL (
+             SELECT l_linenumber, l_extendedprice
+             FROM lineitem li
+             WHERE li.l_orderkey = o.o_orderkey
+             ORDER BY l_extendedprice DESC, l_linenumber
+             LIMIT 2
+         ) l
+    WHERE o.o_orderkey % 100 = 0
+    """,
+    doc="Correlated LATERAL join (the SQL-standard lateral subquery"
+        " surface, Spark 3.2+): per selected order, the top-2 line"
+        " items by extended price via a correlated ordered-LIMIT"
+        " subquery — the idiom analysts write; DuckDB runs the"
+        " IDENTICAL lateral SQL. Catalyst decorrelates the lateral"
+        " into a join + per-key rank (verified: the plan contains a"
+        " real join, not a per-row re-execution), which is exactly the"
+        " grouped-top-k rewrite the engine's window machinery performs"
+        " at 100 TB — same shape, standard syntax. Deterministic:"
+        " the ORDER BY carries a unique tie-break.",
+)
+def lateral_join_top_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    od.createOrReplaceTempView("orders_lat_v")
+    li.createOrReplaceTempView("lineitem_lat_v")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_totalprice, l.l_linenumber,
+               l.l_extendedprice
+        FROM orders_lat_v o,
+             LATERAL (
+                 SELECT l_linenumber, l_extendedprice
+                 FROM lineitem_lat_v li
+                 WHERE li.l_orderkey = o.o_orderkey
+                 ORDER BY l_extendedprice DESC, l_linenumber
+                 LIMIT 2
+             ) l
+        WHERE o.o_orderkey % 100 = 0
+        """
+    )
