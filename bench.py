@@ -188,6 +188,7 @@ NEW_QUERIES_R04 = [
     "pagerank_similarity_graph",
     # wave 13
     "agg_modern_suite",
+    "null_semantics_suite",
     "lateral_join_top_lineitems",
     # wave 12
     "sql_scripting_control_flow",

@@ -9505,3 +9505,81 @@ def lateral_join_top_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o.o_orderkey % 100 = 0
         """
     )
+
+
+@_register(
+    "null_semantics_suite",
+    oracle="""
+    WITH s AS (
+        SELECT event_id, user_id,
+               NULLIF(event_type, 'error') AS et,
+               CASE WHEN value < 1.0 THEN NULL ELSE value END AS v
+        FROM events
+    )
+    SELECT
+        COUNT(*) AS n_rows,
+        CAST(COUNT(et) AS BIGINT) AS n_et_not_null,
+        CAST(SUM(CASE WHEN et IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_et_null,
+        CAST(COUNT(DISTINCT et) AS BIGINT) AS n_distinct_et,
+        CAST(SUM(CASE WHEN et IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_nullsafe_eq_null,
+        CAST(CAST(ROUND(SUM(CAST(v AS DECIMAL(18,6))), 4)
+             AS DECIMAL(18,4)) AS DOUBLE) AS sum_v_ignoring_nulls,
+        (SELECT et FROM s ORDER BY et ASC NULLS FIRST, event_id LIMIT 1)
+            IS NULL AS nulls_first_works,
+        (SELECT et FROM s ORDER BY et DESC NULLS LAST, event_id
+         OFFSET (SELECT COUNT(*) - 1 FROM s) LIMIT 1) IS NULL
+            AS nulls_last_works
+    FROM s
+    """,
+    doc="NULL-semantics conformance suite — the cross-engine trap"
+        " family audited explicitly: aggregate null-skipping (COUNT(c)"
+        " vs COUNT(*), SUM ignoring nulls), COUNT(DISTINCT) excluding"
+        " NULL, the null-safe equality operator (Spark <=> ≙ SQL IS"
+        " NOT DISTINCT FROM), and NULLS FIRST/LAST ordering probed"
+        " positionally (the first row under ASC NULLS FIRST and the"
+        " last under DESC NULLS LAST must be the null — Spark's"
+        " DEFAULT null ordering differs from some engines', so the"
+        " suite pins the EXPLICIT forms both engines honor"
+        " identically). Nulls are derived (NULLIF / CASE) so the probe"
+        " works on any corpus. One scan plus two TakeOrdered probes.",
+)
+def null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    s = ev.select(
+        "event_id",
+        "user_id",
+        F.expr("NULLIF(event_type, 'error')").alias("et"),
+        F.when(F.col("value") < 1.0, F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("v"),
+    )
+    s = S.track_cache(s)
+    agg = s.agg(
+        F.count("*").alias("n_rows"),
+        F.count("et").cast("long").alias("n_et_not_null"),
+        F.sum(F.when(F.col("et").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_et_null"),
+        F.countDistinct("et").cast("long").alias("n_distinct_et"),
+        F.sum(
+            F.when(F.col("et").eqNullSafe(F.lit(None)), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_nullsafe_eq_null"),
+        _dsum(F.col("v")).alias("sum_v_ignoring_nulls"),
+    )
+    first_asc = (
+        s.orderBy(F.col("et").asc_nulls_first(), "event_id")
+        .limit(1)
+        .select(F.col("et").isNull().alias("nulls_first_works"))
+    )
+    last_desc = (
+        s.orderBy(F.col("et").desc_nulls_first(), F.col("event_id").desc())
+        .limit(1)
+        .select(F.col("et").isNull().alias("nulls_last_works"))
+    )
+    return agg.crossJoin(F.broadcast(first_asc)).crossJoin(
+        F.broadcast(last_desc)
+    )
