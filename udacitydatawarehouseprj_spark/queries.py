@@ -1083,65 +1083,60 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: first) and replace this list with its output.
 WINDOW_PRIORITY: list[str] = [
     "flagship_hourly_activity",
-    # the 2 round-3 hash failures (oracle HUGEINT→float64 drift, fixed
-    # this round) — latest driver row RED, must re-verify green
-    "pivot_event_type_daily",
-    "pack_context_windows",
-    # the 15 TPC-H queries that rotated past every window so far
-    "tpch_q5_local_supplier_volume",
-    "tpch_q10_returned_items",
-    "tpch_q18_large_volume_customer",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q22_global_sales_opportunity",
-    "tpch_q4_order_priority",
-    "tpch_q12_ship_class_priority",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_count",
-    # round-3 training-pipeline wave, never driver-checked
-    "mix_sources_weighted",
-    "pack_bins_ffd_check",
-    "corpus_stats_by_source",
-    "semantic_dedup_check",
-    "span_dedup_global",
-    "dedup_keep_best_quality",
-    "approx_percentile_check",
-    "decontaminate_bloom",
-    "quality_filter_top_pct",
-    "length_bucket_batches",
-    "bpe_tokenize_corpus",
-    "mmr_rerank_check",
-    "gap_fill_forward",
-    "delete_propagate_index",
-    "corpus_diff_snapshots",
-    "csv_ingest_roundtrip",
-    "orc_ingest_roundtrip",
-    "multimodal_audio_decode",
-    "scd2_dim_customers",
-    "constraint_audit_star",
-    # round-4 wave (registered this round, never driver-checked)
-    "source_cap_topn",
-    "funnel_signup_purchase",
-    "retention_cohorts",
-    "winsorize_event_values",
-    "truncate_token_budget",
-    "contamination_fraction",
-    "cluster_size_histogram",
-    # round-4 wave 2 (registered this round, never driver-checked) —
-    # these take the slots previously used to re-confirm round-1 greens
-    # (those keep their r1 green rows; fresh queries need signal more):
-    "text_normalize_nfc",
-    "dsir_importance_weights",
-    "curriculum_order_shards",
-    "random_projection_embeddings",
-    "jl_distortion_check",
-    # reservoir_sample_per_group intentionally waits for the r5 window
-    # (its rank machinery is driver-exercised via source_cap_topn above)
+    # round-4 late wave (waves 5-12): 41 oracled queries that have never
+    # had a driver hard-signal row — the whole stats/graph/sketch/
+    # streaming/datasource/SQL-scripting/NULL-semantics set. Clearing
+    # these zeroes rotation debt for the first time.
+    "reservoir_sample_per_group",
+    "dedup_exact_substring",
+    "partitioned_ingest_pruned",
+    "record_linkage_blocked",
+    "text_char_entropy",
+    "streaming_stateful_sessions_readback",
+    "incremental_rollup_maintain",
+    "profile_table_stats",
+    "pagerank_similarity_graph",
+    "linreg_by_group",
+    "event_transition_matrix",
+    "ewma_user_value",
+    "mad_outlier_filter",
+    "triangle_count_similarity",
+    "schema_evolution_read",
+    "bootstrap_ci_mean",
+    "grouped_topk_salted",
+    "ann_pq_recall_check",
+    "histogram_quantile_sketch",
+    "json_variant_shred",
+    "cross_source_overlap",
+    "dedup_ngram_containment",
+    "count_min_heavy_hitters",
+    "tokenizer_oov_rate",
+    "retrieval_mrr_eval",
+    "multimodal_image_resize",
+    "hll_sketch_rollup",
+    "cooccurrence_event_pairs",
+    "key_skew_report",
+    "rfm_customer_segments",
+    "streaming_running_totals_readback",
+    "dpp_partitioned_join",
+    "map_functions_suite",
+    "array_hof_suite",
+    "python_datasource_scan",
+    "python_datasink_roundtrip",
+    "sql_scripting_control_flow",
+    "pipeline_observe_metrics",
+    "agg_modern_suite",
+    "lateral_join_top_lineitems",
+    "null_semantics_suite",
+    # stalest greens (round-2 rows, oldest first) to re-confirm stability
+    "projection_rename",
+    "filter_eq",
+    "filter_like_lower",
+    "filter_null_probe",
+    "join_left_compound",
+    "join_inner",
+    "join_anti",
+    "star_join_region_revenue",
 ]
 
 #: size of the driver's recorded window (empirical, rounds 1-2)
