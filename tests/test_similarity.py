@@ -315,3 +315,19 @@ def test_random_projection_signs_not_degenerate(spark):
             dot = sum(x * y for x, y in zip(cols[a], cols[b]))
             # random ±1 columns: |corr| concentrates below ~4/sqrt(64)
             assert abs(dot) <= 32, (a, b, dot)
+
+
+def test_collect_matrix_cap_guard_trips(spark, sf_dir):
+    """The driver-collect guard must fail fast beyond the cap (scale
+    posture: a >cap corpus must be routed to the tiled/LSH paths, never
+    silently collected)."""
+    import pytest
+
+    emb = _emb(spark, sf_dir)
+    with pytest.raises(ValueError, match="DRIVER_COLLECT_CAP"):
+        similarity._collect_matrix(emb, "vec_id", "embedding", cap=10)
+    # under-cap path unchanged: all rows come back
+    ids, mat = similarity._collect_matrix(
+        emb.filter("vec_id < 7"), "vec_id", "embedding", cap=10
+    )
+    assert len(ids) == 7 and mat.shape[0] == 7

@@ -338,10 +338,39 @@ def ivf_topk(
 # results still agree with the exact oracle unless a value sits within
 # ~1e-15 of a rounding/threshold boundary (probability ~0 on real data).
 
-def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
+#: Hard cap on rows any BLAS helper may pull to the driver. The
+#: broadcast-side collect is the deliberate small-side accelerator of
+#: this module; beyond ~1M vectors it stops being "small" (at dim=64
+#: float64 that is already ~0.5 GB of driver heap + the same again per
+#: executor broadcast) and the tiled / LSH / IVF paths are the right
+#: tool. The cap fails fast instead of letting a caller OOM the driver
+#: at corpus scale because nobody read the docstring.
+DRIVER_COLLECT_CAP = 1_000_000
+
+
+def _collect_matrix(
+    df: DataFrame, id_col: str, vec_col: str, cap: int = DRIVER_COLLECT_CAP
+):
+    """Collect (ids, matrix) to the driver, guarded by ``cap``.
+
+    The probe is ``limit(cap + 1)`` — never a separate count job, never
+    more than cap+1 rows materialized — so an over-cap input raises
+    before the driver heap is at risk. Raising (rather than silently
+    falling back) keeps the exact/approx split explicit: callers that
+    can exceed the cap must choose cosine_pairs_blas_tiled /
+    cosine_topk_lsh_blas / ivf_topk themselves.
+    """
     import numpy as np
 
-    pdf = df.select(id_col, vec_col).toPandas()
+    pdf = df.select(id_col, vec_col).limit(cap + 1).toPandas()
+    if len(pdf) > cap:
+        raise ValueError(
+            f"_collect_matrix: input exceeds DRIVER_COLLECT_CAP={cap} rows; "
+            "a driver-side collect at this size would OOM at corpus scale. "
+            "Use the no-collect scale paths instead: cosine_pairs_blas_tiled "
+            "(exact all-pairs), cosine_topk_lsh_blas / ivf_topk (ANN), or "
+            "pass an explicit higher cap if the driver is provisioned for it."
+        )
     ids = pdf[id_col].to_numpy(dtype="int64")
     mat = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
     return ids, mat
