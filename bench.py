@@ -229,6 +229,15 @@ NEW_QUERIES_R04 = [
     "grouped_topk_salted",
 ]
 
+#: queries added in round 5 — their own bucket (value_new_r05).
+NEW_QUERIES_R05 = [
+    "profile_table_stats_approx",
+    "dim_users_build",
+    "dim_users_build_deduped",
+    "catalog_introspection",
+    "bpe_learn_merges_batched",
+]
+
 #: queries whose bench time is dominated by fixture orchestration, not
 #: the operator: queries.PHASE_TIMINGS records their harness phases
 #: (landing-zone write, stream run) so the report splits harness cost
@@ -260,7 +269,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     phases: dict[str, dict[str, float]] = {}
-    for name in HEADLINE + NEW_QUERIES_R02 + NEW_QUERIES_R03 + NEW_QUERIES_R04:
+    for name in (
+        HEADLINE + NEW_QUERIES_R02 + NEW_QUERIES_R03 + NEW_QUERIES_R04
+        + NEW_QUERIES_R05
+    ):
         t0 = time.perf_counter()
         run_one(registry[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -273,30 +285,30 @@ def main() -> None:
     S.release_shared_caches()  # cross-query LSH pair relation etc.
     sf = sf_dir.rstrip("/").split("sf")[-1]
     headline_total = round(sum(timings[n] for n in HEADLINE), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": headline_total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "value_all": round(sum(timings.values()), 3),
-                "value_new_r02": round(
-                    sum(timings[n] for n in NEW_QUERIES_R02), 3
-                ),
-                "value_new_r03": round(
-                    sum(timings[n] for n in NEW_QUERIES_R03), 3
-                ),
-                "value_new_r04": round(
-                    sum(timings[n] for n in NEW_QUERIES_R04), 3
-                ),
-                "phases": phases,
-                "n_headline": len(HEADLINE),
-                "n_all": len(timings),
-            }
-        )
+    report = {
+        "metric": "headline_queries_total",
+        "value": headline_total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "value_all": round(sum(timings.values()), 3),
+        "value_new_r02": round(sum(timings[n] for n in NEW_QUERIES_R02), 3),
+        "value_new_r03": round(sum(timings[n] for n in NEW_QUERIES_R03), 3),
+        "value_new_r04": round(sum(timings[n] for n in NEW_QUERIES_R04), 3),
+        "value_new_r05": round(sum(timings[n] for n in NEW_QUERIES_R05), 3),
+        "phases": phases,
+        "n_headline": len(HEADLINE),
+        "n_all": len(timings),
+    }
+    # The driver truncates BENCH_rN.json to its tail, losing most of the
+    # per-query map; persist the full report too so round-over-round
+    # per-query regressions stay diffable (tools/bench_diff.py).
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_full_latest.json"
     )
+    with open(full_path, "w", encoding="utf-8") as fh:
+        json.dump(report, fh, indent=1, sort_keys=True)
+    print(json.dumps(report))
 
 
 if __name__ == "__main__":

@@ -609,3 +609,36 @@ def test_lateral_join_decorrelates(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert re.search(r"\(\d+\) \w*Join", plan)
     assert len(re.findall(r"\(\d+\) Window\b", plan)) >= 1
+
+
+def test_sketch_profile_has_no_expand(spark, sf_dir):
+    """The production sketch profile must stay Expand-free (the 102 s
+    lesson at sf1: HLL buffers + DISTINCT columns in one aggregate push
+    every expanded row through the sketch merge). The oracled invariant
+    form may Expand only in its separate exact pass."""
+    df = Q.profile_table_stats_approx_only(spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "Expand" not in plan
+    # single scan (formatted mode names each scan twice: tree + detail),
+    # no shuffle beyond the partial/final aggregate exchange
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_dim_users_build_single_shuffle_distinct(spark, sf_dir):
+    """Q3 dim_users is one DISTINCT: exactly one hash-aggregate shuffle,
+    map-side combined, no join, no window."""
+    plan = plan_of(spark, sf_dir, "dim_users_build")
+    assert count_exchanges(plan) == 1
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_collect_guarded_blas_paths_unchanged(spark, sf_dir):
+    """The DRIVER_COLLECT_CAP guard must not alter the BLAS query plans
+    (the limit-probe happens driver-side before the mapInPandas plan is
+    built)."""
+    plan = plan_of(spark, sf_dir, "embedding_near_dup_bcast")
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+    assert "CartesianProduct" not in plan

@@ -164,3 +164,39 @@ def test_streaming_source_drains_deterministically(spark, tmp_path):
     replay = list(rdr.readBetweenOffsets({"pos": 128}, {"pos": 256}))
     first_read, nxt = rdr.read({"pos": 128})
     assert list(first_read) == replay and nxt == {"pos": 256}
+
+
+def test_sink_append_merges_manifest_and_overwrite_replaces(spark, tmp_path):
+    """Commit protocol across jobs: a second append must keep the first
+    job's files visible (manifest merge), and an overwrite must clear
+    them — including their data files — so read_committed always
+    reflects exactly the committed history."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    ps.register_sink(spark)
+    out = str(tmp_path / "sink_multi")
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    mk(0, 50).write.format("ndjsonatomic").mode("append").save(out)
+    mk(50, 80).write.format("ndjsonatomic").mode("append").save(out)
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["n_rows"] == 80
+    back = ps.read_committed(spark, out, schema)
+    assert back.count() == 80
+    assert back.agg(F.sum("k")).collect()[0][0] == sum(range(80))
+    # overwrite: only the new write is visible, old data files are gone
+    mk(1000, 1010).write.format("ndjsonatomic").mode("overwrite").save(out)
+    manifest2 = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest2["n_rows"] == 10
+    back2 = ps.read_committed(spark, out, schema)
+    assert back2.count() == 10
+    assert back2.agg(F.min("k")).collect()[0][0] == 1000
+    on_disk = {f for f in os.listdir(out) if f.endswith(".json") and f != "_MANIFEST.json"}
+    assert on_disk == set(manifest2["files"])

@@ -171,3 +171,51 @@ def test_byte_features_empty_payload_is_null_checksum(spark):
     }
     assert rows[0].checksum is None and rows[0].first_byte == -1
     assert rows[1].checksum == 65 and rows[1].first_byte == 65
+
+
+def _bpe_corpus(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=0, text="low lower lowest low low newer newest"),
+            Row(doc_id=1, text="wider wide widest new newer lower low"),
+            Row(doc_id=2, text="the newest widest lowest low new wide"),
+            Row(doc_id=3, text="low low low wide wide new new newer"),
+        ]
+    )
+
+
+def test_bpe_batched_equals_sequential(spark, sf_dir, monkeypatch):
+    """The batched trainer must reproduce the sequential merge table
+    EXACTLY (same pairs, order, counts) while spending ~B-fold fewer
+    pair-count rounds (driver round-trips)."""
+    docs = _bpe_corpus(spark)
+
+    rounds = {"n": 0}
+    orig = textops._bpe_pair_counts
+
+    def counting(corpus):
+        rounds["n"] += 1
+        return orig(corpus)
+
+    monkeypatch.setattr(textops, "_bpe_pair_counts", counting)
+
+    seq = textops.bpe_learn_merges(docs, n_merges=8).collect()
+    seq_rounds = rounds["n"]
+    rounds["n"] = 0
+    bat = textops.bpe_learn_merges_batched(docs, n_merges=8, batch=4).collect()
+    bat_rounds = rounds["n"]
+
+    assert [tuple(r) for r in seq] == [tuple(r) for r in bat]
+    assert seq_rounds == 8
+    assert bat_rounds < seq_rounds, (seq_rounds, bat_rounds)
+
+
+def test_bpe_batched_equals_sequential_on_documents(spark, sf_dir):
+    """Same equality property on the real documents fixture (adversarial
+    tie patterns appear in natural text more than in toy corpora)."""
+    from udacitydatawarehouseprj_spark import session as S
+
+    docs = S.load_table(spark, sf_dir, "documents")
+    seq = textops.bpe_learn_merges(docs, n_merges=6).collect()
+    bat = textops.bpe_learn_merges_batched(docs, n_merges=6, batch=3).collect()
+    assert [tuple(r) for r in seq] == [tuple(r) for r in bat]

@@ -145,6 +145,7 @@ SMOKE = [
     "python_datasink_roundtrip",
     "sql_scripting_control_flow",
     "pipeline_observe_metrics",
+    "profile_table_stats_approx",
 ]
 
 
@@ -303,6 +304,17 @@ def main() -> None:
         t0 = time.perf_counter()
         reg[name](spark, OUT).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+    # production sketch profile (approx only, no Expand) — not registry-
+    # registered (approx values are engine-specific, invariant-checked
+    # via profile_table_stats_approx); timed here to document the
+    # exact-vs-sketch gap at sf1 in SCALE.md
+    t0 = time.perf_counter()
+    Q.profile_table_stats_approx_only(spark, OUT).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    timings["profile_table_stats_approx_only"] = round(
+        time.perf_counter() - t0, 3
+    )
     print(json.dumps({"metric": "scale_smoke_10x_total",
                       "value": round(sum(timings.values()), 3),
                       "unit": "sec", "queries": timings, "sf": 1.0}))

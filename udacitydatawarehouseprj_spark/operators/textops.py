@@ -406,6 +406,61 @@ def vocab_topk(
     )
 
 
+def _bpe_word_seqs(
+    df: DataFrame, text_col: str, max_token_chars: int
+) -> DataFrame:
+    """Distinct lowercase words with occurrence counts, each rendered as
+    a sentinel-padded space-separated symbol sequence (' a b c ') so
+    merge rewrites can match symbol boundaries literally."""
+    from udacitydatawarehouseprj_spark.session import spread
+
+    return (
+        spread(df.select(F.col(text_col)), ())
+        .select(F.explode(_toks(text_col)).alias("w"))
+        .filter((F.col("w") != "") & (F.length("w") <= max_token_chars))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.concat(
+                F.lit(" "),
+                F.array_join(F.split(F.col("w"), ""), " "),
+                F.lit(" "),
+            ).alias("seq"),
+            "n",
+        )
+    )
+
+
+def _bpe_pair_counts(corpus: DataFrame) -> DataFrame:
+    """Corpus-wide adjacent-symbol pair counts (l, r, cnt) — explode +
+    map-side-combined groupBy, one shuffle of (pair, count) partials."""
+    syms = F.split(F.trim(F.col("seq")), " ")
+    return (
+        corpus.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(syms, 1, F.size(syms) - 1),
+                    F.slice(syms, 2, F.size(syms) - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+            "n",
+        )
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("n").alias("cnt"))
+    )
+
+
+def _bpe_apply_merge(col, l: str, r: str):
+    """One greedy left-to-right merge rewrite on a sentinel-padded
+    sequence column. Literal spaces make overlap impossible at the match
+    site, but regexp_replace consumes the trailing space — run twice to
+    catch odd/even alternations."""
+    out = F.regexp_replace(col, F.lit(f" {l} {r} "), F.lit(f" {l}{r} "))
+    return F.regexp_replace(out, F.lit(f" {l} {r} "), F.lit(f" {l}{r} "))
+
+
 def bpe_learn_merges(
     df: DataFrame,
     text_col: str = "text",
@@ -434,48 +489,12 @@ def bpe_learn_merges(
     symbol alphabet per word. Returns (merge_idx, left_sym, right_sym,
     pair_count) — the ordered merge table a BPE tokenizer ships.
     """
-    from udacitydatawarehouseprj_spark.session import spread
-
-    # distinct words + counts; symbol sequence = chars joined by ' ',
-    # sentinel-padded so ' a b ' matches symbol boundaries exactly
-    words = (
-        spread(df.select(F.col(text_col)), ())
-        .select(F.explode(_toks(text_col)).alias("w"))
-        .filter((F.col("w") != "") & (F.length("w") <= max_token_chars))
-        .filter(F.col("w").rlike("^[a-z]+$"))
-        .groupBy("w")
-        .agg(F.count("*").alias("n"))
-        .select(
-            F.concat(
-                F.lit(" "),
-                F.array_join(F.split(F.col("w"), ""), " "),
-                F.lit(" "),
-            ).alias("seq"),
-            "n",
-        )
-    )
     spark = df.sparkSession
-    corpus = words.cache()
+    corpus = _bpe_word_seqs(df, text_col, max_token_chars).cache()
     merges = []
     try:
         for i in range(n_merges):
-            syms = F.split(F.trim(F.col("seq")), " ")
-            pairs = (
-                corpus.select(
-                    F.explode(
-                        F.zip_with(
-                            F.slice(syms, 1, F.size(syms) - 1),
-                            F.slice(syms, 2, F.size(syms) - 1),
-                            lambda a, b: F.struct(
-                                a.alias("l"), b.alias("r")
-                            ),
-                        )
-                    ).alias("p"),
-                    "n",
-                )
-                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-                .agg(F.sum("n").alias("cnt"))
-            )
+            pairs = _bpe_pair_counts(corpus)
             best = (
                 pairs.orderBy(
                     F.col("cnt").desc(), F.col("l"), F.col("r")
@@ -488,22 +507,96 @@ def bpe_learn_merges(
             l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
             merges.append((i, l, r, cnt))
             nxt = corpus.select(
-                F.regexp_replace(
-                    F.col("seq"),
-                    F.lit(f" {l} {r} "),
-                    F.lit(f" {l}{r} "),
-                    # NOTE: literal spaces make overlap impossible at the
-                    # match site, but regexp_replace consumes the trailing
-                    # space — run twice to catch odd/even alternations
-                ).alias("seq"),
-                "n",
-            ).select(
-                F.regexp_replace(
-                    F.col("seq"), F.lit(f" {l} {r} "), F.lit(f" {l}{r} ")
-                ).alias("seq"),
-                "n",
+                _bpe_apply_merge(F.col("seq"), l, r).alias("seq"), "n"
             ).cache()
             nxt.count()  # materialize before dropping the parent cache
+            corpus.unpersist()
+            corpus = nxt
+    finally:
+        corpus.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_idx int, left_sym string, right_sym string, pair_count bigint"
+    )
+
+
+def bpe_learn_merges_batched(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    max_token_chars: int = 12,
+    batch: int = 4,
+) -> "DataFrame":
+    """``bpe_learn_merges`` with B-fold fewer driver round-trips —
+    IDENTICAL output to the sequential form, by construction.
+
+    Per round, ONE pair-count job collects the top ``4·batch`` pairs
+    (sorted count DESC, l, r — the sequential tie-break) and accepts the
+    longest PREFIX whose pairs are pairwise symbol-disjoint, truncated
+    to counts strictly above the first rejected/unfetched count. That
+    prefix provably replays sequential greedy BPE:
+
+    * accepted pairs are mutually disjoint, so earlier batch merges
+      change neither the counts nor the occurrences of later ones;
+    * any pair OVERLAPPING an accepted pair sorts strictly below every
+      accepted pair (else the prefix would have stopped there), and a
+      merge only decreases overlapping pairs' counts;
+    * a NEW pair created by merging (l,r) — (x,lr) or (lr,y) — has
+      count ≤ the old (x,l) / (r,y) count, which overlaps (l,r) and is
+      therefore also strictly below every accepted count.
+
+    So at each accepted step the global argmax is exactly that step's
+    pair, ties included. Each round applies its whole batch as one
+    chained projection (one job), cutting driver round-trips and corpus
+    rewrites ~``batch``-fold: 30k merges become ~30k/B jobs — the
+    real-vocab-size form of the trainer. A round that can safely accept
+    only 1 pair (adjacent-count ties, overlapping top pairs) degrades
+    to the sequential behavior rather than diverging from it.
+    """
+    spark = df.sparkSession
+    corpus = _bpe_word_seqs(df, text_col, max_token_chars).cache()
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        while len(merges) < n_merges:
+            want = n_merges - len(merges)
+            fetch_k = max(4 * batch, batch + 1)
+            top = (
+                _bpe_pair_counts(corpus)
+                .orderBy(F.col("cnt").desc(), F.col("l"), F.col("r"))
+                .limit(fetch_k)
+                .collect()
+            )
+            if not top:
+                break
+            used: set[str] = set()
+            accepted: list[tuple[str, str, int]] = []
+            for row in top:
+                l, r, cnt = row["l"], row["r"], int(row["cnt"])
+                if len(accepted) >= min(batch, want) or {l, r} & used:
+                    break
+                accepted.append((l, r, cnt))
+                used.update((l, r))
+            # overlap ceiling M: the largest count any merge in this
+            # batch could hand to a new/changed pair — i.e. the max
+            # count among non-accepted pairs sharing a symbol with the
+            # accepted set (unfetched pairs bounded by the fetch tail).
+            # Accepted steps must sit STRICTLY above M, or an equal-
+            # count new pair could win a lexicographic tie sequentially.
+            m_ceiling = -1
+            for row in top[len(accepted):]:
+                if {row["l"], row["r"]} & used:
+                    m_ceiling = max(m_ceiling, int(row["cnt"]))
+            if len(top) == fetch_k:
+                m_ceiling = max(m_ceiling, int(top[-1]["cnt"]))
+            while len(accepted) > 1 and accepted[-1][2] <= m_ceiling:
+                dropped = accepted.pop()
+                used.difference_update((dropped[0], dropped[1]))
+            for l, r, cnt in accepted:
+                merges.append((len(merges), l, r, cnt))
+            col = F.col("seq")
+            for l, r, _ in accepted:
+                col = _bpe_apply_merge(col, l, r)
+            nxt = corpus.select(col.alias("seq"), "n").cache()
+            nxt.count()
             corpus.unpersist()
             corpus = nxt
     finally:

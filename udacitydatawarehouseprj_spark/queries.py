@@ -610,6 +610,136 @@ def sparkify_fct_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "catalog_introspection",
+    oracle="""
+    SELECT 'cat_introspect_nation' AS table_name, FALSE AS is_temporary
+    UNION ALL
+    SELECT 'cat_introspect_region', FALSE
+    ORDER BY table_name
+    """,
+    doc="S6 catalog introspection (reference Fiddle.ipynb cell 19:"
+        " information-schema table listing after the ETL): two dims are"
+        " registered as managed bucketed tables via sinks.write_table"
+        " (S4 layout: distkey→bucketBy), then spark.catalog.listTables"
+        " is filtered to them — metadata-plane round-trip, catalog is"
+        " inherently driver-side and O(tables), never O(data).",
+)
+def catalog_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacitydatawarehouseprj_spark.sources import sinks
+
+    for tbl, key in (("nation", "n_nationkey"), ("region", "r_regionkey")):
+        name = f"cat_introspect_{tbl}"
+        sinks.drop_table(spark, name)
+        sinks.write_table(
+            _t(spark, sf_dir, tbl),
+            name,
+            layout=sinks.TableLayout(dist_key=key, buckets=2),
+        )
+    rows = [
+        (t.name, bool(t.isTemporary))
+        for t in spark.catalog.listTables()
+        if t.name.startswith("cat_introspect_")
+    ]
+    return (
+        spark.createDataFrame(rows, "table_name string, is_temporary boolean")
+        .orderBy("table_name")
+    )
+
+
+#: Deterministic Sparkify-staging shape derived from testdata events:
+#: 'view' events are the logged-out rows (NULL user), level ≙ event_type
+#: (users emit several types → Q3 level-change duplicates), name/gender/
+#: registration are pure functions of the user key. Shared by the
+#: dim_users quirk pair so Spark and oracle stage identically.
+_DIM_USERS_STAGE_SQL = """
+    SELECT
+      CASE WHEN event_type = 'view' THEN NULL
+           ELSE 'fn_' || CAST(user_id AS VARCHAR) END AS firstname,
+      CASE WHEN event_type = 'view' THEN NULL
+           ELSE 'ln_' || CAST(user_id AS VARCHAR) END AS lastname,
+      CASE WHEN event_type = 'view' THEN NULL
+           WHEN user_id % 2 = 0 THEN 'F' ELSE 'M' END AS gender,
+      event_type AS level,
+      CASE WHEN event_type = 'view' THEN NULL
+           ELSE CAST(user_id * 1000 AS BIGINT) END AS registration,
+      CASE WHEN event_type = 'view' THEN NULL ELSE user_id END AS userId
+    FROM events
+"""
+
+
+def _dim_users_staging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    logged_out = F.col("event_type") == "view"
+    uid = F.when(logged_out, F.lit(None).cast("long")).otherwise(
+        F.col("user_id")
+    )
+    return ev.select(
+        F.when(logged_out, F.lit(None)).otherwise(
+            F.concat(F.lit("fn_"), F.col("user_id").cast("string"))
+        ).alias("firstName"),
+        F.when(logged_out, F.lit(None)).otherwise(
+            F.concat(F.lit("ln_"), F.col("user_id").cast("string"))
+        ).alias("lastName"),
+        F.when(logged_out, F.lit(None)).otherwise(
+            F.when(F.col("user_id") % 2 == 0, "F").otherwise("M")
+        ).alias("gender"),
+        F.col("event_type").alias("level"),
+        F.when(logged_out, F.lit(None).cast("long")).otherwise(
+            (F.col("user_id") * 1000).cast("long")
+        ).alias("registration"),
+        uid.alias("userId"),
+    )
+
+
+@_register(
+    "dim_users_build",
+    oracle=f"""
+    WITH staged AS ({_DIM_USERS_STAGE_SQL})
+    SELECT DISTINCT firstname, lastname, gender, level, registration,
+           userId AS user_id
+    FROM staged
+    """,
+    doc="dim_users with quirk Q3 REPLICATED (reference sql_queries.py:"
+        "184-193): DISTINCT over all six columns, so a user active at"
+        " several levels appears once per level and logged-out events"
+        " contribute NULL-user rows — the reference's declared semantics,"
+        " preserved bit-for-bit. One shuffle (the DISTINCT hash"
+        " aggregate), map-side combined.",
+)
+def dim_users_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged = _dim_users_staging(spark, sf_dir)
+    return star_schema.build_dim_users(staged, dedupe_by_user=False)
+
+
+@_register(
+    "dim_users_build_deduped",
+    oracle=f"""
+    WITH staged AS ({_DIM_USERS_STAGE_SQL})
+    SELECT firstname, lastname, gender, level, registration, user_id
+    FROM (
+      SELECT firstname, lastname, gender, level, registration,
+             userId AS user_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY userId
+               ORDER BY registration DESC NULLS LAST, level
+             ) AS rn
+      FROM staged WHERE userId IS NOT NULL
+    ) t WHERE rn = 1
+    """,
+    doc="dim_users with quirk Q3 FIXED (star_schema.build_dim_users"
+        " dedupe_by_user=True): one row per non-NULL user, latest"
+        " registration wins, level as the deterministic tie-break."
+        " Output is order-insensitive-deterministic even under"
+        " row_number ties because every projected column is a function"
+        " of (user_id, level) and rank 1 always carries the minimal"
+        " level for the user.",
+)
+def dim_users_build_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged = _dim_users_staging(spark, sf_dir)
+    return star_schema.build_dim_users(staged, dedupe_by_user=True)
+
+
 # =====================================================================
 # TPC-H-style headline aggregation (beyond-reference; bench workhorse)
 # =====================================================================
@@ -4718,6 +4848,25 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "bpe_learn_merges_batched",
+    oracle=_bpe_oracle(6),
+    doc="The vocab-scale BPE trainer (textops.bpe_learn_merges_batched):"
+        " per round ONE pair-count job fetches the sorted top pairs and"
+        " accepts the maximal symbol-disjoint prefix sitting strictly"
+        " above the overlap ceiling, then applies the whole batch as a"
+        " single chained rewrite — provably IDENTICAL merge table to"
+        " the sequential trainer (property-tested) with ~B-fold fewer"
+        " driver round-trips, so 30k merges cost ~30k/B jobs instead of"
+        " 30k. Same unrolled-CTE oracle as bpe_learn_merges: equality"
+        " with the sequential semantics is itself under the hash gate.",
+)
+def bpe_learn_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.bpe_learn_merges_batched(
+        _t(spark, sf_dir, "documents"), n_merges=6, batch=3
+    )
+
+
 # =====================================================================
 # Round-3 wave: data-mixture construction, sequence packing, per-source
 # corpus profiling, semantic (embedding-space) dedup — the remaining
@@ -7278,6 +7427,113 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _profile_approx_oracle() -> str:
+    parts = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "num":
+            lo = f"CAST(CAST(MIN({c}) AS DECIMAL(18,6)) AS VARCHAR)"
+            hi = f"CAST(CAST(MAX({c}) AS DECIMAL(18,6)) AS VARCHAR)"
+        elif kind == "ts":
+            lo = f"CAST(epoch_ms(MIN({c})) AS VARCHAR)"
+            hi = f"CAST(epoch_ms(MAX({c})) AS VARCHAR)"
+        else:
+            lo, hi = f"MIN({c})", f"MAX({c})"
+        parts.append(
+            f"SELECT '{c}' AS col_name, COUNT(*) AS n_rows,"
+            f" COUNT(*) - COUNT({c}) AS n_nulls,"
+            f" TRUE AS nd_within_5pct,"
+            f" {lo} AS min_repr, {hi} AS max_repr FROM lineitem"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+def _profile_table_stats_shaped(
+    spark: SparkSession, sf_dir: str, exact_check: bool
+) -> DataFrame:
+    """Shared body for the sketch profile: exact_check=True emits the
+    oracled within-5% invariant (exact + HLL in the same single pass);
+    exact_check=False is the production 100 TB form — NO exact distinct,
+    so the plan has no Expand at all (one plain scan+aggregate, memory
+    per column O(HLL registers) instead of O(cardinality))."""
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").alias("_nr")]
+    for c, kind in _PROFILE_COLS:
+        aggs.append((F.count("*") - F.count(c)).alias(f"_nn_{c}"))
+        aggs.append(
+            F.approx_count_distinct(c, rsd=0.02).alias(f"_ad_{c}")
+        )
+        if kind == "num":
+            lo = F.min(c).cast("decimal(18,6)").cast("string")
+            hi = F.max(c).cast("decimal(18,6)").cast("string")
+        elif kind == "ts":
+            lo = F.unix_millis(F.min(c).cast("timestamp")).cast("string")
+            hi = F.unix_millis(F.max(c).cast("timestamp")).cast("string")
+        else:
+            lo, hi = F.min(c), F.max(c)
+        aggs.append(lo.alias(f"_lo_{c}"))
+        aggs.append(hi.alias(f"_hi_{c}"))
+    wide = li.agg(*aggs)
+    if exact_check:
+        # The exact DISTINCTs ride in their OWN aggregation, joined to
+        # the sketch pass as two 1-row frames: putting HLL buffers and
+        # 5 DISTINCT columns in ONE aggregate makes the Expand 11-way
+        # and pushes every expanded row through the sketch merge
+        # (measured 102 s vs 11 s at sf1). Two passes of the same scan
+        # are the cheap shape for the invariant; production never runs
+        # the exact side at all.
+        exact_wide = li.agg(
+            *[F.countDistinct(c).alias(f"_nd_{c}") for c, _ in _PROFILE_COLS]
+        )
+        wide = wide.crossJoin(exact_wide)
+    if exact_check:
+        nd_field = (
+            "CAST(abs(_ad_{c} - _nd_{c}) AS DOUBLE)"
+            " / CAST(_nd_{c} AS DOUBLE) <= 0.05"
+        )
+    else:
+        nd_field = "_ad_{c}"
+    stack_args = ", ".join(
+        f"'{c}', _nn_{c}, {nd_field.format(c=c)}, _lo_{c}, _hi_{c}"
+        for c, _ in _PROFILE_COLS
+    )
+    nd_name = "nd_within_5pct" if exact_check else "n_distinct_approx"
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args})"
+            f" AS (col_name, n_nulls, {nd_name}, min_repr, max_repr)"
+        ),
+        F.col("_nr").alias("n_rows"),
+    ).select(
+        "col_name", "n_rows", "n_nulls", nd_name, "min_repr", "max_repr"
+    )
+
+
+@_register(
+    "profile_table_stats_approx",
+    oracle=_profile_approx_oracle(),
+    doc="The 100 TB twin of profile_table_stats: HLL++"
+        " approx_count_distinct (rsd 2%) instead of exact DISTINCT, so"
+        " sketch memory is O(registers) per column instead of"
+        " O(cardinality) and the plan needs no Expand. Oracled via the"
+        " epsilon-invariant pattern (approx_distinct_check): the exact"
+        " count rides along in the same single pass only to prove the"
+        " sketch lands within 5%; the production form"
+        " (profile_table_stats_approx_only, benched in SCALE.md) drops"
+        " the exact aggregate entirely.",
+)
+def profile_table_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _profile_table_stats_shaped(spark, sf_dir, exact_check=True)
+
+
+def profile_table_stats_approx_only(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Production sketch profile: single scan, no Expand, no exact
+    distinct. Not oracle-registered (approx values are engine-specific);
+    correctness rides on profile_table_stats_approx's 5% invariant."""
+    return _profile_table_stats_shaped(spark, sf_dir, exact_check=False)
+
+
 def _pagerank_oracle(iters: int = 6, unit: int = 10**12) -> str:
     """Unrolled integer-PageRank oracle: damping 85/100 over the
     symmetric exact-Jaccard pair graph, every division integral — so the
@@ -9256,9 +9512,12 @@ def python_datasink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ks
     ),
     hit AS (
+        -- k = 20 term mirrors the script's loop cap (WHILE … AND k < 20):
+        -- if no power of two under the cap clears the 1% tail, both
+        -- sides terminate on (and return) the k = 20 row
         SELECT k, n_above, n
         FROM counts
-        WHERE CAST(n_above AS DOUBLE) / CAST(n AS DOUBLE) < 0.01
+        WHERE CAST(n_above AS DOUBLE) / CAST(n AS DOUBLE) < 0.01 OR k = 20
         ORDER BY k LIMIT 1
     )
     SELECT CAST(k AS BIGINT) AS threshold_exp,

@@ -193,11 +193,37 @@ class NdjsonAtomicWriter(DataSourceArrowWriter):
             os.replace(m.staged_path, dest)
             published.append(m.file_name)
             total += m.n_rows
+        # append semantics: a prior committed manifest stays visible —
+        # merge its file list (and row count) instead of silently
+        # shadowing earlier commits; overwrite clears prior published
+        # files (manifest first, then best-effort data-file cleanup, so
+        # a crash mid-delete still leaves a consistent view).
+        manifest_path = os.path.join(self.path, "_MANIFEST.json")
+        prior_files: list[str] = []
+        if os.path.exists(manifest_path):
+            with open(manifest_path, encoding="utf-8") as fh:
+                prior = _json.load(fh)
+            if self.overwrite:
+                prior_files_to_drop = [
+                    f for f in prior.get("files", []) if f not in published
+                ]
+            else:
+                prior_files = prior.get("files", [])
+                total += prior.get("n_rows", 0)
+                prior_files_to_drop = []
+        else:
+            prior_files_to_drop = []
+        all_files = sorted(set(prior_files) | set(published))
         os.makedirs(os.path.join(self.path, "_tmp"), exist_ok=True)
         manifest_tmp = os.path.join(self.path, "_tmp", "_MANIFEST.json")
         with open(manifest_tmp, "w", encoding="utf-8") as fh:
-            _json.dump({"files": sorted(published), "n_rows": total}, fh)
-        os.replace(manifest_tmp, os.path.join(self.path, "_MANIFEST.json"))
+            _json.dump({"files": all_files, "n_rows": total}, fh)
+        os.replace(manifest_tmp, manifest_path)
+        for f in prior_files_to_drop:
+            try:
+                os.remove(os.path.join(self.path, f))
+            except OSError:
+                pass
         shutil.rmtree(os.path.join(self.path, "_tmp"), ignore_errors=True)
 
     def abort(self, messages):

@@ -95,8 +95,22 @@ def write_table(
 
 
 def drop_table(spark, name: str) -> None:
-    """S5: DROP TABLE IF EXISTS (reference sql_queries.py:9-29)."""
+    """S5: DROP TABLE IF EXISTS (reference sql_queries.py:9-29).
+
+    Also removes an ORPHANED warehouse location — a directory left by a
+    previous session whose (in-memory/derby) catalog is gone. DROP on a
+    registered managed table already purges its location; the orphan
+    case otherwise fails the next saveAsTable with
+    LOCATION_ALREADY_EXISTS, breaking drop-and-reload idempotence
+    across sessions."""
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+    if "." not in name and not spark.catalog.tableExists(name):
+        jvm = spark._jvm
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        path = jvm.org.apache.hadoop.fs.Path(wh, name.lower())
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(path):
+            fs.delete(path, True)
 
 
 def write_compacted(
