@@ -9837,3 +9837,316 @@ def null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.crossJoin(F.broadcast(first_asc)).crossJoin(
         F.broadcast(last_desc)
     )
+
+
+# =====================================================================
+# Round-5 wave 13: equi-depth bucketing, collocation mining, BM25
+# retrieval, matryoshka ANN, temperature mixing, bloom semi-join
+# reduction, skyline, label propagation, streaming attribution
+# =====================================================================
+
+
+@_register(
+    "equidepth_value_buckets",
+    oracle="""
+    WITH s AS (
+        SELECT event_id, value FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+        SELECT event_id, value,
+               ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn
+        FROM s
+    ),
+    n AS (SELECT COUNT(*) AS n FROM s)
+    SELECT CAST((rn - 1) * 8 // n.n + 1 AS BIGINT) AS bucket,
+           COUNT(*) AS n_rows,
+           MIN(value) AS lo,
+           MAX(value) AS hi,
+           CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4)
+                AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
+    FROM r, n GROUP BY 1
+    """,
+    doc="Equi-depth bucketizer (feature discretization / histogram"
+        " equalization): 8 equal-count value buckets with exact"
+        " boundaries, the companion to the equi-width histogram sketch"
+        " (histogram_quantile_sketch) when downstream needs balanced"
+        " bucket populations, not balanced ranges. The bucket is"
+        " CLOSED-FORM from the exact distributed rank ((rn−1)·8 div n"
+        " + 1 — integer arithmetic; operators/relational.py"
+        " exact_distributed_rank over value//64 blocks), so no"
+        " partition ever sorts the full fact table — the ntile-window"
+        " shape this replaces is single-partition at 100 TB. Bucket"
+        " min/max ARE the empirical octile boundaries; the oracle"
+        " replays the formula from a plain ROW_NUMBER.",
+)
+def equidepth_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    s = ev.filter(F.col("value").isNotNull()).select("event_id", "value")
+    ranked = rel.exact_distributed_rank(
+        s,
+        block=F.floor(F.col("value") / F.lit(64.0)).cast("long"),
+        order=[F.col("value").asc(), F.col("event_id").asc()],
+        rank_col="rn",
+    )
+    n = s.agg(F.count("*").cast("long").alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn(
+            "bucket", F.expr("CAST((rn - 1) * 8 DIV n + 1 AS BIGINT)")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            _dsum(F.col("value")).alias("sum_value"),
+        )
+    )
+
+
+@_register(
+    "ngram_pmi_collocations",
+    oracle="""
+    WITH toks AS (
+        SELECT string_split_regex(lower(text), '\\s+') AS t FROM documents
+    ),
+    uni AS (SELECT unnest(t) AS w FROM toks),
+    uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY 1),
+    nu AS (SELECT COUNT(*) AS n FROM uni),
+    idx AS (
+        SELECT t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2
+    ),
+    bi AS (SELECT t[i] AS w1, t[i + 1] AS w2 FROM idx),
+    bc AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bi GROUP BY 1, 2),
+    nb AS (SELECT COUNT(*) AS n FROM bi),
+    scored AS (
+        SELECT bc.w1, bc.w2, bc.c_xy,
+               ROUND(ln((CAST(bc.c_xy AS DOUBLE) * CAST(nu.n AS DOUBLE)
+                         * CAST(nu.n AS DOUBLE))
+                        / (CAST(nb.n AS DOUBLE) * CAST(cx.c AS DOUBLE)
+                           * CAST(cy.c AS DOUBLE))), 6) AS pmi
+        FROM bc
+        JOIN uc cx ON bc.w1 = cx.w
+        JOIN uc cy ON bc.w2 = cy.w
+        CROSS JOIN nu CROSS JOIN nb
+    )
+    SELECT w1, w2, c_xy, pmi, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            ORDER BY c_xy DESC, w1 ASC, w2 ASC) AS rnk
+        FROM scored
+    ) WHERE rnk <= 30
+    """,
+    doc="Bigram collocation mining by pointwise mutual information —"
+        " phrase/term-pair discovery for vocabulary curation (the"
+        " text-statistics companion to vocab_build_topk): consecutive"
+        " token pairs from each document, PMI = ln(p(x,y)/(p(x)p(y)))"
+        " computed as ONE identical IEEE expression tree over exact"
+        " integer counts (bigram count, the two unigram counts, and the"
+        " two corpus totals — no float accumulation, hash-gate-stable"
+        " by construction). Scale: bigrams are generated row-local"
+        " (transform over token indices — no self-join, no shuffle"
+        " before the count aggregations); unigram counts broadcast to"
+        " the |vocab|²-bounded scored relation, and the final top-30"
+        " ranks an already-aggregated tiny relation.",
+)
+def ngram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    t = S.spread(docs, ("doc_id",)).select(
+        dedup.tokens_expr("text").alias("t")
+    )
+    t = S.track_cache(t)
+    uni = t.select(F.explode("t").alias("w"))
+    uc = uni.groupBy("w").agg(F.count("*").alias("c"))
+    nu = uni.agg(F.count("*").cast("long").alias("nu"))
+    bi = (
+        t.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    bc = bi.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
+    nb = bi.agg(F.count("*").cast("long").alias("nb"))
+    cx = uc.select(F.col("w").alias("w1"), F.col("c").alias("cx"))
+    cy = uc.select(F.col("w").alias("w2"), F.col("c").alias("cy"))
+    scored = (
+        bc.join(F.broadcast(cx), "w1")
+        .join(F.broadcast(cy), "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (
+                        F.col("c_xy").cast("double")
+                        * F.col("nu").cast("double")
+                        * F.col("nu").cast("double")
+                    )
+                    / (
+                        F.col("nb").cast("double")
+                        * F.col("cx").cast("double")
+                        * F.col("cy").cast("double")
+                    )
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.orderBy(F.col("c_xy").desc(), F.col("w1").asc(), F.col("w2").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 30)
+        .select("w1", "w2", "c_xy", "pmi", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+#: BM25 constants as exact double literals shared by both engines
+_BM25_K1_PLUS_1 = "2.2"   # k1 + 1, k1 = 1.2
+_BM25_K1 = "1.2"
+_BM25_ONE_MINUS_B = "0.25"  # 1 - b, b = 0.75
+_BM25_B = "0.75"
+_BM25_TERMS = ("spark", "merge", "window")
+
+
+@_register(
+    "bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+    st AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS sum_dl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, w AS tok, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+        WHERE w IN ('spark', 'merge', 'window')
+        GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+        SELECT tf.doc_id, tf.tok,
+               ln(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(dfreq.df AS DOUBLE)
+                         + 0.5) / (CAST(dfreq.df AS DOUBLE) + 0.5))
+               * ((CAST(tf.tf AS DOUBLE) * {_BM25_K1_PLUS_1})
+                  / (CAST(tf.tf AS DOUBLE)
+                     + {_BM25_K1} * ({_BM25_ONE_MINUS_B}
+                        + {_BM25_B} * (CAST(dl.dl AS DOUBLE)
+                           / (CAST(st.sum_dl AS DOUBLE)
+                              / CAST(st.n_docs AS DOUBLE)))))) AS s
+        FROM tf
+        JOIN dl ON tf.doc_id = dl.doc_id
+        JOIN dfreq ON tf.tok = dfreq.tok
+        CROSS JOIN st
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               SUM(CASE WHEN tok = 'spark' THEN s ELSE 0.0 END)
+               + SUM(CASE WHEN tok = 'merge' THEN s ELSE 0.0 END)
+               + SUM(CASE WHEN tok = 'window' THEN s ELSE 0.0 END) AS score
+        FROM scored GROUP BY 1
+    )
+    SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, ROUND(score, 6) AS bm25
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            ORDER BY score DESC, doc_id ASC) AS rnk
+        FROM per_doc
+    ) WHERE rnk <= 20
+    """,
+    doc="BM25 keyword retrieval (Robertson/Spärck Jones; k1=1.2,"
+        " b=0.75): top-20 documents for a 3-term query, scored with the"
+        " standard saturating-tf × idf formula written as ONE identical"
+        " IEEE expression tree over exact integer statistics (tf, df,"
+        " doclen, corpus totals) on both engines — the lexical"
+        " retrieval baseline beside the dense ANN family"
+        " (retrieval_mrr_eval evaluates either). Per-document"
+        " summation over the ≤3 term partials is order-safe: each"
+        " term's conditional SUM has at most one non-zero addend (x+0.0"
+        " is exact for positive scores), and the 3 partials add in one"
+        " fixed order. Scale: tokenization and tf are row-local + one"
+        " map-side-combining groupBy on (doc, term) restricted to query"
+        " terms (the IN filter prunes before the shuffle); df and"
+        " corpus stats are tiny broadcasts; the rank runs on ≤|matching"
+        " docs| rows. No self-joins, no windows over raw facts.",
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = S.spread(docs, ("doc_id",)).select(
+        "doc_id", dedup.tokens_expr("text").alias("t")
+    )
+    toks = S.track_cache(toks)
+    dl = toks.select("doc_id", F.size("t").cast("long").alias("dl"))
+    st = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("tok"))
+        .filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    nd = F.col("n_docs").cast("double")
+    idf = F.log(
+        1.0 + (nd - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+    )
+    tfd = F.col("tf").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / nd
+    s = idf * (
+        (tfd * float(_BM25_K1_PLUS_1))
+        / (
+            tfd
+            + float(_BM25_K1)
+            * (
+                float(_BM25_ONE_MINUS_B)
+                + float(_BM25_B) * (F.col("dl").cast("double") / avgdl)
+            )
+        )
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(st))
+        .withColumn("s", s)
+    )
+    parts = [
+        F.sum(
+            F.when(F.col("tok") == term, F.col("s")).otherwise(F.lit(0.0))
+        ).alias(f"_s_{term}")
+        for term in _BM25_TERMS
+    ]
+    per_doc = scored.groupBy("doc_id").agg(*parts).select(
+        "doc_id",
+        (
+            F.col(f"_s_{_BM25_TERMS[0]}")
+            + F.col(f"_s_{_BM25_TERMS[1]}")
+            + F.col(f"_s_{_BM25_TERMS[2]}")
+        ).alias("score"),
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        per_doc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select(
+            "doc_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            F.round("score", 6).alias("bm25"),
+        )
+    )
