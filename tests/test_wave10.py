@@ -48,6 +48,61 @@ def test_pmi_collocations_ranked_and_finite(spark, sf_dir):
     assert direct == top.c_xy
 
 
+def test_matryoshka_recall_bounded_and_consistent(spark, sf_dir):
+    rows = Q.matryoshka_recall_check(spark, sf_dir).collect()
+    assert len(rows) == 10  # one per query vector
+    for r in rows:
+        assert 0 <= r.n_hits <= 5
+        assert abs(r.recall - r.n_hits / 5.0) < 1e-9
+    # the prefix must retain signal clearly above chance. The testdata
+    # embeddings are uniformly random (no MRL training concentrates
+    # mass in early dims — the worst case for truncation), so the floor
+    # is set against the random baseline of k/|corpus| ≈ 1%, not the
+    # 60-90% a trained matryoshka model would show.
+    avg = sum(r.recall for r in rows) / len(rows)
+    assert avg >= 0.05, f"prefix ANN avg recall {avg} at chance level"
+
+
+def test_matryoshka_prefix_ann_matches_manual_topk(spark, sf_dir):
+    import numpy as np
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)[:16]
+        for r in Q._t(spark, sf_dir, "embeddings").collect()
+    }
+    got = {}
+    for r in Q.matryoshka_prefix_ann(spark, sf_dir).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    for q, pairs in got.items():
+        qv = emb[q]
+        scored = sorted(
+            (
+                (-float(np.dot(v, qv) / (np.linalg.norm(v) * np.linalg.norm(qv))), i)
+                for i, v in emb.items()
+                if i != q
+            ),
+        )[:5]
+        expect = [i for _, i in scored]
+        assert [i for _, i in sorted(pairs)] == expect
+
+
+def test_temperature_mixing_flattens_shares(spark, sf_dir):
+    rows = Q.temperature_mix_sources(spark, sf_dir).collect()
+    total = sum(r.n_docs for r in rows)
+    assert sum(r.n_kept for r in rows) <= total
+    for r in rows:
+        assert 0 < r.keep_rate <= 1.0
+        assert r.n_kept <= r.n_docs
+        # temperature 0.5 pulls target fractions toward uniform: every
+        # target share sits between the raw share and 1/n_sources
+        raw = r.n_docs / total
+        uniform = 1.0 / len(rows)
+        lo, hi = sorted((raw, uniform))
+        assert lo - 1e-9 <= r.target_frac <= hi + 1e-9
+    # fractions sum to 1
+    assert abs(sum(r.target_frac for r in rows) - 1.0) < 1e-4
+
+
 def test_bm25_scores_descend_and_docs_match(spark, sf_dir):
     rows = Q.bm25_topk(spark, sf_dir).collect()
     assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))

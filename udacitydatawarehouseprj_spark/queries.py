@@ -10009,6 +10009,266 @@ def ngram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: dot product over the 16-dim matryoshka prefix (mirrors _DOT_SQL)
+_DOT16_SQL = (
+    "list_reduce(list_transform(range(1, 17), i -> {a}[i] * {b}[i]),"
+    " (x, y) -> x + y)"
+)
+
+_MATRYOSHKA_ORACLE = f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, emb,
+               sqrt({_DOT16_SQL.format(a='emb', b='emb')}) AS nrm
+        FROM e
+    ),
+    pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_DOT16_SQL.format(a='c.emb', b='q.emb')} / (c.nrm * q.nrm)
+                   AS cosine
+        FROM n c JOIN n q ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank,
+           ROUND(cosine, 6) AS cosine
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM pairs
+    ) WHERE rnk <= 5
+"""
+
+
+@_register(
+    "matryoshka_prefix_ann",
+    oracle=_MATRYOSHKA_ORACLE,
+    doc="Matryoshka-representation ANN (Kusupati et al., NeurIPS 2022):"
+        " exact cosine top-5 over the FIRST 16 of 64 embedding"
+        " dimensions — the dimension-truncation trick MRL-trained"
+        " models support, cutting memory and dot-product cost 4× while"
+        " the prefix stays a usable embedding. Spark truncates with"
+        " slice() (row-local, no shuffle added) and reuses the exact"
+        " fold-dot top-k machinery; the oracle is the same exhaustive"
+        " rank over the DuckDB list slice — bit-identical doubles via"
+        " the sequential-fold contract. The recall invariant vs the"
+        " full-dim rank is matryoshka_recall_check.",
+)
+def matryoshka_prefix_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    trunc = emb.withColumn("embedding", F.slice("embedding", 1, 16))
+    queries = trunc.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk(trunc, queries, k=5)
+
+
+@_register(
+    "matryoshka_recall_check",
+    oracle=f"""
+    WITH ef AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ),
+    nf AS (
+        SELECT vec_id, emb,
+               sqrt({_DOT_SQL.format(a='emb', b='emb')}) AS nrm
+        FROM ef
+    ),
+    full_rank AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_DOT_SQL.format(a='c.emb', b='q.emb')}
+                                / (c.nrm * q.nrm) DESC, c.vec_id) AS rnk
+            FROM nf c JOIN nf q ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 10
+        ) WHERE rnk <= 5
+    ),
+    ep AS (
+        SELECT vec_id,
+               list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ),
+    np AS (
+        SELECT vec_id, emb,
+               sqrt({_DOT16_SQL.format(a='emb', b='emb')}) AS nrm
+        FROM ep
+    ),
+    prefix_rank AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_DOT16_SQL.format(a='c.emb', b='q.emb')}
+                                / (c.nrm * q.nrm) DESC, c.vec_id) AS rnk
+            FROM np c JOIN np q ON c.vec_id <> q.vec_id
+            WHERE q.vec_id < 10
+        ) WHERE rnk <= 5
+    )
+    SELECT f.query_id,
+           CAST(COUNT(p.neighbor_id) AS BIGINT) AS n_hits,
+           ROUND(CAST(COUNT(p.neighbor_id) AS DOUBLE) / 5.0, 6) AS recall
+    FROM full_rank f
+    LEFT JOIN prefix_rank p
+        ON f.query_id = p.query_id AND f.neighbor_id = p.neighbor_id
+    GROUP BY 1
+    """,
+    doc="Matryoshka recall@5 — the falsifiable quality invariant for"
+        " prefix-dimension ANN, FULLY under the hash gate (unlike the"
+        " LSH/IVF/PQ recall checks, both the full-dim and 16-dim"
+        " rankings are exact deterministic ranks, so the per-query"
+        " overlap is SQL-replayable, not just bounded): for each query,"
+        " how many of the true full-dim top-5 the 16-dim prefix rank"
+        " retains. The measured recall IS the quality/cost trade a"
+        " 4×-cheaper first-stage retriever buys; at 100 TB both sides"
+        " are the established broadcast-query corpus scans and the"
+        " overlap join runs on |Q|·k rows.",
+)
+def matryoshka_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    full = similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5
+    ).select("query_id", "neighbor_id")
+    trunc = emb.withColumn("embedding", F.slice("embedding", 1, 16))
+    pre = similarity.cosine_topk(
+        trunc, trunc.filter(F.col("vec_id") < 10), k=5
+    ).select(
+        F.col("query_id").alias("p_query"),
+        F.col("neighbor_id").alias("p_neighbor"),
+    )
+    hits = full.join(
+        pre,
+        (F.col("query_id") == F.col("p_query"))
+        & (F.col("neighbor_id") == F.col("p_neighbor")),
+        "left",
+    )
+    return hits.groupBy("query_id").agg(
+        F.count("p_neighbor").cast("long").alias("n_hits"),
+        F.round(
+            F.count("p_neighbor").cast("double") / F.lit(5.0), 6
+        ).alias("recall"),
+    )
+
+
+#: portable Lehmer constants shared with the bootstrap / CMS family
+_MIX_P = 999999937
+
+
+@_register(
+    "temperature_mix_sources",
+    oracle=f"""
+    WITH cnt AS (
+        SELECT source, COUNT(*) AS n_s FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM documents),
+    wts AS (
+        SELECT source, n_s,
+               CAST(ROUND(sqrt(CAST(n_s AS DOUBLE) / CAST(tot.n AS DOUBLE)),
+                          12) AS DECIMAL(18,12)) AS w_dec
+        FROM cnt CROSS JOIN tot
+    ),
+    norm AS (SELECT SUM(w_dec) AS w_sum FROM wts),
+    rates AS (
+        SELECT w.source, w.n_s,
+               CAST(w.w_dec AS DOUBLE) / CAST(norm.w_sum AS DOUBLE)
+                   AS target_frac,
+               least(1.0,
+                     (CAST(w.w_dec AS DOUBLE) / CAST(norm.w_sum AS DOUBLE)
+                      * (CAST(tot.n AS DOUBLE) / 2.0))
+                     / CAST(w.n_s AS DOUBLE)) AS keep_rate
+        FROM wts w CROSS JOIN norm CROSS JOIN tot
+    ),
+    draws AS (
+        SELECT d.source,
+               CAST((((d.doc_id % {_MIX_P}) * 48271 + 7 * 1664525)
+                     % {_MIX_P}) * 48271 % {_MIX_P} AS DOUBLE)
+               / {_MIX_P}.0 AS u
+        FROM documents d
+    )
+    SELECT r.source,
+           CAST(r.n_s AS BIGINT) AS n_docs,
+           ROUND(r.target_frac, 6) AS target_frac,
+           ROUND(r.keep_rate, 6) AS keep_rate,
+           CAST(SUM(CASE WHEN dr.u < r.keep_rate THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM rates r JOIN draws dr ON r.source = dr.source
+    GROUP BY 1, 2, 3, 4
+    """,
+    doc="Temperature-scaled source mixing (the multilingual/multi-"
+        "source sampling scheme of mBERT/XLM-R/T5, τ = 0.5): source"
+        " weights ∝ share^τ flatten the source distribution — rare"
+        " sources up-sampled, dominant ones capped — then每-document"
+        " Bernoulli keeps via the portable two-round Lehmer PRNG hit a"
+        " half-corpus token budget at the re-tempered rates. The"
+        " normalization sum runs over DECIMAL(18,12) weights (order-"
+        "free exact sum; a raw double Σ over sources would be"
+        " summation-order-dependent), and every keep decision is one"
+        " shared IEEE comparison — the whole mixture is hash-gate"
+        " deterministic, unlike rand()-based samplers. Complements"
+        " mix_sources_weighted (exact char-budget cumsum mixing):"
+        " temperature mixing is O(1) state per source, no ranking pass"
+        " — the form that scales to arbitrarily many sources. Scale:"
+        " one groupBy for counts, broadcast rates, one map-side keep"
+        " filter + count.",
+)
+def temperature_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    cnt = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    tot = docs.agg(F.count("*").cast("long").alias("n"))
+    wts = cnt.crossJoin(F.broadcast(tot)).withColumn(
+        "w_dec",
+        F.round(
+            F.sqrt(F.col("n_s").cast("double") / F.col("n").cast("double")),
+            12,
+        ).cast("decimal(18,12)"),
+    )
+    norm = wts.agg(F.sum("w_dec").alias("w_sum"))
+    target = F.col("w_dec").cast("double") / F.col("w_sum").cast("double")
+    rates = (
+        wts.crossJoin(F.broadcast(norm))
+        .withColumn("target_frac", target)
+        .withColumn(
+            "keep_rate",
+            F.least(
+                F.lit(1.0),
+                (
+                    F.col("target_frac")
+                    * (F.col("n").cast("double") / F.lit(2.0))
+                )
+                / F.col("n_s").cast("double"),
+            ),
+        )
+        .select("source", "n_s", "target_frac", "keep_rate")
+    )
+    p = _MIX_P
+    u = (
+        (
+            ((F.col("doc_id") % p) * 48271 + 7 * 1664525) % p * 48271
+        ) % p
+    ).cast("double") / F.lit(float(p))
+    draws = docs.select("source", u.alias("u"))
+    return (
+        draws.join(F.broadcast(rates), "source")
+        .groupBy(
+            "source",
+            F.col("n_s").cast("long").alias("n_docs"),
+            F.round("target_frac", 6).alias("target_frac"),
+            F.round("keep_rate", 6).alias("keep_rate"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("u") < F.col("keep_rate"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_kept")
+        )
+    )
+
+
+
 #: BM25 constants as exact double literals shared by both engines
 _BM25_K1_PLUS_1 = "2.2"   # k1 + 1, k1 = 1.2
 _BM25_K1 = "1.2"
