@@ -120,3 +120,54 @@ def test_bm25_scores_descend_and_docs_match(spark, sf_dir):
         .count()
     )
     assert hits == len(ids)
+
+
+def test_bloom_semijoin_prunes_without_false_negatives(spark, sf_dir):
+    from udacitydatawarehouseprj_spark.operators import relational as rel
+
+    li = Q._t(spark, sf_dir, "lineitem")
+    od = Q._t(spark, sf_dir, "orders")
+    dim = od.filter(F.col("o_totalprice") > 480000.0).select("o_orderkey")
+    reduced = rel.bloom_semijoin_reduce(li, "l_orderkey", dim, "o_orderkey")
+    n_fact = li.count()
+    n_reduced = reduced.count()
+    n_true = li.join(dim, li["l_orderkey"] == dim["o_orderkey"]).count()
+    # no false negatives: every true-matching row survives the filter
+    assert n_reduced >= n_true
+    # and the filter genuinely prunes (the point of the reduction)
+    assert n_reduced < n_fact / 2, (n_reduced, n_fact)
+
+
+def test_skyline_is_exactly_the_undominated_set(spark, sf_dir):
+    od = Q._t(spark, sf_dir, "orders")
+    sub = [
+        (r.o_orderkey, r.o_totalprice, r.o_orderdate)
+        for r in od.filter(F.col("o_orderkey") % 20 == 0).collect()
+    ]
+
+    def dominated(a):
+        return any(
+            b[1] >= a[1] and b[2] <= a[2] and (b[1] > a[1] or b[2] < a[2])
+            for b in sub
+        )
+
+    expect = sorted(a[0] for a in sub if not dominated(a))
+    got = sorted(
+        r.o_orderkey for r in Q.skyline_orders_pareto(spark, sf_dir).collect()
+    )
+    assert got == expect
+
+
+def test_label_propagation_assigns_valid_communities(spark, sf_dir):
+    rows = Q.label_propagation_communities(spark, sf_dir).collect()
+    docs = Q._t(spark, sf_dir, "documents")
+    ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert {r.doc_id for r in rows} == ids
+    # labels are always existing doc ids (propagation only moves seeds)
+    assert all(r.label in ids for r in rows)
+    # isolated nodes (no near-dup edges) keep their own id as label
+    pairs = Q._lsh_pairs_05(spark, sf_dir).collect()
+    connected = {p.doc_a for p in pairs} | {p.doc_b for p in pairs}
+    for r in rows:
+        if r.doc_id not in connected:
+            assert r.label == r.doc_id

@@ -183,3 +183,56 @@ def triangle_count(
         .crossJoin(tri)
         .select("n_nodes", "n_edges", "n_triangles")
     )
+
+
+def majority_label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "n",
+    iterations: int = 3,
+) -> DataFrame:
+    """Synchronous majority-label propagation (Raghavan et al. 2007) —
+    community detection distinct from connected components: each round,
+    every node adopts the label held by the MOST of its neighbors
+    (tie-break: smallest label; isolated nodes keep their own), starting
+    from label = node id. A fixed iteration count plus the deterministic
+    tie-break makes every round a pure function of the edge set, so a
+    SQL oracle can replay the iterations unrolled — no randomized
+    update order (the usual LPA nondeterminism) anywhere.
+
+    One iteration = one |E|-linear equi-join (neighbor labels) + two
+    hash aggregations (label counts, per-node argmax via max-struct) —
+    the same scale shape as the PageRank rounds; lineage truncated per
+    round with localCheckpoint. The argmax is encoded as
+    max(struct(count, -label)) so the whole round stays in map-side-
+    combining aggregates — no per-node window sort.
+
+    Returns (id_col, label) — final community assignment per node.
+    """
+    node_ids = nodes.select(F.col(id_col).alias("n")).distinct()
+    e = edges.select(F.col("a"), F.col("b")).localCheckpoint(eager=True)
+    labels = node_ids.select(
+        "n", F.col("n").cast("long").alias("lbl")
+    ).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        msgs = labels.join(e, F.col("n") == F.col("a")).select(
+            F.col("b").alias("dst"), F.col("lbl")
+        )
+        counts = msgs.groupBy("dst", "lbl").agg(
+            F.count("*").cast("long").alias("c")
+        )
+        # argmax by (count desc, label asc): max over (c, -lbl) structs
+        pick = counts.groupBy("dst").agg(
+            F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("neg"))).alias(
+                "s"
+            )
+        ).select(F.col("dst"), (-F.col("s.neg")).cast("long").alias("new_lbl"))
+        labels = (
+            labels.join(pick, F.col("n") == F.col("dst"), "left")
+            .select(
+                "n",
+                F.coalesce("new_lbl", "lbl").cast("long").alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(F.col("n").alias(id_col), F.col("lbl").alias("label"))

@@ -176,3 +176,67 @@ def grouped_top_k_salted(
         survivors.withColumn(rank_col, F.row_number().over(w2))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def bloom_semijoin_reduce(
+    fact: DataFrame,
+    fact_key: str,
+    dim_keys: DataFrame,
+    dim_key: str,
+) -> DataFrame:
+    """Runtime-filter semi-join reduction: drop fact rows whose join key
+    is PROVABLY absent from ``dim_keys`` before the join shuffle, using
+    a distributed Bloom filter over the dim keys — the explicit,
+    engine-portable form of Spark's AQE runtime bloom
+    (spark.sql.optimizer.runtime.bloomFilter.enabled), which only
+    triggers on stats-qualified plans. No false negatives: every
+    surviving row still goes through the exact join, so the final
+    result is IDENTICAL to the unfiltered join (that identity is the
+    oracle contract for bloom_prefilter_join); false positives only
+    cost the pruning ratio, never correctness.
+
+    Build: dim keys → portable 2-round Lehmer hash → k=4 (word, mask)
+    bit coordinates → one ``bit_or`` aggregation into ≤2048 32-bit
+    words (reusing the dedup module's portable Bloom geometry). Probe:
+    the words relation broadcasts (8 KiB), and each fact row checks its
+    k bit positions map-side — the fact table never shuffles a dropped
+    row. At 100 TB this is THE semi-join pattern: a selective dim
+    predicate reaches the fact scan as a bitset, not as a join.
+    """
+    from udacitydatawarehouseprj_spark.operators.dedup import (
+        _bloom_probe_cols,
+    )
+
+    p = 999999937
+    def _hash(col: Column) -> Column:
+        return ((col % p) * 48271 + 12345) % p * 48271 % p
+
+    probes_b = _bloom_probe_cols(_hash(F.col(dim_key)))
+    arms = [
+        dim_keys.select(w.alias("word"), m.alias("mask"))
+        for w, m in probes_b
+    ]
+    union = arms[0]
+    for a in arms[1:]:
+        union = union.unionAll(a)
+    words = union.groupBy("word").agg(
+        F.expr("bit_or(mask)").alias("bits")
+    )
+    out = fact
+    probes_f = _bloom_probe_cols(_hash(F.col(fact_key)))
+    for j, (w, m) in enumerate(probes_f):
+        wj = words.select(
+            F.col("word").alias(f"_w{j}"), F.col("bits").alias(f"_b{j}")
+        )
+        out = (
+            out.withColumn(f"_pw{j}", w)
+            .withColumn(f"_pm{j}", m)
+            .join(
+                F.broadcast(wj), F.col(f"_pw{j}") == F.col(f"_w{j}"), "inner"
+            )
+            .filter(
+                F.expr(f"(_b{j} & _pm{j}) = _pm{j}")
+            )
+            .drop(f"_pw{j}", f"_pm{j}", f"_w{j}", f"_b{j}")
+        )
+    return out

@@ -10410,3 +10410,196 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score", 6).alias("bm25"),
         )
     )
+
+
+@_register(
+    "bloom_prefilter_join",
+    oracle="""
+    WITH dim AS (
+        SELECT o_orderkey FROM orders WHERE o_totalprice > 480000.0
+    )
+    SELECT l.l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT) AS n_orders,
+           CAST(CAST(ROUND(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE)
+               AS revenue
+    FROM lineitem l JOIN dim ON l.l_orderkey = dim.o_orderkey
+    GROUP BY 1
+    """,
+    doc="Runtime-filter semi-join reduction"
+        " (operators/relational.py bloom_semijoin_reduce): revenue of"
+        " line items belonging to the ~2% highest-value orders, with a"
+        " distributed Bloom filter over the selective dim keys probed"
+        " MAP-SIDE on the fact table before any join shuffle — the"
+        " explicit, deterministic form of Spark's AQE runtime bloom"
+        " filter, portable to any corpus. No false negatives (every"
+        " survivor still passes the exact join), so the result is"
+        " IDENTICAL to the plain join the oracle runs — correctness"
+        " does not depend on the filter, only the pruning ratio does"
+        " (plan/unit tests pin that the bloom actually drops rows)."
+        " At 100 TB this is THE selective-star-join pattern: the dim"
+        " predicate reaches the fact scan as an 8 KiB broadcast bitset,"
+        " and ~98% of the fact table never enters the join exchange.",
+)
+def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    dim = od.filter(F.col("o_totalprice") > 480000.0).select("o_orderkey")
+    reduced = rel.bloom_semijoin_reduce(
+        li, "l_orderkey", dim, "o_orderkey"
+    )
+    joined = reduced.join(
+        dim, reduced["l_orderkey"] == dim["o_orderkey"]
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+        _dsum(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        ).alias("revenue"),
+    )
+
+
+@_register(
+    "skyline_orders_pareto",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderkey, o_totalprice, o_orderdate
+        FROM orders WHERE o_orderkey % 20 = 0
+    )
+    SELECT a.o_orderkey, a.o_totalprice, a.o_orderdate
+    FROM s a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM s b
+        WHERE b.o_totalprice >= a.o_totalprice
+          AND b.o_orderdate <= a.o_orderdate
+          AND (b.o_totalprice > a.o_totalprice
+               OR b.o_orderdate < a.o_orderdate)
+    )
+    """,
+    doc="Pareto skyline (Börzsönyi et al., ICDE 2001): the orders no"
+        " other order strictly dominates on (maximize totalprice,"
+        " minimize orderdate). The oracle states the semantics directly"
+        " as NOT EXISTS dominance over a keyed subset; Spark computes"
+        " the IDENTICAL set in O(n log n) shape via the 2-D sort-sweep:"
+        " a row survives iff its date beats the running MIN date over"
+        " all strictly-higher prices AND it attains its own price"
+        " group's min date. The prefix-min runs in the repo's two-pass"
+        " block form (block-local window + broadcast per-block offsets"
+        " — the exact_distributed_rank pattern), so no partition ever"
+        " sorts the whole relation: dominance testing without the"
+        " quadratic self-join OR the single-partition window, the"
+        " 100 TB formulation.",
+)
+def skyline_orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    od = _t(spark, sf_dir, "orders")
+    sub = od.filter(F.col("o_orderkey") % 20 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    sub = S.track_cache(sub)
+    pp = sub.groupBy("o_totalprice").agg(
+        F.min("o_orderdate").alias("gmin")
+    ).withColumn(
+        "_blk", F.floor(F.col("o_totalprice") / F.lit(10000.0)).cast("long")
+    )
+    wl = (
+        Window.partitionBy("_blk")
+        .orderBy(F.col("o_totalprice").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_prev = pp.withColumn("lprev", F.min("gmin").over(wl))
+    blkmin = pp.groupBy("_blk").agg(F.min("gmin").alias("bmin"))
+    wb = (
+        Window.orderBy(F.col("_blk").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    blk_prev = blkmin.withColumn("bprev", F.min("bmin").over(wb)).select(
+        "_blk", "bprev"
+    )
+    prices = (
+        local_prev.join(F.broadcast(blk_prev), "_blk")
+        .withColumn("m1", F.least("lprev", "bprev"))
+        .select("o_totalprice", "gmin", "m1")
+    )
+    return (
+        sub.join(prices, "o_totalprice")
+        .filter(
+            (F.col("o_orderdate") == F.col("gmin"))
+            & (F.col("m1").isNull() | (F.col("m1") > F.col("o_orderdate")))
+        )
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    )
+
+
+def _label_propagation_oracle(iters: int = 3) -> str:
+    """Unrolled majority-label-propagation oracle over the exact-Jaccard
+    near-dup graph (the LSH-equals-exact fixture anchoring used by
+    pagerank_similarity_graph) — every round is a pure integer-count
+    argmax with (count DESC, label ASC) tie-break, so the whole
+    iteration replays CTE by CTE."""
+    ctes = [
+        f"p AS ({_JACCARD_ORACLE})",
+        "edges AS (SELECT doc_a AS a, doc_b AS b FROM p"
+        " UNION SELECT doc_b, doc_a FROM p)",
+        "l0 AS (SELECT doc_id AS n, CAST(doc_id AS BIGINT) AS lbl"
+        " FROM documents)",
+    ]
+    for k in range(1, iters + 1):
+        prev = f"l{k - 1}"
+        ctes.append(
+            f"c{k} AS (SELECT e.b AS dst, l.lbl, COUNT(*) AS c"
+            f" FROM {prev} l JOIN edges e ON l.n = e.a GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"p{k} AS (SELECT dst, lbl AS new_lbl FROM ("
+            f"SELECT dst, lbl, ROW_NUMBER() OVER ("
+            f"PARTITION BY dst ORDER BY c DESC, lbl ASC) AS r FROM c{k})"
+            f" WHERE r = 1)"
+        )
+        ctes.append(
+            f"l{k} AS (SELECT l.n,"
+            f" CAST(COALESCE(p.new_lbl, l.lbl) AS BIGINT) AS lbl"
+            f" FROM {prev} l LEFT JOIN p{k} p ON l.n = p.dst)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\n    SELECT n AS doc_id, lbl AS label FROM l{iters}"
+    )
+
+
+@_register(
+    "label_propagation_communities",
+    oracle=_label_propagation_oracle(),
+    doc="Majority-label propagation communities (Raghavan et al. 2007;"
+        " operators/graph.py majority_label_propagation) over the"
+        " document near-dup similarity graph — community detection"
+        " DISTINCT from connected components: majority voting splits a"
+        " bridge-connected component where CC merges it. Three"
+        " synchronous rounds, each node adopting its neighbors'"
+        " plurality label (tie-break: smallest label — the"
+        " deterministic replacement for classic LPA's random update"
+        " order), labels seeded with doc ids. FULLY under the hash"
+        " gate: integer counts and argmax only, oracle replays the"
+        " rounds unrolled on the exact-Jaccard graph (sixth consumer"
+        " of the shared LSH pair build). One round = one |E| join +"
+        " two map-side-combining aggregations (argmax as max-struct,"
+        " no per-node window) — the PageRank scale shape.",
+)
+def label_propagation_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from udacitydatawarehouseprj_spark.operators import graph
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _lsh_pairs_05(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).union(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    )
+    return graph.majority_label_propagation(
+        docs.select("doc_id"), edges, id_col="doc_id", iterations=3
+    )
