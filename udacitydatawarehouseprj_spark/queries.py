@@ -10603,3 +10603,73 @@ def label_propagation_communities(
     return graph.majority_label_propagation(
         docs.select("doc_id"), edges, id_col="doc_id", iterations=3
     )
+
+
+@_register(
+    "streaming_attribution_readback",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+        SELECT event_id AS view_id, user_id AS view_user, ts AS view_ts
+        FROM events WHERE event_type = 'view'
+    )
+    SELECT p.purchase_id, p.user_id, p.purchase_ts, v.view_id, v.view_ts
+    FROM p JOIN v ON p.user_id = v.view_user
+       AND v.view_ts <= p.purchase_ts
+       AND v.view_ts >= p.purchase_ts - INTERVAL 1 HOUR
+    """,
+    doc="STREAM-STREAM interval join under the full hash gate"
+        " (streaming/events_stream.py run_purchase_attribution_stream):"
+        " purchases and views arrive as two live streams (split from"
+        " the ndjson landing zone) and each purchase joins the same"
+        " user's views in the preceding hour — last-touch attribution,"
+        " THE canonical bounded-state stream-stream join. Both sides"
+        " carry event-time watermarks and the join condition bounds"
+        " view_ts to a 1-hour range of purchase_ts, so Spark expires"
+        " join state instead of buffering either stream forever —"
+        " state is O(per-user events per watermark horizon), the"
+        " property that makes the join runnable on an unbounded 100 TB"
+        " stream. An inner join emits each qualifying (purchase, view)"
+        " pair exactly once for ANY micro-batch split, which is what"
+        " lets the batch interval-join SQL oracle verify the streaming"
+        " execution row-for-row. Fifth streaming proof, completing the"
+        " surface: windowed aggs, incremental dedup, session state,"
+        " unbounded running state, and now dual-stream joins.",
+)
+def streaming_attribution_readback(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+
+    from udacitydatawarehouseprj_spark.streaming import events_stream
+
+    ev = _t(spark, sf_dir, "events")
+    base = _scratch_dir(sf_dir, "stream_attrib")
+    shutil.rmtree(base, ignore_errors=True)
+    src = f"{base}/landing"
+    # parquet landing (not ndjson like the other streaming proofs):
+    # this query's oracle checks ROW-LEVEL timestamps, and the JSON
+    # writer's default format truncates to milliseconds — parquet
+    # keeps the full microsecond precision end-to-end.
+    with _phase("streaming_attribution_readback", "landing_write"):
+        ev.select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        ).coalesce(8).write.mode("overwrite").parquet(src)
+    with _phase("streaming_attribution_readback", "stream_run"), \
+            _state_partitions(spark, 8):
+        q = events_stream.run_purchase_attribution_stream(
+            spark,
+            src,
+            f"{base}/ckpt",
+            sink_table="attrib_readback",
+            lookback="1 hour",
+            fmt="parquet",
+        )
+        q.awaitTermination(600)
+    return spark.sql(
+        "SELECT purchase_id, user_id, purchase_ts, view_id, view_ts"
+        " FROM attrib_readback"
+    )
