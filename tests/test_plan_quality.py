@@ -642,3 +642,50 @@ def test_collect_guarded_blas_paths_unchanged(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "embedding_near_dup_bcast")
     assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_prefilter_probes_are_broadcast(spark, sf_dir):
+    """The semi-join reduction must stay map-side: the k=4 probe joins
+    plus the final dim join are all broadcast hash joins — a sort-merge
+    probe would shuffle the fact table k times and defeat the point."""
+    plan = plan_of(spark, sf_dir, "bloom_prefilter_join")
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 5
+    assert "SortMergeJoin" not in plan
+    # the selective dim predicate is pushed into the orders scan
+    assert re.search(r"PushedFilters:.*GreaterThan\(o_totalprice", plan)
+
+
+def test_skyline_windows_stay_blocked(spark, sf_dir):
+    """The prefix-min sweep must not sort the raw subset globally: the
+    only unpartitioned window runs over the per-block relation (bounded
+    by the price domain / 10k), and the per-price window partitions by
+    block."""
+    plan = plan_of(spark, sf_dir, "skyline_orders_pareto")
+    assert "CartesianProduct" not in plan
+    # both window specs present: block-partitioned and block-relation
+    assert len(re.findall(r"\bWindow\b", plan)) >= 2
+    assert re.search(r"partitionBy.*_blk|PartitionSpec.*_blk|_blk", plan)
+
+
+def test_equidepth_uses_distributed_rank(spark, sf_dir):
+    """Bucketing must come from the two-pass block rank: broadcast
+    offsets join, no single-partition window over the raw fact rows."""
+    plan = plan_of(spark, sf_dir, "equidepth_value_buckets")
+    assert "BroadcastHashJoin" in plan
+    # the raw-row window partitions on the block column
+    assert "_blk" in plan
+
+
+def test_pmi_and_bm25_broadcast_the_stats_side(spark, sf_dir):
+    for name in ["ngram_pmi_collocations", "bm25_topk"]:
+        plan = plan_of(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_label_propagation_rounds_are_equi_joins(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "label_propagation_communities")
+    assert "CartesianProduct" not in plan
+    # argmax via max-struct aggregation, not a per-node window sort
+    assert "row_number" not in plan.lower()
