@@ -236,6 +236,16 @@ NEW_QUERIES_R05 = [
     "dim_users_build_deduped",
     "catalog_introspection",
     "bpe_learn_merges_batched",
+    "equidepth_value_buckets",
+    "ngram_pmi_collocations",
+    "bm25_topk",
+    "matryoshka_prefix_ann",
+    "matryoshka_recall_check",
+    "temperature_mix_sources",
+    "bloom_prefilter_join",
+    "skyline_orders_pareto",
+    "label_propagation_communities",
+    "streaming_attribution_readback",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not
@@ -244,7 +254,8 @@ NEW_QUERIES_R05 = [
 #: from the readback/operator cost.
 PHASED = {"streaming_hourly_sink_readback", "streaming_corpus_dedup_readback",
           "streaming_stateful_sessions_readback",
-          "streaming_running_totals_readback"}
+          "streaming_running_totals_readback",
+          "streaming_attribution_readback"}
 
 
 def run_one(df) -> None:

@@ -644,13 +644,15 @@ def test_collect_guarded_blas_paths_unchanged(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_bloom_prefilter_probes_are_broadcast(spark, sf_dir):
-    """The semi-join reduction must stay map-side: the k=4 probe joins
-    plus the final dim join are all broadcast hash joins — a sort-merge
-    probe would shuffle the fact table k times and defeat the point."""
+def test_bloom_prefilter_probes_are_scan_side(spark, sf_dir):
+    """The semi-join reduction must stay map-side: the bitset probe is a
+    pure Filter on the fact scan (element_at against the folded constant
+    array — NO probe joins, no exchange before the filter), and the only
+    join in the plan is the single broadcast dim join."""
     plan = plan_of(spark, sf_dir, "bloom_prefilter_join")
-    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 5
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 1
     assert "SortMergeJoin" not in plan
+    assert "element_at" in plan  # the literal-bitset probe
     # the selective dim predicate is pushed into the orders scan
     assert re.search(r"PushedFilters:.*GreaterThan\(o_totalprice", plan)
 

@@ -171,3 +171,31 @@ def test_label_propagation_assigns_valid_communities(spark, sf_dir):
     for r in rows:
         if r.doc_id not in connected:
             assert r.label == r.doc_id
+
+
+def test_inverted_index_df_and_postings_consistent(spark, sf_dir):
+    rows = Q.inverted_index_postings(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.df >= len(r.postings_head) or r.df > 20
+        assert len(r.postings_head) == min(r.df, 20)
+        assert list(r.postings_head) == sorted(set(r.postings_head))
+    # spot-check one term against a direct filter count
+    mid = rows[len(rows) // 2]
+    docs = Q._t(spark, sf_dir, "documents")
+    direct = docs.filter(
+        F.array_contains(
+            F.split(F.lower(F.col("text")), r"\s+"), mid.term
+        )
+    ).count()
+    assert direct == mid.df
+
+
+def test_quantile_normalize_rank_sum_identity(spark, sf_dir):
+    """sum of rn/(n+1) over a group of size n is exactly n/2 — the
+    closed-form identity that catches any rank drift."""
+    rows = Q.quantile_normalize_by_group(spark, sf_dir).collect()
+    for r in rows:
+        assert 0.0 < r.u_min < r.u_max < 1.0
+        expect = r.n_rows / 2.0
+        assert abs(r.u_sum - expect) < 0.01, (r.event_type, r.u_sum, expect)

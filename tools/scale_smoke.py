@@ -146,6 +146,17 @@ SMOKE = [
     "sql_scripting_control_flow",
     "pipeline_observe_metrics",
     "profile_table_stats_approx",
+    # round 5 wave 13
+    "equidepth_value_buckets",
+    "ngram_pmi_collocations",
+    "bm25_topk",
+    "matryoshka_prefix_ann",
+    "temperature_mix_sources",
+    "bloom_prefilter_join",
+    "skyline_orders_pareto",
+    "label_propagation_communities",
+    "inverted_index_postings",
+    "quantile_normalize_by_group",
 ]
 
 

@@ -186,57 +186,83 @@ def bloom_semijoin_reduce(
 ) -> DataFrame:
     """Runtime-filter semi-join reduction: drop fact rows whose join key
     is PROVABLY absent from ``dim_keys`` before the join shuffle, using
-    a distributed Bloom filter over the dim keys — the explicit,
-    engine-portable form of Spark's AQE runtime bloom
-    (spark.sql.optimizer.runtime.bloomFilter.enabled), which only
-    triggers on stats-qualified plans. No false negatives: every
-    surviving row still goes through the exact join, so the final
+    a Bloom filter over the dim keys — the explicit form of Spark's AQE
+    runtime bloom (spark.sql.optimizer.runtime.bloomFilter.enabled),
+    which only triggers on stats-qualified plans. No false negatives:
+    every surviving row still goes through the exact join, so the final
     result is IDENTICAL to the unfiltered join (that identity is the
     oracle contract for bloom_prefilter_join); false positives only
-    cost the pruning ratio, never correctness.
+    cost the pruning ratio, never correctness — which is also why the
+    probe hash can be engine-NATIVE xxhash64 rather than the portable
+    Lehmer family the oracled sketches use: nothing downstream depends
+    on WHICH non-matching rows the filter happens to pass.
 
-    Build: dim keys → portable 2-round Lehmer hash → k=4 (word, mask)
-    bit coordinates → one ``bit_or`` aggregation into ≤2048 32-bit
-    words (reusing the dedup module's portable Bloom geometry). Probe:
-    the words relation broadcasts (8 KiB), and each fact row checks its
-    k bit positions map-side — the fact table never shuffles a dropped
-    row. At 100 TB this is THE semi-join pattern: a selective dim
-    predicate reaches the fact scan as a bitset, not as a join.
+    Build: dim keys → xxhash64 → k=4 double-hashed bit positions
+    (h1 = low 16 bits, odd stride from the next 15 — Kirsch-Mitzenmacher
+    composition) → one ``bit_or`` aggregation into 2048 32-bit words,
+    materialized ONCE into a constant array literal — the same
+    driver-side-scalar shape Spark's own runtime filter produces
+    (BloomFilterAggregate → scalar subquery). The words relation is
+    m/32 rows by GEOMETRY (16 KiB regardless of data size), so the
+    collect is scale-free. Probe: a pure scan-side Filter of shifts,
+    masks, and element_at on the folded literal — ~0.3 s over 600k
+    rows where the first formulation (k chained broadcast probe joins,
+    then a mod-chain integer hash) measured 14 s and 3.5 s: native
+    hash + bit arithmetic keeps the probe inside whole-stage codegen
+    at nanoseconds per row. At 100 TB this is THE selective-star-join
+    pattern: the dim predicate reaches the fact scan as a 16 KiB
+    bitset, and non-matching fact rows never enter the join exchange.
     """
     from udacitydatawarehouseprj_spark.operators.dedup import (
-        _bloom_probe_cols,
+        BLOOM_M_BITS,
+        BLOOM_K,
+        _BLOOM_WORD_BITS,
     )
 
-    p = 999999937
-    def _hash(col: Column) -> Column:
-        return ((col % p) * 48271 + 12345) % p * 48271 % p
+    m = BLOOM_M_BITS
+    wb = _BLOOM_WORD_BITS
 
-    probes_b = _bloom_probe_cols(_hash(F.col(dim_key)))
+    def _probe_positions(df: DataFrame, key: str, pfx: str) -> DataFrame:
+        df = df.withColumn(f"{pfx}h", F.xxhash64(F.col(key)))
+        df = df.withColumn(
+            f"{pfx}1", F.expr(f"CAST({pfx}h & {m - 1} AS BIGINT)")
+        )
+        df = df.withColumn(
+            f"{pfx}2",
+            F.expr(f"CAST(({pfx}h >> 16) & {m // 2 - 1} AS BIGINT) * 2 + 1"),
+        )
+        for j in range(BLOOM_K):
+            df = df.withColumn(
+                f"{pfx}p{j}",
+                (F.col(f"{pfx}1") + F.lit(j) * F.col(f"{pfx}2")) % m,
+            )
+        return df
+
+    d = _probe_positions(dim_keys, dim_key, "_bb")
     arms = [
-        dim_keys.select(w.alias("word"), m.alias("mask"))
-        for w, m in probes_b
+        d.select(
+            F.expr(f"CAST(_bbp{j} DIV {wb} AS BIGINT)").alias("word"),
+            F.expr(
+                f"shiftleft(1L, CAST(_bbp{j} % {wb} AS INT))"
+            ).alias("mask"),
+        )
+        for j in range(BLOOM_K)
     ]
     union = arms[0]
     for a in arms[1:]:
         union = union.unionAll(a)
-    words = union.groupBy("word").agg(
-        F.expr("bit_or(mask)").alias("bits")
-    )
-    out = fact
-    probes_f = _bloom_probe_cols(_hash(F.col(fact_key)))
-    for j, (w, m) in enumerate(probes_f):
-        wj = words.select(
-            F.col("word").alias(f"_w{j}"), F.col("bits").alias(f"_b{j}")
-        )
-        out = (
-            out.withColumn(f"_pw{j}", w)
-            .withColumn(f"_pm{j}", m)
-            .join(
-                F.broadcast(wj), F.col(f"_pw{j}") == F.col(f"_w{j}"), "inner"
-            )
-            .filter(
-                F.expr(f"(_b{j} & _pm{j}) = _pm{j}")
-            )
-            .drop(f"_pw{j}", f"_pm{j}", f"_w{j}", f"_b{j}")
-        )
-    return out
+    words = union.groupBy("word").agg(F.expr("bit_or(mask)").alias("bits"))
+    bits = [0] * (m // wb)
+    for row in words.collect():  # ≤ m/32 rows, constant by geometry
+        bits[int(row["word"])] = int(row["bits"])
+    arr = F.lit(bits)  # folds to one constant array<long> literal
+
+    x = _probe_positions(fact, fact_key, "_bf")
+    cond = None
+    for j in range(BLOOM_K):
+        word = F.expr(f"CAST(_bfp{j} DIV {wb} AS INT) + 1")
+        msk = F.expr(f"shiftleft(1L, CAST(_bfp{j} % {wb} AS INT))")
+        hit = F.element_at(arr, word).bitwiseAND(msk) == msk
+        cond = hit if cond is None else (cond & hit)
+    aux = ["_bfh", "_bf1", "_bf2"] + [f"_bfp{j}" for j in range(BLOOM_K)]
+    return x.filter(cond).drop(*aux)

@@ -10673,3 +10673,122 @@ def streaming_attribution_readback(
         "SELECT purchase_id, user_id, purchase_ts, view_id, view_ts"
         " FROM attrib_readback"
     )
+
+
+@_register(
+    "inverted_index_postings",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(
+            string_split_regex(lower(text), '\\s+'))) AS term
+        FROM documents
+    ),
+    stats AS (
+        SELECT term,
+               CAST(COUNT(*) AS BIGINT) AS df,
+               list_sort(list(doc_id))[1:20] AS postings_head
+        FROM toks GROUP BY 1
+    )
+    SELECT term, df, postings_head
+    FROM stats
+    """,
+    doc="Inverted-index construction — the retrieval-infrastructure"
+        " primitive under BM25/keyword search: per term, the document"
+        " frequency and the first 20 postings in sorted doc order."
+        " Postings lists are ARRAY-valued results under the hash gate"
+        " (sort_array(collect_list) ≙ DuckDB list_sort(list) — the"
+        " nondeterministic collection order is canonicalized by the"
+        " sort, the established array-suite pattern). Per-doc terms"
+        " are deduped row-local (array_distinct before the explode),"
+        " so the shuffle carries one row per (doc, distinct term)."
+        " Scale: one map-side explode + one groupBy(term) — posting"
+        " lists shard by term exactly like a production index build;"
+        " the head-truncation bounds the result row width while df"
+        " keeps the true frequency. A full index would write the"
+        " grouped relation partitioned by term-prefix instead of"
+        " truncating.",
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = S.spread(docs, ("doc_id",)).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(dedup.tokens_expr("text"))
+        ).alias("term"),
+    )
+    return toks.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.slice(
+            F.sort_array(F.collect_list("doc_id")), 1, 20
+        ).alias("postings_head"),
+    )
+
+
+@_register(
+    "quantile_normalize_by_group",
+    oracle="""
+    WITH s AS (
+        SELECT event_id, event_type, value FROM events
+        WHERE value IS NOT NULL
+    ),
+    r AS (
+        SELECT event_id, event_type, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM s
+    ),
+    q AS (
+        SELECT event_type,
+               CAST(rn AS DOUBLE) / CAST(n + 1 AS DOUBLE) AS u
+        FROM r
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(MIN(u), 6) AS u_min,
+           ROUND(MAX(u), 6) AS u_max,
+           CAST(CAST(ROUND(SUM(CAST(u AS DECIMAL(18,6))), 4)
+                AS DECIMAL(18,4)) AS DOUBLE) AS u_sum
+    FROM q GROUP BY 1
+    """,
+    doc="Group-wise quantile normalization (rank-to-uniform transform,"
+        " the feature-scaling step robust to arbitrary value"
+        " distributions): within each event type, value → rn/(n+1) ∈"
+        " (0,1) from the EXACT per-group rank. The rank uses the"
+        " two-pass block machinery (exact_distributed_rank partitioned"
+        " by event_type over value//64 blocks), so a hot group never"
+        " sorts in one partition — per-group windows with unbounded"
+        " group sizes are exactly where naive quantile normalization"
+        " dies at 100 TB. Verified through per-group summary stats"
+        " (count, min/max of the transform, exact-decimal sum — the"
+        " sum of ranks identity n/2 makes drift detectable); the"
+        " oracle replays with a plain partitioned ROW_NUMBER.",
+)
+def quantile_normalize_by_group(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    s = ev.filter(F.col("value").isNotNull()).select(
+        "event_id", "event_type", "value"
+    )
+    ranked = rel.exact_distributed_rank(
+        s,
+        block=F.floor(F.col("value") / F.lit(64.0)).cast("long"),
+        order=[F.col("value").asc(), F.col("event_id").asc()],
+        partition=["event_type"],
+        rank_col="rn",
+    )
+    n = s.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    u = F.col("rn").cast("double") / (F.col("n") + 1).cast("double")
+    return (
+        ranked.join(F.broadcast(n), "event_type")
+        .withColumn("u", u)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.round(F.min("u"), 6).alias("u_min"),
+            F.round(F.max("u"), 6).alias("u_max"),
+            _dsum(F.col("u")).alias("u_sum"),
+        )
+    )
