@@ -199,3 +199,48 @@ def test_quantile_normalize_rank_sum_identity(spark, sf_dir):
         assert 0.0 < r.u_min < r.u_max < 1.0
         expect = r.n_rows / 2.0
         assert abs(r.u_sum - expect) < 0.01, (r.event_type, r.u_sum, expect)
+
+
+def test_recursive_reachability_contains_seeds_at_zero(spark, sf_dir):
+    rows = {r.doc_id: r.distance for r in
+            Q.recursive_cte_reachability(spark, sf_dir).collect()}
+    docs = Q._t(spark, sf_dir, "documents")
+    seeds = {r.doc_id for r in docs.filter(F.col("doc_id") < 10).collect()}
+    for s in seeds:
+        assert rows.get(s) == 0
+    # non-seed reachable nodes have distance >= 1 and are connected to a
+    # seed through the pair graph
+    pairs = Q._lsh_pairs_05(spark, sf_dir).collect()
+    adj = {}
+    for p in pairs:
+        adj.setdefault(p.doc_a, set()).add(p.doc_b)
+        adj.setdefault(p.doc_b, set()).add(p.doc_a)
+    # BFS ground truth (depth <= 4)
+    frontier, seen = set(seeds), {s: 0 for s in seeds}
+    for lvl in range(1, 5):
+        nxt = set()
+        for n in frontier:
+            for m in adj.get(n, ()):
+                if m not in seen:
+                    seen[m] = lvl
+                    nxt.add(m)
+        frontier = nxt
+    assert rows == seen
+
+
+def test_udtf_windows_cover_every_token_once(spark, sf_dir):
+    rows = Q.python_udtf_token_windows(spark, sf_dir).collect()
+    docs = {r.doc_id: len(r.text.lower().split())
+            for r in Q._t(spark, sf_dir, "documents").collect()}
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for d, ws in by_doc.items():
+        ws = sorted(ws, key=lambda r: r.win_idx)
+        assert [w.win_idx for w in ws] == list(range(len(ws)))
+        assert ws[0].start_tok == 0
+        assert ws[-1].end_tok == docs[d]
+        for a, b in zip(ws, ws[1:]):
+            assert a.end_tok == b.start_tok  # no gaps, no overlap
+        assert all(w.win_len == w.end_tok - w.start_tok for w in ws)

@@ -10792,3 +10792,132 @@ def quantile_normalize_by_group(
             _dsum(F.col("u")).alias("u_sum"),
         )
     )
+
+
+def _reachability_oracle(max_depth: int = 4) -> str:
+    """BFS over the exact-Jaccard near-dup graph via WITH RECURSIVE —
+    the SAME recursive SQL shape the Spark side executes (Spark 4
+    recursive CTE), over the LSH-equals-exact anchored edge set."""
+    return f"""
+    WITH RECURSIVE p AS ({_JACCARD_ORACLE}),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+              UNION SELECT doc_b, doc_a FROM p),
+    seeds AS (SELECT doc_id AS n FROM documents WHERE doc_id < 10),
+    walk(n, lvl) AS (
+        SELECT n, 0 FROM seeds
+        UNION ALL
+        SELECT e.b, w.lvl + 1
+        FROM walk w JOIN edges e ON w.n = e.a
+        WHERE w.lvl < {max_depth}
+    )
+    SELECT n AS doc_id, CAST(MIN(lvl) AS BIGINT) AS distance
+    FROM walk GROUP BY 1
+    """
+
+
+@_register(
+    "recursive_cte_reachability",
+    oracle=_reachability_oracle(),
+    doc="RECURSIVE CTE (the SQL-standard iteration surface, Spark 4.0"
+        " WITH RECURSIVE): BFS reachability with hop distance from a"
+        " seed set over the document near-dup graph — the"
+        " lineage-expansion / taxonomy-closure query warehouse users"
+        " write, executed by spark.sql() as the IDENTICAL recursive"
+        " SQL DuckDB replays (depth-capped UNION ALL walk + MIN(level)"
+        " — the cap bounds row growth on cycles; the MIN collapses the"
+        " revisits, so the result is the exact BFS distance ≤ 4)."
+        " Complements the pointer-doubling connected components and"
+        " unrolled PageRank/label-propagation: those fix the iteration"
+        " count in the PLAN; the recursive CTE lets the ENGINE iterate"
+        " to a data-dependent frontier. Edges come from the shared LSH"
+        " pair build (seventh consumer); each recursion step is one"
+        " |frontier|⋈|E| equi-join — the PageRank scale shape.",
+)
+def recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    S.configure(spark)
+    pairs = _lsh_pairs_05(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    pairs.select("doc_a", "doc_b").createOrReplaceTempView("reach_pairs_v")
+    docs.select("doc_id").createOrReplaceTempView("reach_docs_v")
+    return spark.sql(
+        """
+        WITH RECURSIVE edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM reach_pairs_v
+            UNION
+            SELECT doc_b, doc_a FROM reach_pairs_v
+        ),
+        seeds AS (SELECT doc_id AS n FROM reach_docs_v WHERE doc_id < 10),
+        walk(n, lvl) AS (
+            SELECT n, 0 FROM seeds
+            UNION ALL
+            SELECT e.b, w.lvl + 1
+            FROM walk w JOIN edges e ON w.n = e.a
+            WHERE w.lvl < 4
+        )
+        SELECT n AS doc_id, CAST(MIN(lvl) AS BIGINT) AS distance
+        FROM walk GROUP BY n
+        """
+    )
+
+
+@_register(
+    "python_udtf_token_windows",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT)
+                   AS n_toks
+        FROM documents
+    ),
+    wins AS (
+        SELECT doc_id, n_toks,
+               unnest(range(0, CAST((n_toks + 49) // 50 AS BIGINT))) AS w
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS win_idx,
+           CAST(w * 50 AS BIGINT) AS start_tok,
+           CAST(least((w + 1) * 50, n_toks) AS BIGINT) AS end_tok,
+           CAST(least((w + 1) * 50, n_toks) - w * 50 AS BIGINT) AS win_len
+    FROM wins
+    """,
+    doc="Python UDTF (Spark 3.5+ user-defined TABLE function, the"
+        " row-to-relation extension point): each document LATERAL-joins"
+        " its fixed-stride token windows — the tokenize-and-window"
+        " step every context-packing pipeline runs, here expressed as"
+        " `FROM documents d, LATERAL token_windows(d.doc_id, d.text)`."
+        " The UDTF yields (win_idx, start_tok, end_tok, win_len) rows;"
+        " the oracle replays the window arithmetic relationally from"
+        " the token count, so the UDTF's row generation is fully under"
+        " the hash gate. Deliberately the API-surface twin of the"
+        " JVM-side HOF chunkers (chunk_documents_windows /"
+        " pack_context_windows are the 100 TB hot path — a row-based"
+        " Python UDTF pays interpreter cost per row); use a UDTF when"
+        " the expansion logic needs real Python (tokenizers, parsers)"
+        " and built-ins can't express it.",
+)
+def python_udtf_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    S.configure(spark)
+
+    @udtf(returnType="win_idx: long, start_tok: long, end_tok: long,"
+                     " win_len: long")
+    class TokenWindows:
+        def eval(self, text: str):
+            n = len(text.lower().split())
+            stride = 50
+            for w in range((n + stride - 1) // stride):
+                start = w * stride
+                end = min((w + 1) * stride, n)
+                yield (w, start, end, end - start)
+
+    spark.udtf.register("token_windows_udtf", TokenWindows)
+    docs = _t(spark, sf_dir, "documents")
+    docs.select("doc_id", "text").createOrReplaceTempView("udtf_docs_v")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.win_idx, t.start_tok, t.end_tok, t.win_len
+        FROM udtf_docs_v d, LATERAL token_windows_udtf(d.text) t
+        """
+    )
