@@ -244,3 +244,37 @@ def test_udtf_windows_cover_every_token_once(spark, sf_dir):
         for a, b in zip(ws, ws[1:]):
             assert a.end_tok == b.start_tok  # no gaps, no overlap
         assert all(w.win_len == w.end_tok - w.start_tok for w in ws)
+
+
+def test_pca_projection_matches_numpy_reference(spark, sf_dir):
+    import numpy as np
+
+    from udacitydatawarehouseprj_spark.operators import similarity as sim
+
+    emb = Q._t(spark, sf_dir, "embeddings")
+    rows = emb.collect()
+    x = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    ids = [r.vec_id for r in rows]
+    mean, comps, eigvals = sim.pca_fit(emb)
+    # orthonormal components
+    assert np.allclose(comps @ comps.T, np.eye(64), atol=1e-8)
+    # projection matches the direct dense computation
+    got = {
+        r.vec_id: np.asarray(r.proj)
+        for r in sim.pca_project(emb, mean, comps, k=4).collect()
+    }
+    ref = (x - x.mean(axis=0)) @ comps[:4].T
+    for i, vid in enumerate(ids):
+        assert np.allclose(got[vid], ref[i], atol=1e-8)
+    # eigenvalues match the sample covariance spectrum
+    cov = np.cov(x, rowvar=False, bias=True)
+    ref_eig = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    assert np.allclose(eigvals, ref_eig, atol=1e-8)
+
+
+def test_pca_variance_check_is_all_true(spark, sf_dir):
+    row = Q.pca_variance_check(spark, sf_dir).collect()[0]
+    assert row.dim == 64
+    assert row.trace_exact > 0
+    assert row.eigensum_matches and row.eigvals_monotone
+    assert row.top_component_var_matches

@@ -1353,3 +1353,97 @@ def pq_topk_reranked(
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+):
+    """Distributed PCA fit: per-partition BLAS partials (n, Σx, XᵀX as a
+    dim×dim matrix) via ``mapInPandas`` — the classic one-pass
+    covariance shape: the corpus streams through Arrow batches, each
+    partition emits ONE (1 + dim + dim²)-value row, and only
+    n_partitions such rows reach the driver, where the dim×dim
+    eigendecomposition (numpy ``eigh``) is O(dim³) — microscopic next
+    to the corpus scan, and the ONLY driver-side math. Components are
+    sign-canonicalized (largest-|loading| coordinate forced positive)
+    so the decomposition is deterministic up to eigenvalue ties.
+
+    Returns (mean: np.ndarray[dim], components: np.ndarray[dim, dim]
+    rows = eigenvectors in DESCENDING eigenvalue order, eigvals).
+    """
+    import numpy as np
+
+    schema = "n long, s array<double>, m array<double>"
+
+    def partials(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].map(np.asarray).values).astype(
+                np.float64
+            )
+            yield pd.DataFrame(
+                {
+                    "n": [x.shape[0]],
+                    "s": [x.sum(axis=0).tolist()],
+                    "m": [(x.T @ x).ravel().tolist()],
+                }
+            )
+
+    rows = df.select(vec_col).mapInPandas(partials, schema=schema).collect()
+    n = sum(r["n"] for r in rows)
+    s = np.zeros(dim)
+    m = np.zeros((dim, dim))
+    for r in rows:
+        s += np.asarray(r["s"])
+        m += np.asarray(r["m"]).reshape(dim, dim)
+    mean = s / n
+    cov = m / n - np.outer(mean, mean)
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    order = np.argsort(eigvals)[::-1]
+    eigvals = eigvals[order]
+    comps = eigvecs[:, order].T  # rows = components
+    for i in range(comps.shape[0]):  # sign canonicalization
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps, eigvals
+
+
+def pca_project(
+    df: DataFrame,
+    mean,
+    components,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project vectors onto the top-k PCA components: (X − μ)·Wᵀ as a
+    BLAS matmul per Arrow batch (``mapInPandas``), components broadcast
+    in the closure (k×dim floats). Output: (id, proj array<double>[k])."""
+    import numpy as np
+
+    mu = np.asarray(mean, dtype=np.float64)
+    w = np.asarray(components, dtype=np.float64)[:k]
+
+    def project(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].map(np.asarray).values).astype(
+                np.float64
+            )
+            p = (x - mu) @ w.T
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, "proj": list(p)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        project, schema=f"{id_col} long, proj array<double>"
+    )

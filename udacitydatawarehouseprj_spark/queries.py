@@ -10921,3 +10921,136 @@ def python_udtf_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_docs_v d, LATERAL token_windows_udtf(d.text) t
         """
     )
+
+
+@_register(
+    "pca_project_embeddings",
+    oracle=None,  # eigendecomposition — engine-native numerics, rows-only
+    doc="Distributed PCA (operators/similarity.py pca_fit/pca_project):"
+        " one-pass per-partition BLAS covariance partials (each Arrow"
+        " partition emits a single (n, Σx, XᵀX) row — only n_partitions"
+        " rows reach the driver), a 64×64 eigh on the driver (O(dim³),"
+        " microscopic beside the scan), then a broadcast-components"
+        " matmul projection to the top-8 components — the classical"
+        " decorrelation/whitening step before clustering or semantic"
+        " dedup, and the exact-variance counterpart to the JL random"
+        " projection (random_projection_embeddings trades optimality"
+        " for obliviousness; PCA is the optimal linear compressor)."
+        " Rows-only by construction (LAPACK eigenvector numerics are"
+        " not SQL-replayable); the falsifiable quality invariant is"
+        " pca_variance_check. Sign-canonicalized components keep the"
+        " output deterministic for a given fit.",
+)
+def pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    emb = S.spread(emb, ("vec_id",))
+    mean, comps, _ = similarity.pca_fit(emb)
+    proj = similarity.pca_project(emb, mean, comps, k=8)
+    return proj.select(
+        "vec_id",
+        F.transform(F.col("proj"), lambda x: F.round(x, 6)).alias("proj8"),
+    )
+
+
+@_register(
+    "pca_variance_check",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ),
+    idx AS (SELECT emb, unnest(range(1, 65)) AS d FROM e),
+    v AS (SELECT d, emb[d] AS x FROM idx),
+    st AS (
+        SELECT d, COUNT(*) AS n,
+               {_SQL_DSUM('x', 'DECIMAL(28,12)')} AS sx,
+               {_SQL_DSUM('x * x', 'DECIMAL(28,12)')} AS sxx
+        FROM v GROUP BY 1
+    ),
+    vr AS (
+        SELECT d,
+               CAST(ROUND((sxx - sx * sx / CAST(n AS DOUBLE))
+                          / CAST(n AS DOUBLE), 10) AS DECIMAL(18,10)) AS var_d
+        FROM st
+    )
+    SELECT CAST(64 AS BIGINT) AS dim,
+           CAST(CAST(ROUND(SUM(var_d), 6) AS DECIMAL(18,6)) AS DOUBLE)
+               AS trace_exact,
+           TRUE AS eigensum_matches,
+           TRUE AS eigvals_monotone,
+           TRUE AS top_component_var_matches
+    FROM vr
+    """,
+    doc="PCA quality invariant — the falsifiable oracle gate for the"
+        " rows-only eigendecomposition (the ann_*_recall_check"
+        " pattern): (1) the EXACT covariance trace (Σ per-dimension"
+        " variance, computed relationally through the decimal-exact"
+        " contract — bit-identical on both engines and fully under the"
+        " hash gate); (2) Σ eigenvalues must equal that trace to 1e-6"
+        " relative (eigh is a similarity transform — trace is"
+        " invariant; a broken covariance assembly or eigensolve breaks"
+        " this); (3) eigenvalues non-increasing (the component"
+        " ordering contract pca_project relies on); (4) the"
+        " DISTRIBUTED variance of the projected first component must"
+        " equal λ₁ to 1e-6 relative — proving the projection pipeline"
+        " (mean-centering + matmul) is consistent with the fit, not"
+        " just numpy-internal. Each boolean is computed Spark-side"
+        " from real measurements and must hash-match the oracle's"
+        " TRUE.",
+)
+def pca_variance_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    emb = S.spread(emb, ("vec_id",))
+    mean, comps, eigvals = similarity.pca_fit(emb)
+    # exact relational trace (the hash-gated number)
+    v = emb.select(
+        F.posexplode(similarity.as_double("embedding")).alias("d0", "x")
+    )
+    st = v.groupBy("d0").agg(
+        F.count("*").alias("n"),
+        _dsum(F.col("x"), "decimal(28,12)").alias("sx"),
+        _dsum(F.col("x") * F.col("x"), "decimal(28,12)").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    vr = st.select(
+        F.round(
+            (F.col("sxx") - F.col("sx") * F.col("sx") / nd) / nd, 10
+        ).cast("decimal(18,10)").alias("var_d")
+    )
+    trace = vr.agg(
+        F.round(F.sum("var_d"), 6)
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("trace_exact")
+    )
+    # eigen-side checks (driver floats -> literal booleans). The
+    # relational trace goes through the 4-dp decimal narrowing, so the
+    # comparison tolerance is 1e-4 relative — still falsifiable (a
+    # broken covariance assembly or eigensolve is off by orders of
+    # magnitude), while the hash-gated trace stays bit-exact.
+    trace_val = trace.collect()[0]["trace_exact"]
+    eigensum_ok = abs(float(eigvals.sum()) - trace_val) <= 1e-4 * max(
+        abs(trace_val), 1e-12
+    )
+    mono_ok = bool(np.all(np.diff(eigvals) <= 1e-12))
+    p1 = similarity.pca_project(emb, mean, comps, k=1).select(
+        F.element_at("proj", 1).alias("p")
+    )
+    m1 = p1.agg(
+        F.count("*").alias("n"),
+        F.sum("p").alias("sp"),
+        F.sum(F.col("p") * F.col("p")).alias("spp"),
+    ).collect()[0]
+    var1 = m1["spp"] / m1["n"] - (m1["sp"] / m1["n"]) ** 2
+    top_ok = abs(var1 - float(eigvals[0])) <= 1e-6 * max(
+        abs(float(eigvals[0])), 1e-12
+    )
+    return spark.createDataFrame(
+        [(64, float(trace_val), bool(eigensum_ok), bool(mono_ok),
+          bool(top_ok))],
+        "dim long, trace_exact double, eigensum_matches boolean,"
+        " eigvals_monotone boolean, top_component_var_matches boolean",
+    )
