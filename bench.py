@@ -246,6 +246,14 @@ NEW_QUERIES_R05 = [
     "skyline_orders_pareto",
     "label_propagation_communities",
     "streaming_attribution_readback",
+    "inverted_index_postings",
+    "quantile_normalize_by_group",
+    "recursive_cte_reachability",
+    "python_udtf_token_windows",
+    "pca_project_embeddings",
+    "pca_variance_check",
+    "classifier_eval_suite",
+    "resample_interpolate_hourly",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

@@ -278,3 +278,64 @@ def test_pca_variance_check_is_all_true(spark, sf_dir):
     assert row.trace_exact > 0
     assert row.eigensum_matches and row.eigvals_monotone
     assert row.top_component_var_matches
+
+
+def test_classifier_eval_matches_sklearn_free_reference(spark, sf_dir):
+    """Recompute AUC/precision/recall in plain Python from collected
+    (score, label) pairs and compare to the distributed result."""
+    row = Q.classifier_eval_suite(spark, sf_dir).collect()[0]
+    emb = Q._t(spark, sf_dir, "embeddings").collect()
+    pairs = sorted(
+        ((float(r.embedding[0]), 1 if r.label < 5 else 0, r.vec_id)
+         for r in emb),
+        key=lambda t: (t[0], t[2]),
+    )
+    n = len(pairs)
+    n_pos = sum(y for _, y, _ in pairs)
+    rank_sum = sum(i + 1 for i, (_, y, _) in enumerate(pairs) if y == 1)
+    auc = (rank_sum - n_pos * (n_pos + 1) / 2) / (n_pos * (n - n_pos))
+    tp = sum(1 for s, y, _ in pairs if s >= 0.0 and y == 1)
+    fp = sum(1 for s, y, _ in pairs if s >= 0.0 and y == 0)
+    fn = sum(1 for s, y, _ in pairs if s < 0.0 and y == 1)
+    assert row.n == n and row.n_pos == n_pos
+    assert abs(row.auc - round(auc, 6)) < 1e-9
+    assert abs(row.precision_at_zero - round(tp / (tp + fp), 6)) < 1e-9
+    assert abs(row.recall_at_zero - round(tp / (tp + fn), 6)) < 1e-9
+    # synthetic scores carry no class signal: AUC must sit near 0.5
+    assert 0.3 < row.auc < 0.7
+
+
+def test_interpolation_brackets_and_bounds(spark, sf_dir):
+    """Interpolated values stay inside [min, max] of each user's events
+    and the point count matches the user's in-range grid hours."""
+    import datetime as dt
+
+    rows = Q.resample_interpolate_hourly(spark, sf_dir).collect()
+    ev = Q._t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select("user_id", "ts", "value").collect()
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.value))
+    tmin = min(t for u in by_user.values() for t, _ in u)
+    tmax = max(t for u in by_user.values() for t, _ in u)
+    g0 = tmin.replace(minute=0, second=0, microsecond=0) + dt.timedelta(
+        hours=1
+    )
+    g1 = tmax.replace(minute=0, second=0, microsecond=0)
+    for r in rows:
+        pts = sorted(by_user[r.user_id])
+        lo, hi = pts[0][0], pts[-1][0]
+        expect = 0
+        t = g0
+        while t <= g1:
+            if lo <= t <= hi:
+                expect += 1
+            t += dt.timedelta(hours=1)
+        # grid hours strictly between the user's first/last events get a
+        # bracket; an hour equal to an event ts also interpolates (frac 0)
+        assert r.n_points == expect, (r.user_id, r.n_points, expect)
+        vmin = min(v for _, v in pts)
+        vmax = max(v for _, v in pts)
+        avg = r.sum_interp / r.n_points
+        assert vmin - 1e-6 <= avg <= vmax + 1e-6

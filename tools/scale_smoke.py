@@ -157,6 +157,8 @@ SMOKE = [
     "label_propagation_communities",
     "inverted_index_postings",
     "quantile_normalize_by_group",
+    "classifier_eval_suite",
+    "resample_interpolate_hourly",
 ]
 
 

@@ -11054,3 +11054,261 @@ def pca_variance_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim long, trace_exact double, eigensum_matches boolean,"
         " eigvals_monotone boolean, top_component_var_matches boolean",
     )
+
+
+@_register(
+    "classifier_eval_suite",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id,
+               CAST(embedding[1] AS DOUBLE) AS score,
+               CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+        FROM embeddings
+    ),
+    r AS (
+        SELECT vec_id, score, y,
+               ROW_NUMBER() OVER (ORDER BY score, vec_id) AS rnk
+        FROM s
+    ),
+    agg AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(y) AS BIGINT) AS n_pos,
+               CAST(SUM(CASE WHEN y = 1 THEN rnk ELSE 0 END) AS BIGINT)
+                   AS pos_rank_sum,
+               CAST(SUM(CASE WHEN score >= 0.0 AND y = 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN score >= 0.0 AND y = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN score < 0.0 AND y = 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        FROM r
+    )
+    SELECT n, n_pos,
+           ROUND((CAST(pos_rank_sum AS DOUBLE)
+                  - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0)
+                    / 2.0)
+                 / (CAST(n_pos AS DOUBLE)
+                    * (CAST(n AS DOUBLE) - CAST(n_pos AS DOUBLE))), 6)
+               AS auc,
+           ROUND(CAST(tp AS DOUBLE)
+                 / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)), 6)
+               AS precision_at_zero,
+           ROUND(CAST(tp AS DOUBLE)
+                 / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE)), 6)
+               AS recall_at_zero
+    FROM agg
+    """,
+    doc="Classifier evaluation suite — the model-eval plane beside the"
+        " retrieval MRR harness: exact ROC-AUC via the Mann-Whitney"
+        " rank-sum identity (AUC = (Σ ranks of positives − P(P+1)/2) /"
+        " (P·N)), plus precision/recall at the zero threshold (scores are centered). The rank"
+        " is the EXACT tie-broken distributed rank ((score, id) order;"
+        " operators/relational.py exact_distributed_rank over"
+        " score-range blocks — no single-partition sort over the"
+        " scored corpus, which is where naive AUC dies at 100 TB: a"
+        " billion scored documents never sort in one task). Every"
+        " statistic is exact integer counts into ONE shared IEEE"
+        " division tree — fully hash-gated, the"
+        " quality-classifier-scoring companion every filtered-corpus"
+        " pipeline needs (did the filter's score actually separate"
+        " the classes it claims to?). Scores/labels here are the"
+        " synthetic embedding[0]/label<5 pair: AUC ≈ 0.5 by"
+        " construction — the EVAL is what's under test, not the model.",
+)
+def classifier_eval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    s = emb.select(
+        "vec_id",
+        F.element_at(similarity.as_double("embedding"), 1).alias("score"),
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
+    )
+    ranked = rel.exact_distributed_rank(
+        s,
+        block=F.floor(F.col("score") * 32).cast("long"),
+        order=[F.col("score").asc(), F.col("vec_id").asc()],
+        rank_col="rnk",
+    )
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(F.when(F.col("y") == 1, F.col("rnk")).otherwise(0))
+        .cast("long")
+        .alias("pos_rank_sum"),
+        F.sum(
+            F.when((F.col("score") >= 0.0) & (F.col("y") == 1), 1).otherwise(0)
+        ).cast("long").alias("tp"),
+        F.sum(
+            F.when((F.col("score") >= 0.0) & (F.col("y") == 0), 1).otherwise(0)
+        ).cast("long").alias("fp"),
+        F.sum(
+            F.when((F.col("score") < 0.0) & (F.col("y") == 1), 1).otherwise(0)
+        ).cast("long").alias("fn"),
+    )
+    nd = F.col("n").cast("double")
+    pd_ = F.col("n_pos").cast("double")
+    return agg.select(
+        "n",
+        "n_pos",
+        F.round(
+            (F.col("pos_rank_sum").cast("double") - pd_ * (pd_ + 1.0) / 2.0)
+            / (pd_ * (nd - pd_)),
+            6,
+        ).alias("auc"),
+        F.round(
+            F.col("tp").cast("double")
+            / (F.col("tp").cast("double") + F.col("fp").cast("double")),
+            6,
+        ).alias("precision_at_zero"),
+        F.round(
+            F.col("tp").cast("double")
+            / (F.col("tp").cast("double") + F.col("fn").cast("double")),
+            6,
+        ).alias("recall_at_zero"),
+    )
+
+
+@_register(
+    "resample_interpolate_hourly",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, ts, value FROM events WHERE value IS NOT NULL
+    ),
+    bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) + INTERVAL 1 HOUR AS t0,
+               date_trunc('hour', MAX(ts)) AS t1
+        FROM ev
+    ),
+    grid AS (
+        SELECT u.user_id, g.t
+        FROM (SELECT DISTINCT user_id FROM ev) u
+        CROSS JOIN (
+            SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS t
+            FROM bounds
+        ) g
+    ),
+    u AS (
+        SELECT user_id, ts, value, 0 AS is_grid FROM ev
+        UNION ALL
+        SELECT user_id, t, NULL, 1 FROM grid
+    ),
+    w AS (
+        SELECT user_id, ts, value, is_grid,
+               LAST_VALUE(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, is_grid, value
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS v_prev,
+               LAST_VALUE(CASE WHEN is_grid = 0 THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, is_grid, value
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS t_prev,
+               FIRST_VALUE(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, is_grid, value
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS v_next,
+               FIRST_VALUE(CASE WHEN is_grid = 0 THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, is_grid, value
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS t_next
+        FROM u
+    ),
+    interp AS (
+        SELECT user_id,
+               ROUND(v_prev + (v_next - v_prev)
+                     * (CAST(epoch_us(ts) AS DOUBLE)
+                        - CAST(epoch_us(t_prev) AS DOUBLE))
+                     / (CAST(epoch_us(t_next) AS DOUBLE)
+                        - CAST(epoch_us(t_prev) AS DOUBLE)), 6) AS v
+        FROM w
+        WHERE is_grid = 1 AND v_prev IS NOT NULL AND v_next IS NOT NULL
+          AND t_next > t_prev
+    )
+    SELECT user_id,
+           COUNT(*) AS n_points,
+           CAST(CAST(ROUND(SUM(CAST(v AS DECIMAL(18,6))), 4)
+                AS DECIMAL(18,4)) AS DOUBLE) AS sum_interp
+    FROM interp GROUP BY 1
+    """,
+    doc="Time-series resampling by linear interpolation — the"
+        " regular-grid companion to gap_fill_forward (LOCF): per user,"
+        " the event value linearly interpolated at every hour boundary"
+        " between the surrounding observations. Grid points and"
+        " events union into one per-user time-ordered relation; two"
+        " window passes (LAST_VALUE/FIRST_VALUE IGNORE NULLS with"
+        " PRECEDING/FOLLOWING frames — both engines support the"
+        " identical SQL92 frames) carry the bracketing (ts, value)"
+        " pairs to each grid point, and the interpolation is one"
+        " shared IEEE expression over epoch seconds. Per-point values"
+        " round to 6 dp then exact-decimal sum per user, so the whole"
+        " surface is hash-gated. Scale: windows partition by user_id"
+        " (unbounded cardinality, each series sorts independently) —"
+        " the standard IoT/metrics downsampling shape; the grid is"
+        " |users|×|hours| rows, generated, never shuffled twice.",
+)
+def resample_interpolate_hourly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select("user_id", "ts", "value")
+    ev = S.track_cache(ev)
+    bounds = ev.agg(
+        (F.date_trunc("hour", F.min("ts"))
+         + F.expr("INTERVAL 1 HOUR")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = (
+        ev.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("ts"),
+        )
+    )
+    u = ev.withColumn("is_grid", F.lit(0)).unionByName(
+        grid.withColumn("value", F.lit(None).cast("double")).withColumn(
+            "is_grid", F.lit(1)
+        )
+    )
+    ob = Window.partitionBy("user_id").orderBy("ts", "is_grid", "value")
+    prev_f = ob.rowsBetween(Window.unboundedPreceding, -1)
+    next_f = ob.rowsBetween(1, Window.unboundedFollowing)
+    ev_val = F.when(F.col("is_grid") == 0, F.col("value"))
+    ev_ts = F.when(F.col("is_grid") == 0, F.col("ts"))
+    w = (
+        u.withColumn("v_prev", F.last(ev_val, ignorenulls=True).over(prev_f))
+        .withColumn("t_prev", F.last(ev_ts, ignorenulls=True).over(prev_f))
+        .withColumn("v_next", F.first(ev_val, ignorenulls=True).over(next_f))
+        .withColumn("t_next", F.first(ev_ts, ignorenulls=True).over(next_f))
+    )
+    frac = (
+        F.unix_micros("ts").cast("double")
+        - F.unix_micros("t_prev").cast("double")
+    ) / (
+        F.unix_micros("t_next").cast("double")
+        - F.unix_micros("t_prev").cast("double")
+    )
+    interp = (
+        w.filter(
+            (F.col("is_grid") == 1)
+            & F.col("v_prev").isNotNull()
+            & F.col("v_next").isNotNull()
+            & (F.col("t_next") > F.col("t_prev"))
+        )
+        .select(
+            "user_id",
+            F.round(
+                F.col("v_prev")
+                + (F.col("v_next") - F.col("v_prev")) * frac,
+                6,
+            ).alias("v"),
+        )
+    )
+    return interp.groupBy("user_id").agg(
+        F.count("*").alias("n_points"),
+        _dsum(F.col("v")).alias("sum_interp"),
+    )
