@@ -254,6 +254,7 @@ NEW_QUERIES_R05 = [
     "pca_variance_check",
     "classifier_eval_suite",
     "resample_interpolate_hourly",
+    "xml_ingest_roundtrip",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

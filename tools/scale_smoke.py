@@ -159,6 +159,7 @@ SMOKE = [
     "quantile_normalize_by_group",
     "classifier_eval_suite",
     "resample_interpolate_hourly",
+    "xml_ingest_roundtrip",
 ]
 
 

@@ -11312,3 +11312,64 @@ def resample_interpolate_hourly(
         F.count("*").alias("n_points"),
         _dsum(F.col("v")).alias("sum_interp"),
     )
+
+
+@_register(
+    "xml_ingest_roundtrip",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           MIN(epoch_ms(ts)) AS min_ts_ms,
+           CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4)
+                AS DECIMAL(18,4)) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+    """,
+    doc="XML ingestion — the fifth source/sink format (Spark 4.0's"
+        " BUILT-IN XML data source, the spark-xml package graduated"
+        " into core): events written as <row> elements under a"
+        " collection root (distributed write, one XML part-file per"
+        " partition), read back with a DECLARED schema (rowTag"
+        " streaming parse — no inference pass over the corpus) and"
+        " aggregated against the parquet-derived oracle. Timestamps"
+        " travel as epoch-millis longs and doubles as"
+        " shortest-roundtrip text, so any element loss, entity-"
+        " escaping damage to the string column, or numeric drift"
+        " through the markup fails the hash gate. XML is the classic"
+        " enterprise-feed landing format (the COPY-family source the"
+        " reference's Redshift would ingest via intermediate"
+        " conversion); the scan parallelizes per part-file like any"
+        " text source.",
+)
+def xml_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    landing = _scratch_dir(sf_dir, "s9_events_xml")
+    (
+        out.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "events")
+        .option("rowTag", "event")
+        .save(landing)
+    )
+    staged = (
+        spark.read.format("xml")
+        .option("rowTag", "event")
+        .schema(
+            "event_id long, user_id long, event_type string,"
+            " value double, ts_ms long"
+        )
+        .load(landing)
+    )
+    return staged.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("ts_ms").alias("min_ts_ms"),
+        _dsum(F.col("value")).alias("total_value"),
+    )
