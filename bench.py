@@ -255,6 +255,7 @@ NEW_QUERIES_R05 = [
     "classifier_eval_suite",
     "resample_interpolate_hourly",
     "xml_ingest_roundtrip",
+    "leakage_safe_split",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

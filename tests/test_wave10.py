@@ -339,3 +339,24 @@ def test_interpolation_brackets_and_bounds(spark, sf_dir):
         vmax = max(v for _, v in pts)
         avg = r.sum_interp / r.n_points
         assert vmin - 1e-6 <= avg <= vmax + 1e-6
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
+    from udacitydatawarehouseprj_spark.operators import dedup as dd
+
+    agg = {r.split: r for r in Q.leakage_safe_split(spark, sf_dir).collect()}
+    docs = Q._t(spark, sf_dir, "documents")
+    n = docs.count()
+    assert sum(r.n_docs for r in agg.values()) == n
+    # rebuild the per-doc assignment and assert no cluster spans splits
+    pairs = Q._lsh_pairs_05(spark, sf_dir)
+    cc = {r.doc_id: r.cluster_id
+          for r in dd.connected_components(pairs).collect()}
+    p = 999999937
+    splits = {}
+    for r in docs.select("doc_id").collect():
+        root = cc.get(r.doc_id, r.doc_id)
+        u = ((((root % p) * 48271 + 11 * 1664525) % p) * 48271 % p) / p
+        s = "train" if u < 0.8 else ("val" if u < 0.9 else "test")
+        splits.setdefault(root, set()).add(s)
+    assert all(len(v) == 1 for v in splits.values())

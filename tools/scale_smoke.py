@@ -160,6 +160,7 @@ SMOKE = [
     "classifier_eval_suite",
     "resample_interpolate_hourly",
     "xml_ingest_roundtrip",
+    "leakage_safe_split",
 ]
 
 

@@ -11373,3 +11373,83 @@ def xml_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts_ms").alias("min_ts_ms"),
         _dsum(F.col("value")).alias("total_value"),
     )
+
+
+@_register(
+    "leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE p AS ({_JACCARD_ORACLE}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM p
+        UNION
+        SELECT doc_b, doc_a FROM p
+    ),
+    nodes AS (SELECT DISTINCT a AS n FROM edges),
+    reach(s, t) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a
+    ),
+    cc AS (SELECT s AS doc_id, MIN(t) AS cluster_id FROM reach GROUP BY s),
+    rooted AS (
+        SELECT d.doc_id, d.n_chars,
+               COALESCE(cc.cluster_id, d.doc_id) AS root
+        FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+    ),
+    assigned AS (
+        SELECT doc_id, n_chars, root,
+               CAST((((root % 999999937) * 48271 + 11 * 1664525)
+                     % 999999937) * 48271 % 999999937 AS DOUBLE)
+               / 999999937.0 AS u
+        FROM rooted
+    )
+    SELECT CASE WHEN u < 0.8 THEN 'train'
+                WHEN u < 0.9 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT root) AS BIGINT) AS n_clusters,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM assigned GROUP BY 1
+    """,
+    doc="Leakage-safe train/val/test split — the dedup-aware"
+        " contamination control plain hash splits miss: near-duplicate"
+        " documents MUST land in the same split, or eval examples leak"
+        " into training as their own near-copies (the classic"
+        " benchmark-inflation failure). Split assignment hashes the"
+        " CLUSTER ROOT (min doc id of the near-dup connected component"
+        " — pointer-doubling CC over the shared LSH pair build;"
+        " singletons root at themselves), so every cluster moves as a"
+        " unit by construction; the portable Lehmer hash + fixed"
+        " 80/10/10 thresholds make the assignment bit-deterministic"
+        " and SQL-replayable (the oracle re-derives components by"
+        " recursive CTE over exact Jaccard and must land every doc in"
+        " the identical split). Complements train_val_test_split (the"
+        " plain per-doc hash form) and contamination_fraction (the"
+        " post-hoc audit): this is the PREVENTIVE form. Scale: CC is"
+        " O(log diameter) join rounds on the pair relation; the split"
+        " itself is one map-side expression + a 3-group aggregate.",
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _lsh_pairs_05(spark, sf_dir)
+    cc = dedup.connected_components(pairs)
+    p = 999999937
+    rooted = docs.join(cc, "doc_id", "left").withColumn(
+        "root", F.coalesce("cluster_id", "doc_id")
+    )
+    u = (
+        (
+            ((F.col("root") % p) * 48271 + 11 * 1664525) % p * 48271
+        ) % p
+    ).cast("double") / F.lit(float(p))
+    assigned = rooted.withColumn("u", u).withColumn(
+        "split",
+        F.when(F.col("u") < 0.8, "train")
+        .when(F.col("u") < 0.9, "val")
+        .otherwise("test"),
+    )
+    return assigned.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("root").cast("long").alias("n_clusters"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
