@@ -256,6 +256,9 @@ NEW_QUERIES_R05 = [
     "resample_interpolate_hourly",
     "xml_ingest_roundtrip",
     "leakage_safe_split",
+    "distinct_ngram_diversity",
+    "zipf_law_fit",
+    "compact_small_files",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

@@ -360,3 +360,43 @@ def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
         s = "train" if u < 0.8 else ("val" if u < 0.9 else "test")
         splits.setdefault(root, set()).add(s)
     assert all(len(v) == 1 for v in splits.values())
+
+
+def test_diversity_ratios_bounded_and_sane(spark, sf_dir):
+    rows = Q.distinct_ngram_diversity(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.distinct_1 <= 1.0
+        assert 0 < r.distinct_2 <= 1.0
+        # bigrams are at least as diverse as unigrams on word-soup text
+        assert r.distinct_2 >= r.distinct_1 * 0.5
+
+
+def test_zipf_fit_matches_numpy_reference(spark, sf_dir):
+    import math
+
+    row = Q.zipf_law_fit(spark, sf_dir).collect()[0]
+    docs = Q._t(spark, sf_dir, "documents").collect()
+    from collections import Counter
+
+    c = Counter(w for r in docs for w in r.text.lower().split())
+    ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    pts = [
+        (math.log(i + 1), math.log(cnt))
+        for i, (_, cnt) in enumerate(ranked)
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts); sxx = sum(x * x for x, _ in pts)
+    slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    assert row.vocab_size == n
+    assert abs(row.zipf_slope - slope) < 1e-3
+    assert row.zipf_slope < 0  # frequency falls with rank
+
+
+def test_compaction_preserves_data(spark, sf_dir):
+    row = Q.compact_small_files(spark, sf_dir).collect()[0]
+    ev = Q._t(spark, sf_dir, "events")
+    assert row.n_files_before == 200
+    assert row.n_files_after == 4
+    assert row.n_rows == ev.count()

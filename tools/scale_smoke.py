@@ -161,6 +161,9 @@ SMOKE = [
     "resample_interpolate_hourly",
     "xml_ingest_roundtrip",
     "leakage_safe_split",
+    "distinct_ngram_diversity",
+    "zipf_law_fit",
+    "compact_small_files",
 ]
 
 

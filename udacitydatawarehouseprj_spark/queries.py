@@ -11453,3 +11453,209 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("root").cast("long").alias("n_clusters"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+@_register(
+    "distinct_ngram_diversity",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+        FROM documents
+    ),
+    uni AS (SELECT doc_id, unnest(t) AS w FROM toks),
+    idx AS (
+        SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        FROM toks WHERE len(t) >= 2
+    ),
+    bi AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg FROM idx),
+    per_doc AS (
+        SELECT u.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_uni,
+               CAST(COUNT(DISTINCT u.w) AS BIGINT) AS d_uni
+        FROM uni u GROUP BY 1
+    ),
+    per_doc_bi AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bi,
+               CAST(COUNT(DISTINCT bg) AS BIGINT) AS d_bi
+        FROM bi GROUP BY 1
+    )
+    SELECT p.doc_id,
+           ROUND(CAST(p.d_uni AS DOUBLE) / CAST(p.n_uni AS DOUBLE), 6)
+               AS distinct_1,
+           ROUND(CAST(b.d_bi AS DOUBLE) / CAST(b.n_bi AS DOUBLE), 6)
+               AS distinct_2
+    FROM per_doc p JOIN per_doc_bi b ON p.doc_id = b.doc_id
+    """,
+    doc="Lexical diversity metrics (distinct-1 / distinct-2 — the"
+        " Self-BLEU-adjacent corpus-quality signal used to audit"
+        " generated or scraped text for degeneracy): per document, the"
+        " ratio of unique unigrams and bigrams to totals. Low"
+        " distinct-2 flags the repetition-loop pathology the Gopher"
+        " repetition rules (text_repetition_gopher) catch with"
+        " longest-run heuristics — this is the distributional"
+        " complement. All exact integer counts into one shared IEEE"
+        " division; bigrams generated row-local (no shuffle before"
+        " the per-doc aggregation, which groups by doc_id — the"
+        " embarrassingly-parallel per-document shape).",
+)
+def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = S.spread(docs, ("doc_id",)).select(
+        "doc_id", dedup.tokens_expr("text").alias("t")
+    )
+    t = S.track_cache(t)
+    uni = t.select("doc_id", F.explode("t").alias("w"))
+    per_uni = uni.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_uni"),
+        F.countDistinct("w").cast("long").alias("d_uni"),
+    )
+    bi = (
+        t.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> concat(t[i], ' ', t[i + 1]))"
+                )
+            ).alias("bg"),
+        )
+    )
+    per_bi = bi.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bi"),
+        F.countDistinct("bg").cast("long").alias("d_bi"),
+    )
+    return per_uni.join(per_bi, "doc_id").select(
+        "doc_id",
+        F.round(
+            F.col("d_uni").cast("double") / F.col("n_uni").cast("double"), 6
+        ).alias("distinct_1"),
+        F.round(
+            F.col("d_bi").cast("double") / F.col("n_bi").cast("double"), 6
+        ).alias("distinct_2"),
+    )
+
+
+@_register(
+    "zipf_law_fit",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+        FROM documents
+    ),
+    counts AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY 1),
+    ranked AS (
+        SELECT w, c,
+               ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) AS rnk
+        FROM counts
+    ),
+    pts AS (
+        SELECT ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+        FROM ranked
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               {_SQL_DSUM('x', 'DECIMAL(28,12)')} AS sx,
+               {_SQL_DSUM('y', 'DECIMAL(28,12)')} AS sy,
+               {_SQL_DSUM('x * y', 'DECIMAL(28,12)')} AS sxy,
+               {_SQL_DSUM('x * x', 'DECIMAL(28,12)')} AS sxx
+        FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS vocab_size,
+           ROUND((sxy - sx * sy / CAST(n AS DOUBLE))
+                 / (sxx - sx * sx / CAST(n AS DOUBLE)), 6) AS zipf_slope,
+           ROUND((sy - (sxy - sx * sy / CAST(n AS DOUBLE))
+                  / (sxx - sx * sx / CAST(n AS DOUBLE)) * sx)
+                 / CAST(n AS DOUBLE), 6) AS intercept
+    FROM s
+    """,
+    doc="Zipf's-law fit — corpus-statistics fingerprinting: OLS slope"
+        " of log(frequency) on log(rank) over the full vocabulary"
+        " (natural text ≈ −1; synthetic or templated corpora deviate"
+        " sharply, making the slope a cheap distribution-shift /"
+        " synthetic-data detector). Rank is the deterministic"
+        " (count DESC, word) order; the regression runs on exact"
+        " decimal moment sums (the linreg_by_group contract) over the"
+        " |vocab|-sized aggregated relation — corpus-size-free after"
+        " one token count. The rank window sorts vocab, not corpus"
+        " (bounded by |vocab|, the same shape vocab_build_topk pins).",
+)
+def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    uni = S.spread(docs, ("doc_id",)).select(
+        F.explode(dedup.tokens_expr("text")).alias("w")
+    )
+    counts = uni.groupBy("w").agg(F.count("*").alias("c"))
+    wsp = Window.orderBy(F.col("c").desc(), F.col("w").asc())
+    pts = counts.withColumn("rnk", F.row_number().over(wsp)).select(
+        F.log(F.col("rnk").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").alias("n"),
+        _dsum(F.col("x"), "decimal(28,12)").alias("sx"),
+        _dsum(F.col("y"), "decimal(28,12)").alias("sy"),
+        _dsum(F.col("x") * F.col("y"), "decimal(28,12)").alias("sxy"),
+        _dsum(F.col("x") * F.col("x"), "decimal(28,12)").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / nd) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / nd
+    )
+    return s.select(
+        F.col("n").cast("long").alias("vocab_size"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / nd, 6
+        ).alias("intercept"),
+    )
+
+
+@_register(
+    "compact_small_files",
+    oracle="""
+    SELECT CAST(200 AS BIGINT) AS n_files_before,
+           CAST(4 AS BIGINT) AS n_files_after,
+           (SELECT COUNT(*) FROM events) AS n_rows,
+           (SELECT CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4)
+                AS DECIMAL(18,4)) AS DOUBLE) FROM events) AS total_value
+    """,
+    doc="Small-file compaction (the OPTIMIZE/auto-compaction"
+        " maintenance op every lakehouse runs): a landing zone"
+        " fragmented into 200 tiny parquet files — the classic"
+        " streaming-ingest pathology that makes every downstream scan"
+        " pay 200 file-open/footer-read costs and starves scan"
+        " parallelism of byte-ranges worth splitting — is rewritten"
+        " into 4 right-sized files (repartition → write; production"
+        " sizes by target bytes, here by explicit count for"
+        " determinism). The oracle pins the file counts (deterministic"
+        " by construction) AND the full data round-trip (exact-decimal"
+        " value sum + row count read back from the COMPACTED copy):"
+        " compaction must move bytes, never change them. Scale: the"
+        " rewrite is one shuffle of the fragment set; real deployments"
+        " compact per-partition incrementally — this is the kernel.",
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+
+    ev = _t(spark, sf_dir, "events")
+    frag = _scratch_dir(sf_dir, "s10_events_fragmented")
+    compacted = _scratch_dir(sf_dir, "s10_events_compacted")
+    ev.select("event_id", "value").repartition(200).write.mode(
+        "overwrite"
+    ).parquet(frag)
+    n_before = len(_glob.glob(f"{frag}/part-*.parquet"))
+    spark.read.parquet(frag).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(compacted)
+    n_after = len(_glob.glob(f"{compacted}/part-*.parquet"))
+    back = spark.read.parquet(compacted)
+    return back.agg(
+        F.lit(n_before).cast("long").alias("n_files_before"),
+        F.lit(n_after).cast("long").alias("n_files_after"),
+        F.count("*").alias("n_rows"),
+        _dsum(F.col("value")).alias("total_value"),
+    )
