@@ -259,6 +259,7 @@ NEW_QUERIES_R05 = [
     "distinct_ngram_diversity",
     "zipf_law_fit",
     "compact_small_files",
+    "hopping_window_counts",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

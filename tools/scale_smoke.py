@@ -164,6 +164,7 @@ SMOKE = [
     "distinct_ngram_diversity",
     "zipf_law_fit",
     "compact_small_files",
+    "hopping_window_counts",
 ]
 
 

@@ -1199,12 +1199,16 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: ``queries()`` (observed in rounds 1-2: ``set(queries()[:50]) ==
 #: set(CORRECTNESS_rNN)``), so dict order decides which queries get the
 #: hard DuckDB-oracle signal. Registration order is file-layout accident;
-#: this list is the explicit policy. Round-4 window clears ALL rotation
-#: debt: the 2 round-3 hash failures (re-check after the oracle fixes),
-#: every query that has never had a driver row (15 TPC-H + the round-3
-#: training-pipeline wave + this round's additions), the flagship, and
-#: the stalest greens in the remaining slots — after this round every
-#: registered query has had a green driver row in some round.
+#: this list is the explicit policy. The ROUND-5 window holds the 41
+#: round-4-wave queries that have never had a driver hard-signal row
+#: (the top rotation debt), the flagship, and the stalest greens in
+#: the remaining slots. The 27 queries ADDED in round 5 (BM25, PMI,
+#: matryoshka, bloom semi-join, skyline, label propagation, recursive
+#: CTE, UDTF, PCA, classifier eval, resampling, XML, leakage-safe
+#: split, diversity, Zipf, compaction, plus the profiling/dim_users/
+#: catalog/batched-BPE set) intentionally sit OUTSIDE the window:
+#: they are next round's rotation, covered until then by the strict
+#: exact-value oracle replays at sf0.001 and sf0.01.
 #: Everything demoted out of the window stays
 #: covered by the identical oracle comparison in pytest
 #: (tests/test_oracle_parity.py), which replays all oracled queries.
@@ -11658,4 +11662,53 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_after).cast("long").alias("n_files_after"),
         F.count("*").alias("n_rows"),
         _dsum(F.col("value")).alias("total_value"),
+    )
+
+
+@_register(
+    "hopping_window_counts",
+    oracle="""
+    WITH x AS (
+        SELECT event_type, value,
+               date_trunc('hour', ts)
+                   - to_hours(CAST(o AS BIGINT)) AS w_start
+        FROM events, (SELECT unnest(range(0, 2)) AS o)
+    )
+    SELECT w_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4)
+                AS DECIMAL(18,4)) AS DOUBLE) AS total_value
+    FROM x GROUP BY 1, 2
+    """,
+    doc="HOPPING (sliding) event-time windows — the overlapping-window"
+        " aggregation surface beside tumbling (flagship hourly) and"
+        " session windows (sessionize_events): 2-hour windows sliding"
+        " every hour via F.window(ts, '2 hours', '1 hour'), so every"
+        " event contributes to exactly two windows — the"
+        " trailing-window dashboard aggregate (each row = 'the last 2"
+        " hours as of this hour boundary'). The oracle replays Spark's"
+        " window assignment arithmetic relationally (each event"
+        " duplicated to the two slide-aligned starts covering it)."
+        " Scale: the expansion is map-side (factor = window/slide,"
+        " here 2×) followed by one map-side-combining groupBy — same"
+        " cost model as the tumbling rollup, multiplied by the"
+        " overlap factor; state-free in batch, watermark-bounded in"
+        " streaming (same API).",
+)
+def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            _dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
     )
