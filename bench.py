@@ -260,6 +260,7 @@ NEW_QUERIES_R05 = [
     "zipf_law_fit",
     "compact_small_files",
     "hopping_window_counts",
+    "k_anonymity_audit",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

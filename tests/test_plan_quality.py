@@ -691,3 +691,35 @@ def test_label_propagation_rounds_are_equi_joins(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # argmax via max-struct aggregation, not a per-node window sort
     assert "row_number" not in plan.lower()
+
+
+def test_resample_windows_partition_by_user(spark, sf_dir):
+    """Both interpolation carries must be growing frames over per-user
+    partitions — no global window, no shrinking unbounded-following
+    frame (which Spark evaluates quadratically per series)."""
+    plan = plan_of(spark, sf_dir, "resample_interpolate_hourly")
+    assert "user_id" in plan
+    assert "unboundedfollowing" not in plan.lower().replace(" ", "")
+
+
+def test_hopping_window_single_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "hopping_window_counts")
+    assert count_exchanges(plan) <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_zipf_and_diversity_shapes(spark, sf_dir):
+    # zipf: the rank window runs on the aggregated vocab relation only
+    plan = plan_of(spark, sf_dir, "zipf_law_fit")
+    assert "CartesianProduct" not in plan
+    # diversity: per-doc aggregation, no self-joins
+    plan2 = plan_of(spark, sf_dir, "distinct_ngram_diversity")
+    assert "SortMergeJoin" not in plan2 or "doc_id" in plan2
+    assert "CartesianProduct" not in plan2
+
+
+def test_k_anonymity_two_aggregations_only(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "k_anonymity_audit")
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) <= 4  # 2 aggs x partial/final
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan

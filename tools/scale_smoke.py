@@ -165,6 +165,7 @@ SMOKE = [
     "zipf_law_fit",
     "compact_small_files",
     "hopping_window_counts",
+    "k_anonymity_audit",
 ]
 
 

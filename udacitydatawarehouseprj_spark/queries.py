@@ -11278,16 +11278,27 @@ def resample_interpolate_hourly(
             "is_grid", F.lit(1)
         )
     )
-    ob = Window.partitionBy("user_id").orderBy("ts", "is_grid", "value")
-    prev_f = ob.rowsBetween(Window.unboundedPreceding, -1)
-    next_f = ob.rowsBetween(1, Window.unboundedFollowing)
+    # Both carries use GROWING (unbounded-preceding) frames: Spark
+    # evaluates those incrementally in O(n) per partition, while a
+    # shrinking [1 FOLLOWING, UNBOUNDED] frame recomputes per row —
+    # O(n²) per user series (measured 6.4 s → 2.4 s at sf0.1). The
+    # "next observation" is therefore the PREVIOUS row of the exact
+    # REVERSED total order, not a FOLLOWING frame of the forward one.
+    fwd = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("is_grid").asc(), F.col("value").asc()
+    )
+    rev = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("is_grid").desc(), F.col("value").desc()
+    )
+    prev_f = fwd.rowsBetween(Window.unboundedPreceding, -1)
+    next_f = rev.rowsBetween(Window.unboundedPreceding, -1)
     ev_val = F.when(F.col("is_grid") == 0, F.col("value"))
     ev_ts = F.when(F.col("is_grid") == 0, F.col("ts"))
     w = (
         u.withColumn("v_prev", F.last(ev_val, ignorenulls=True).over(prev_f))
         .withColumn("t_prev", F.last(ev_ts, ignorenulls=True).over(prev_f))
-        .withColumn("v_next", F.first(ev_val, ignorenulls=True).over(next_f))
-        .withColumn("t_next", F.first(ev_ts, ignorenulls=True).over(next_f))
+        .withColumn("v_next", F.last(ev_val, ignorenulls=True).over(next_f))
+        .withColumn("t_next", F.last(ev_ts, ignorenulls=True).over(next_f))
     )
     frac = (
         F.unix_micros("ts").cast("double")
@@ -11711,4 +11722,71 @@ def hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "total_value",
         )
+    )
+
+
+@_register(
+    "k_anonymity_audit",
+    oracle="""
+    WITH qi AS (
+        SELECT event_type,
+               CAST(date_part('hour', ts) AS BIGINT) AS hour_of_day,
+               CAST(FLOOR(value / 50.0) AS BIGINT) AS value_band,
+               COUNT(*) AS class_size
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2, 3
+    )
+    SELECT COUNT(*) AS n_classes,
+           CAST(SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_classes_below_k,
+           CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+                AS BIGINT) AS n_rows_at_risk,
+           CAST(MIN(class_size) AS BIGINT) AS min_class_size,
+           ROUND(CAST(SUM(CASE WHEN class_size < 5 THEN class_size
+                          ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(class_size) AS DOUBLE), 6) AS at_risk_frac
+    FROM qi
+    """,
+    doc="k-anonymity audit (k = 5) — the privacy-governance plane"
+        " beside PII redaction (text_pii_redact removes direct"
+        " identifiers; this measures QUASI-identifier re-identification"
+        " risk): rows grouped into equivalence classes by the"
+        " (event_type, hour-of-day, value-band) quasi-identifier"
+        " tuple; classes smaller than k are re-identifiable and are"
+        " reported as count, row mass, and fraction — the"
+        " suppress-or-generalize decision input every release"
+        " pipeline needs. Exact integer counts into one shared IEEE"
+        " division; one map-side-combining groupBy over the fact"
+        " table then a scalar aggregate over the |classes| relation —"
+        " corpus-linear, class-bounded, the canonical governance"
+        " audit shape at 100 TB.",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    qi = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.hour("ts").cast("long").alias("hour_of_day"),
+            F.floor(F.col("value") / F.lit(50.0)).cast("long").alias(
+                "value_band"
+            ),
+        )
+        .agg(F.count("*").alias("class_size"))
+    )
+    below = F.when(F.col("class_size") < 5, F.col("class_size")).otherwise(
+        F.lit(0)
+    )
+    return qi.agg(
+        F.count("*").alias("n_classes"),
+        F.sum(F.when(F.col("class_size") < 5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_classes_below_k"),
+        F.sum(below).cast("long").alias("n_rows_at_risk"),
+        F.min("class_size").cast("long").alias("min_class_size"),
+        F.round(
+            F.sum(below).cast("double")
+            / F.sum("class_size").cast("double"),
+            6,
+        ).alias("at_risk_frac"),
     )
