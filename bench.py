@@ -261,6 +261,7 @@ NEW_QUERIES_R05 = [
     "compact_small_files",
     "hopping_window_counts",
     "k_anonymity_audit",
+    "modern_sql_syntax_suite",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

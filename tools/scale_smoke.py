@@ -166,6 +166,7 @@ SMOKE = [
     "compact_small_files",
     "hopping_window_counts",
     "k_anonymity_audit",
+    "modern_sql_syntax_suite",
 ]
 
 

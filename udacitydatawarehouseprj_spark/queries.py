@@ -11790,3 +11790,68 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("at_risk_frac"),
     )
+
+
+@_register(
+    "modern_sql_syntax_suite",
+    oracle="""
+    WITH per_user AS (
+        SELECT event_type, user_id, COUNT(*) AS n_u
+        FROM events
+        WHERE value IS NOT NULL AND value >= 10.0
+        GROUP BY event_type, user_id
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(SUM(n_u) AS BIGINT) AS n_events,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(MAX(n_u) AS BIGINT) AS max_user_events
+        FROM per_user GROUP BY 1
+    )
+    SELECT event_type, n_events, n_users, max_user_events,
+           ROUND(CAST(n_events AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+               AS events_per_user,
+           ROUND(ROUND(CAST(n_events AS DOUBLE) / CAST(n_users AS DOUBLE),
+                       6) * 100.0, 6) AS events_per_100_users
+    FROM agg
+    """,
+    doc="Modern SQL syntax suite — four Spark-4 language surfaces in"
+        " ONE statement, hash-gated against the classic-SQL replay:"
+        " (1) SQL PIPE OPERATORS (FROM … |> AGGREGATE … |> SELECT …"
+        " |> WHERE — the linear dataflow syntax); (2) GROUP BY ALL"
+        " (the CTE infers grouping keys from the select list);"
+        " (3) LATERAL COLUMN ALIASES (events_per_100_users references"
+        " the events_per_user alias defined in the same SELECT);"
+        " (4) NAMED PARAMETER BINDING (spark.sql(…, args={…}) — the"
+        " injection-safe parameterized-query API; the :min_value"
+        " marker binds server-side, never string-interpolated)."
+        " Semantically identical to the nested classic form the"
+        " oracle runs — proving the new surfaces are pure syntax, not"
+        " new semantics. Plan shape: the same two map-side-combining"
+        " aggregations the classic form plans.",
+)
+def modern_sql_syntax_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_modern_v")
+    return spark.sql(
+        """
+        WITH per_user AS (
+            SELECT event_type, user_id, COUNT(*) AS n_u
+            FROM events_modern_v
+            WHERE value IS NOT NULL AND value >= :min_value
+            GROUP BY ALL
+        )
+        FROM per_user
+        |> AGGREGATE CAST(SUM(n_u) AS BIGINT) AS n_events,
+                     CAST(COUNT(*) AS BIGINT) AS n_users,
+                     CAST(MAX(n_u) AS BIGINT) AS max_user_events
+           GROUP BY event_type
+        |> SELECT event_type, n_events, n_users, max_user_events,
+                  ROUND(CAST(n_events AS DOUBLE)
+                        / CAST(n_users AS DOUBLE), 6) AS events_per_user,
+                  ROUND(events_per_user * 100.0, 6)
+                      AS events_per_100_users
+        |> WHERE n_users > 0
+        """,
+        args={"min_value": 10.0},
+    )
