@@ -169,3 +169,154 @@ def test_span_dedup_reassembly_identity_without_duplicates(spark, seed):
         out = {r.doc_id: r.clean_text
                for r in Q.queries()["span_dedup_global"](spark, d).collect()}
     assert out == dict(rows)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10_000_000),
+        min_size=1, max_size=200, unique=True,
+    ),
+    st.lists(
+        st.integers(min_value=0, max_value=10_000_000),
+        min_size=1, max_size=50, unique=True,
+    ),
+)
+def test_bloom_semijoin_never_drops_a_match(spark, fact_keys, dim_keys):
+    """For ANY key sets, every fact key present in the dim set survives
+    the bloom prefilter — the no-false-negatives contract the join-
+    identity oracle relies on."""
+    from udacitydatawarehouseprj_spark.operators import relational as rel
+
+    fact = spark.createDataFrame([Row(k=int(k)) for k in fact_keys])
+    dim = spark.createDataFrame([Row(d=int(k)) for k in dim_keys])
+    survived = {
+        r.k for r in rel.bloom_semijoin_reduce(fact, "k", dim, "d").collect()
+    }
+    truly_matching = set(fact_keys) & set(dim_keys)
+    assert truly_matching <= survived
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),
+            st.floats(min_value=-1e6, max_value=1e6,
+                      allow_nan=False, allow_infinity=False),
+        ),
+        min_size=8, max_size=120, unique_by=lambda t: t[0],
+    )
+)
+def test_equidepth_rank_formula_matches_python_model(spark, rows):
+    """The blocked distributed rank feeding the bucketizer must equal a
+    plain Python sort-rank for any value distribution (incl. negative
+    and duplicate values)."""
+    from udacitydatawarehouseprj_spark.operators import relational as rel
+
+    df = spark.createDataFrame(
+        [Row(event_id=int(i), value=float(v)) for i, v in rows]
+    )
+    ranked = {
+        r.event_id: r.rn
+        for r in rel.exact_distributed_rank(
+            df,
+            block=F.floor(F.col("value") / F.lit(64.0)).cast("long"),
+            order=[F.col("value").asc(), F.col("event_id").asc()],
+            rank_col="rn",
+        ).collect()
+    }
+    expect = {
+        eid: i + 1
+        for i, (eid, _) in enumerate(
+            sorted(rows, key=lambda t: (t[1], t[0]))
+        )
+    }
+    assert ranked == expect
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),         # user
+            st.integers(min_value=0, max_value=86_400_000),  # offset ms
+            st.floats(min_value=-100, max_value=100,
+                      allow_nan=False, allow_infinity=False),
+        ),
+        min_size=2, max_size=60,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_interpolation_stays_between_brackets(spark, rows):
+    """Every interpolated grid value lies between its bracketing event
+    values (convexity of linear interpolation), for any event layout."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            Row(
+                user_id=int(u),
+                ts=base + timedelta(milliseconds=int(ms)),
+                value=float(v),
+            )
+            for u, ms, v in rows
+        ]
+    )
+    # inline replica of the query's window mechanics over arbitrary data
+    from pyspark.sql.window import Window as W
+
+    bounds = ev.agg(
+        (F.date_trunc("hour", F.min("ts")) + F.expr("INTERVAL 1 HOUR")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    ).collect()[0]
+    if bounds.t0 > bounds.t1:
+        return  # span shorter than an hour — no grid points, nothing to test
+    grid = (
+        ev.select("user_id").distinct()
+        .crossJoin(
+            spark.createDataFrame([Row(t0=bounds.t0, t1=bounds.t1)])
+        )
+        .select(
+            "user_id",
+            F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("ts"),
+        )
+        .withColumn("value", F.lit(None).cast("double"))
+        .withColumn("is_grid", F.lit(1))
+    )
+    u = ev.withColumn("is_grid", F.lit(0)).unionByName(grid)
+    fwd = W.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("is_grid").asc(), F.col("value").asc())
+    rev = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("is_grid").desc(), F.col("value").desc())
+    ev_val = F.when(F.col("is_grid") == 0, F.col("value"))
+    ev_ts = F.when(F.col("is_grid") == 0, F.col("ts"))
+    w = (
+        u.withColumn("v_prev", F.last(ev_val, True).over(
+            fwd.rowsBetween(W.unboundedPreceding, -1)))
+        .withColumn("t_prev", F.last(ev_ts, True).over(
+            fwd.rowsBetween(W.unboundedPreceding, -1)))
+        .withColumn("v_next", F.last(ev_val, True).over(
+            rev.rowsBetween(W.unboundedPreceding, -1)))
+        .withColumn("t_next", F.last(ev_ts, True).over(
+            rev.rowsBetween(W.unboundedPreceding, -1)))
+    )
+    frac = (
+        F.unix_micros("ts").cast("double")
+        - F.unix_micros("t_prev").cast("double")
+    ) / (
+        F.unix_micros("t_next").cast("double")
+        - F.unix_micros("t_prev").cast("double")
+    )
+    out = w.filter(
+        (F.col("is_grid") == 1)
+        & F.col("v_prev").isNotNull() & F.col("v_next").isNotNull()
+        & (F.col("t_next") > F.col("t_prev"))
+    ).withColumn(
+        "v", F.col("v_prev") + (F.col("v_next") - F.col("v_prev")) * frac
+    ).collect()
+    for r in out:
+        lo, hi = sorted((r.v_prev, r.v_next))
+        # linear interpolation is bounded by its endpoints
+        assert lo - 1e-9 <= r.v <= hi + 1e-9
