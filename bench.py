@@ -262,6 +262,8 @@ NEW_QUERIES_R05 = [
     "hopping_window_counts",
     "k_anonymity_audit",
     "modern_sql_syntax_suite",
+    "moments_rollup_mergeable",
+    "benford_digit_audit",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

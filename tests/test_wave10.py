@@ -400,3 +400,35 @@ def test_compaction_preserves_data(spark, sf_dir):
     assert row.n_files_before == 200
     assert row.n_files_after == 4
     assert row.n_rows == ev.count()
+
+
+def test_moments_merge_equals_direct_variance(spark, sf_dir):
+    import math
+
+    row = Q.moments_rollup_mergeable(spark, sf_dir).collect()[0]
+    vals = [
+        r.value
+        for r in Q._t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .collect()
+    ]
+    n = len(vals)
+    mean = sum(vals) / n
+    var = sum(v * v for v in vals) / n - mean * mean
+    assert row.n == n
+    assert math.isclose(row.mean_value, mean, rel_tol=1e-5)
+    assert math.isclose(row.var_value, var, rel_tol=1e-4)
+    assert row.n_partials >= 1
+
+
+def test_benford_frequencies_form_a_distribution(spark, sf_dir):
+    import math
+
+    rows = Q.benford_digit_audit(spark, sf_dir).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.observed_freq for r in rows) - 1.0) < 1e-3
+    # expectation column is the true Benford pmf
+    for r in rows:
+        assert math.isclose(
+            r.benford_freq, math.log10(1 + 1 / r.digit), abs_tol=1e-6
+        )

@@ -167,6 +167,8 @@ SMOKE = [
     "hopping_window_counts",
     "k_anonymity_audit",
     "modern_sql_syntax_suite",
+    "moments_rollup_mergeable",
+    "benford_digit_audit",
 ]
 
 

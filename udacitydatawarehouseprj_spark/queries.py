@@ -11855,3 +11855,144 @@ def modern_sql_syntax_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_value": 10.0},
     )
+
+
+@_register(
+    "moments_rollup_mergeable",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+               COUNT(*) AS n,
+               CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(28,12))), 4)
+                    AS DECIMAL(18,4)) AS DOUBLE) AS s1,
+               CAST(CAST(ROUND(SUM(CAST(value * value AS DECIMAL(28,12))),
+                    4) AS DECIMAL(18,4)) AS DOUBLE) AS s2
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    merged AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n,
+               CAST(CAST(ROUND(SUM(CAST(s1 AS DECIMAL(28,12))), 4)
+                    AS DECIMAL(18,4)) AS DOUBLE) AS s1,
+               CAST(CAST(ROUND(SUM(CAST(s2 AS DECIMAL(28,12))), 4)
+                    AS DECIMAL(18,4)) AS DOUBLE) AS s2
+        FROM daily
+    )
+    SELECT n,
+           ROUND(s1 / CAST(n AS DOUBLE), 6) AS mean_value,
+           ROUND((s2 - s1 * s1 / CAST(n AS DOUBLE))
+                 / CAST(n AS DOUBLE), 6) AS var_value,
+           CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_partials
+    FROM merged
+    """,
+    doc="Mergeable exact moments rollup — the EXACT member of the"
+        " re-aggregable-summary family (HLL registers, CMS counters,"
+        " fixed-bin histograms … and now raw power sums): per-day"
+        " partials (n, Σx, Σx²) merge by plain addition into the"
+        " grand mean/variance with ZERO approximation error — the"
+        " algebraic-aggregate property that lets a 100 TB pipeline"
+        " maintain daily summary tables and answer any-range variance"
+        " without rescanning facts (incremental_rollup_maintain keeps"
+        " such partials fresh; this query proves the MERGE step"
+        " bit-exact). Both levels run the exact-decimal contract, so"
+        " the two-level rollup is hash-identical to the oracle's"
+        " replay; the final normal-equation arithmetic is one shared"
+        " IEEE tree. One map-side-combining groupBy + one tiny merge"
+        " aggregate over |days| rows.",
+)
+def moments_rollup_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(F.col("ts").cast("date").cast("timestamp").alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            _dsum(F.col("value"), "decimal(28,12)").alias("s1"),
+            _dsum(F.col("value") * F.col("value"), "decimal(28,12)").alias(
+                "s2"
+            ),
+        )
+    )
+    daily = S.track_cache(daily)
+    merged = daily.agg(
+        F.sum("n").cast("long").alias("n"),
+        _dsum(F.col("s1"), "decimal(28,12)").alias("s1"),
+        _dsum(F.col("s2"), "decimal(28,12)").alias("s2"),
+        F.count("*").cast("long").alias("n_partials"),
+    )
+    nd = F.col("n").cast("double")
+    return merged.select(
+        "n",
+        F.round(F.col("s1") / nd, 6).alias("mean_value"),
+        F.round(
+            (F.col("s2") - F.col("s1") * F.col("s1") / nd) / nd, 6
+        ).alias("var_value"),
+        "n_partials",
+    )
+
+
+@_register(
+    "benford_digit_audit",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(SUBSTR(CAST(CAST(FLOOR(value * 100.0) AS BIGINT)
+                    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM events
+        WHERE value IS NOT NULL AND value >= 0.01
+    ),
+    counts AS (
+        SELECT digit, COUNT(*) AS n FROM d GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counts)
+    SELECT digit,
+           CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE) / CAST(tot.t AS DOUBLE), 6)
+               AS observed_freq,
+           ROUND(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6)
+               AS benford_freq
+    FROM counts CROSS JOIN tot
+    """,
+    doc="Benford's-law first-digit audit — the forensic data-quality"
+        " probe for fabricated or truncated numeric columns: the"
+        " leading significant digit of each value (cents-scaled to"
+        " clear sub-unit magnitudes) counted against the log10(1+1/d)"
+        " expectation. Natural multi-magnitude quantities track"
+        " Benford; uniform synthetic values (this corpus) visibly"
+        " don't — the DIVERGENCE is the signal, and both observed and"
+        " expected frequencies are under the hash gate (exact integer"
+        " counts; one shared IEEE log tree for the expectation)."
+        " Leading-digit extraction is string-first (cast to integer"
+        " text, first char) — identical semantics on both engines,"
+        " no floating log10-of-value edge cases at power-of-ten"
+        " boundaries. One map-side groupBy to ≤9 rows.",
+)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    d = (
+        ev.filter(F.col("value").isNotNull() & (F.col("value") >= 0.01))
+        .select(
+            F.substring(
+                F.floor(F.col("value") * 100.0).cast("long").cast("string"),
+                1,
+                1,
+            )
+            .cast("long")
+            .alias("digit")
+        )
+    )
+    counts = d.groupBy("digit").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").cast("long").alias("t"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                F.col("n").cast("double") / F.col("t").cast("double"), 6
+            ).alias("observed_freq"),
+            F.round(
+                F.log(1.0 + 1.0 / F.col("digit").cast("double"))
+                / F.log(F.lit(10.0)),
+                6,
+            ).alias("benford_freq"),
+        )
+    )
