@@ -264,6 +264,7 @@ NEW_QUERIES_R05 = [
     "modern_sql_syntax_suite",
     "moments_rollup_mergeable",
     "benford_digit_audit",
+    "surrogate_keys_dense",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

@@ -432,3 +432,19 @@ def test_benford_frequencies_form_a_distribution(spark, sf_dir):
         assert math.isclose(
             r.benford_freq, math.log10(1 + 1 / r.digit), abs_tol=1e-6
         )
+
+
+def test_surrogate_keys_are_a_dense_bijection(spark, sf_dir):
+    rows = sorted(
+        Q.surrogate_keys_dense(spark, sf_dir).collect(),
+        key=lambda r: r.sk_lo,
+    )
+    n_total = Q._t(spark, sf_dir, "documents").count()
+    # per-source ranges tile 1..N with no gaps or overlaps
+    assert rows[0].sk_lo == 1
+    for a, b in zip(rows, rows[1:]):
+        assert a.sk_hi + 1 == b.sk_lo
+        assert a.sk_hi - a.sk_lo + 1 == a.n_rows
+    last = rows[-1]
+    assert last.sk_hi == n_total
+    assert last.sk_hi - last.sk_lo + 1 == last.n_rows

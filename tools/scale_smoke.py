@@ -169,6 +169,7 @@ SMOKE = [
     "modern_sql_syntax_suite",
     "moments_rollup_mergeable",
     "benford_digit_audit",
+    "surrogate_keys_dense",
 ]
 
 

@@ -11996,3 +11996,52 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("benford_freq"),
         )
     )
+
+
+@_register(
+    "surrogate_keys_dense",
+    oracle="""
+    WITH assigned AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (ORDER BY source, doc_id) AS sk
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_rows,
+           CAST(MIN(sk) AS BIGINT) AS sk_lo,
+           CAST(MAX(sk) AS BIGINT) AS sk_hi
+    FROM assigned GROUP BY 1
+    """,
+    doc="Dense surrogate-key assignment — the warehouse ETL step the"
+        " reference's star schema leaves to natural keys"
+        " (sql_queries.py:86-96 dim_users keeps user_id): every row"
+        " gets a gap-free 1..N key in a STABLE total order (source,"
+        " natural key), the property identity resolution and"
+        " fact-to-dim FK compaction need. monotonically_increasing_id"
+        " is the tempting wrong answer (partition-dependent, gappy,"
+        " non-reproducible); zipWithIndex collects ordering to RDD"
+        " mechanics. The engine's answer is the two-pass blocked rank"
+        " (exact_distributed_rank over source blocks): dense,"
+        " reproducible, and no single-partition sort of the dimension"
+        " at 100 TB. The oracle replays with a plain ROW_NUMBER and"
+        " the per-source (lo, hi) ranges prove density end-to-end"
+        " (ranges tile 1..N with no gaps exactly when the assignment"
+        " is a bijection).",
+)
+def surrogate_keys_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    assigned = rel.exact_distributed_rank(
+        docs.select("doc_id", "source"),
+        # the block must be MONOTONE in the leading sort key: each
+        # source is its own ordered block (lexicographic block order ==
+        # the sort's source order), so block-local doc_id ranks lift to
+        # the exact global (source, doc_id) rank
+        block=F.col("source"),
+        order=[F.col("doc_id").asc()],
+        rank_col="sk",
+    )
+    return assigned.groupBy("source").agg(
+        F.count("*").alias("n_rows"),
+        F.min("sk").cast("long").alias("sk_lo"),
+        F.max("sk").cast("long").alias("sk_hi"),
+    )
