@@ -1199,16 +1199,14 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: ``queries()`` (observed in rounds 1-2: ``set(queries()[:50]) ==
 #: set(CORRECTNESS_rNN)``), so dict order decides which queries get the
 #: hard DuckDB-oracle signal. Registration order is file-layout accident;
-#: this list is the explicit policy. The ROUND-5 window holds the 41
-#: round-4-wave queries that have never had a driver hard-signal row
-#: (the top rotation debt), the flagship, and the stalest greens in
-#: the remaining slots. The 27 queries ADDED in round 5 (BM25, PMI,
-#: matryoshka, bloom semi-join, skyline, label propagation, recursive
-#: CTE, UDTF, PCA, classifier eval, resampling, XML, leakage-safe
-#: split, diversity, Zipf, compaction, plus the profiling/dim_users/
-#: catalog/batched-BPE set) intentionally sit OUTSIDE the window:
-#: they are next round's rotation, covered until then by the strict
-#: exact-value oracle replays at sf0.001 and sf0.01.
+#: this list is the explicit policy. The ROUND-6 window holds the 33
+#: round-5-wave oracled queries that have never had a driver hard-signal
+#: row (the whole rotation debt — exact set from tools/rotate_window.py,
+#: which derives the count from CORRECTNESS_r*.json rather than a hand
+#: count), the flagship, and the stalest greens (round-2 rows) in the
+#: remaining slots. Queries ADDED in round 6 intentionally sit OUTSIDE
+#: the window: they are round 7's rotation, covered until then by the
+#: strict exact-value oracle replays at sf0.001 and sf0.01.
 #: Everything demoted out of the window stays
 #: covered by the identical oracle comparison in pytest
 #: (tests/test_oracle_parity.py), which replays all oracled queries.
@@ -1217,60 +1215,59 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: first) and replace this list with its output.
 WINDOW_PRIORITY: list[str] = [
     "flagship_hourly_activity",
-    # round-4 late wave (waves 5-12): 41 oracled queries that have never
-    # had a driver hard-signal row — the whole stats/graph/sketch/
-    # streaming/datasource/SQL-scripting/NULL-semantics set. Clearing
-    # these zeroes rotation debt for the first time.
-    "reservoir_sample_per_group",
-    "dedup_exact_substring",
-    "partitioned_ingest_pruned",
-    "record_linkage_blocked",
-    "text_char_entropy",
-    "streaming_stateful_sessions_readback",
-    "incremental_rollup_maintain",
-    "profile_table_stats",
-    "pagerank_similarity_graph",
-    "linreg_by_group",
-    "event_transition_matrix",
-    "ewma_user_value",
-    "mad_outlier_filter",
-    "triangle_count_similarity",
-    "schema_evolution_read",
-    "bootstrap_ci_mean",
-    "grouped_topk_salted",
-    "ann_pq_recall_check",
-    "histogram_quantile_sketch",
-    "json_variant_shred",
-    "cross_source_overlap",
-    "dedup_ngram_containment",
-    "count_min_heavy_hitters",
-    "tokenizer_oov_rate",
-    "retrieval_mrr_eval",
-    "multimodal_image_resize",
-    "hll_sketch_rollup",
-    "cooccurrence_event_pairs",
-    "key_skew_report",
-    "rfm_customer_segments",
-    "streaming_running_totals_readback",
-    "dpp_partitioned_join",
-    "map_functions_suite",
-    "array_hof_suite",
-    "python_datasource_scan",
-    "python_datasink_roundtrip",
-    "sql_scripting_control_flow",
-    "pipeline_observe_metrics",
-    "agg_modern_suite",
-    "lateral_join_top_lineitems",
-    "null_semantics_suite",
-    # stalest greens (round-2 rows, oldest first) to re-confirm stability
-    "projection_rename",
-    "filter_eq",
-    "filter_like_lower",
-    "filter_null_probe",
-    "join_left_compound",
-    "join_inner",
-    "join_anti",
-    "star_join_region_revenue",
+    # round-5 wave: 33 oracled queries that have never had a driver
+    # hard-signal row (rotate_window.py output, round 6). Clearing these
+    # zeroes the round-5 rotation debt.
+    "catalog_introspection",
+    "dim_users_build",
+    "dim_users_build_deduped",
+    "bpe_learn_merges_batched",
+    "profile_table_stats_approx",
+    "equidepth_value_buckets",
+    "ngram_pmi_collocations",
+    "matryoshka_prefix_ann",
+    "matryoshka_recall_check",
+    "temperature_mix_sources",
+    "bm25_topk",
+    "bloom_prefilter_join",
+    "skyline_orders_pareto",
+    "label_propagation_communities",
+    "streaming_attribution_readback",
+    "inverted_index_postings",
+    "quantile_normalize_by_group",
+    "recursive_cte_reachability",
+    "python_udtf_token_windows",
+    "pca_variance_check",
+    "classifier_eval_suite",
+    "resample_interpolate_hourly",
+    "xml_ingest_roundtrip",
+    "leakage_safe_split",
+    "distinct_ngram_diversity",
+    "zipf_law_fit",
+    "compact_small_files",
+    "hopping_window_counts",
+    "k_anonymity_audit",
+    "modern_sql_syntax_suite",
+    "moments_rollup_mergeable",
+    "benford_digit_audit",
+    "surrogate_keys_dense",
+    # stalest greens (oldest green round first) to re-confirm stability
+    "agg_count_star",
+    "agg_groupby_count",
+    "agg_grouping_sets",
+    "distinct_multi",
+    "topk_orders",
+    "window_user_top_events",
+    "setops_daily_users",
+    "cte_hourly_active_users",
+    "time_dimension_build",
+    "epoch_millis_roundtrip",
+    "sparkify_fct_build",
+    "tpch_q1_pricing_summary",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
 ]
 
 #: size of the driver's recorded window (empirical, rounds 1-2)
