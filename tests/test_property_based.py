@@ -197,6 +197,33 @@ def test_bloom_semijoin_never_drops_a_match(spark, fact_keys, dim_keys):
     assert truly_matching <= survived
 
 
+def test_bloom_semijoin_mixed_key_types_no_false_negatives(spark):
+    """An INT fact key probed against a BIGINT dim key (and string vs
+    long) must still never drop a true match: xxhash64 is type-
+    sensitive, so build and probe hash from a common widened type."""
+    from udacitydatawarehouseprj_spark.operators import relational as rel
+
+    keys = list(range(0, 4000, 7))
+    fact = spark.createDataFrame(
+        [(k,) for k in keys], "k int"  # narrow side
+    )
+    dim = spark.createDataFrame(
+        [(k,) for k in keys[::3]], "d bigint"  # wide side
+    )
+    survived = {r.k for r in
+                rel.bloom_semijoin_reduce(fact, "k", dim, "d").collect()}
+    assert set(keys[::3]) <= survived
+
+    # string fact key vs long dim key: both normalize via cast-to-string
+    # on the fact side only, so this documents the SUPPORTED contract —
+    # identical logical values in identical representations. A string
+    # "00042" vs long 42 is out of contract; "42" vs 42 must match.
+    fact_s = spark.createDataFrame([(str(k),) for k in keys], "k string")
+    survived_s = {int(r.k) for r in
+                  rel.bloom_semijoin_reduce(fact_s, "k", dim, "d").collect()}
+    assert set(keys[::3]) <= survived_s
+
+
 @settings(max_examples=8, deadline=None)
 @given(
     st.lists(

@@ -222,8 +222,22 @@ def bloom_semijoin_reduce(
     m = BLOOM_M_BITS
     wb = _BLOOM_WORD_BITS
 
+    # xxhash64 is TYPE-sensitive (int 5 and bigint 5 hash differently),
+    # so build and probe must hash from ONE common type or a fact int
+    # key probed against a dim bigint key drops TRUE matches —
+    # violating the no-false-negatives contract. Both integral → widen
+    # to long; anything else → hash the string form (long 42 and
+    # string "42" render identically, so a string/numeric pair still
+    # matches on equal logical values in canonical representation).
+    _integral = ("tinyint", "smallint", "int", "bigint")
+    f_kind = dict(fact.dtypes)[fact_key]
+    d_kind = dict(dim_keys.dtypes)[dim_key]
+    common = (
+        "long" if f_kind in _integral and d_kind in _integral else "string"
+    )
+
     def _probe_positions(df: DataFrame, key: str, pfx: str) -> DataFrame:
-        df = df.withColumn(f"{pfx}h", F.xxhash64(F.col(key)))
+        df = df.withColumn(f"{pfx}h", F.xxhash64(F.col(key).cast(common)))
         df = df.withColumn(
             f"{pfx}1", F.expr(f"CAST({pfx}h & {m - 1} AS BIGINT)")
         )

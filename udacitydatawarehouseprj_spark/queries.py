@@ -10201,7 +10201,7 @@ _MIX_P = 999999937
     doc="Temperature-scaled source mixing (the multilingual/multi-"
         "source sampling scheme of mBERT/XLM-R/T5, τ = 0.5): source"
         " weights ∝ share^τ flatten the source distribution — rare"
-        " sources up-sampled, dominant ones capped — then每-document"
+        " sources up-sampled, dominant ones capped — then per-document"
         " Bernoulli keeps via the portable two-round Lehmer PRNG hit a"
         " half-corpus token budget at the re-tempered rates. The"
         " normalization sum runs over DECIMAL(18,12) weights (order-"
@@ -10440,7 +10440,8 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         " does not depend on the filter, only the pruning ratio does"
         " (plan/unit tests pin that the bloom actually drops rows)."
         " At 100 TB this is THE selective-star-join pattern: the dim"
-        " predicate reaches the fact scan as an 8 KiB broadcast bitset,"
+        " predicate reaches the fact scan as a 65536-bit bitset (8 KiB"
+        " logical, 16 KiB as the stored array<long> words),"
         " and ~98% of the fact table never enters the join exchange.",
 )
 def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10906,7 +10907,14 @@ def python_udtf_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                      " win_len: long")
     class TokenWindows:
         def eval(self, text: str):
-            n = len(text.lower().split())
+            # regex-split semantics (the tokens_expr contract): empty
+            # tokens from leading/irregular whitespace are PRESERVED,
+            # matching the oracle's string_split_regex(lower(text),
+            # '\s+') — str.split() would drop them and silently break
+            # hash parity on any document with untidy whitespace.
+            import re
+
+            n = len(re.split(r"\s+", text.lower()))
             stride = 50
             for w in range((n + stride - 1) // stride):
                 start = w * stride
