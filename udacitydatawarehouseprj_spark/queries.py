@@ -12050,3 +12050,580 @@ def surrogate_keys_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("sk").cast("long").alias("sk_lo"),
         F.max("sk").cast("long").alias("sk_hi"),
     )
+
+
+# =====================================================================
+# Round-6 wave 1: connected components (log-diameter min-label),
+# skip-gram training pairs, CDC changelog apply, exact-n stratified
+# sampling
+# =====================================================================
+
+
+@_register(
+    "connected_components_minlabel",
+    oracle=f"""
+    WITH RECURSIVE p AS ({_JACCARD_ORACLE}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM p
+        UNION SELECT doc_b, doc_a FROM p
+    ),
+    walk(n, m) AS (
+        SELECT doc_id, CAST(doc_id AS BIGINT) FROM documents
+        UNION
+        SELECT w.n, CAST(e.b AS BIGINT) FROM walk w JOIN edges e ON w.m = e.a
+    )
+    SELECT n AS doc_id, CAST(MIN(m) AS BIGINT) AS component
+    FROM walk GROUP BY n
+    """,
+    doc="Connected components over the document near-dup similarity"
+        " graph (operators/graph.py connected_components_minlabel) —"
+        " min-label propagation WITH star shortcuts (the alternating-"
+        " contraction family, Kiveris et al. SoCC 2014): the label"
+        " assignment is fed back as extra (node → label) edges every"
+        " round, so reach doubles per round and convergence is"
+        " O(log diameter) — the difference between 20 rounds and"
+        " millions on a 100 TB web-scale dup graph. Converges to"
+        " component = min reachable doc_id, a pure function of the"
+        " edge set, replayed exactly by the oracle's recursive-CTE"
+        " min-reachable closure. The third consumer of the exact-"
+        " Jaccard graph (after PageRank and LPA) — CC answers 'which"
+        " docs are transitively the same' where LPA answers 'which"
+        " docs cluster together': a bridge edge merges CC components"
+        " but not LPA communities.",
+)
+def connected_components_minlabel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from udacitydatawarehouseprj_spark.operators import graph
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _lsh_pairs_05(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).union(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    )
+    return graph.connected_components_minlabel(
+        docs.select("doc_id"), edges, id_col="doc_id"
+    )
+
+
+@_register(
+    "skipgram_pairs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, unnest(range(1, len(t) + 1)) AS i, t FROM toks
+    ),
+    pos2 AS (SELECT doc_id, i, t[i] AS tok FROM pos),
+    pairs AS (
+        SELECT a.tok AS center, b.tok AS context
+        FROM pos2 a JOIN pos2 b ON a.doc_id = b.doc_id
+        WHERE abs(a.i - b.i) BETWEEN 1 AND 2
+    )
+    SELECT center, context, COUNT(*) AS pair_cnt
+    FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    """,
+    doc="Skip-gram (center, context) pair extraction with window ±2 —"
+        " the word2vec/SGNS training-pair generation step (Mikolov et"
+        " al. 2013) every embedding pipeline runs over the corpus."
+        " Deliberately NOT a positions self-join on doc_id (that is"
+        " O(n_tokens²) per document): each token row is exploded into"
+        " its 4 probe offsets and equi-joined on (doc_id, position) —"
+        " linear in corpus size and a plain hash join Catalyst can"
+        " shuffle on the compound key. The oracle replays with the"
+        " quadratic formulation (fine at fixture scale) — same pairs,"
+        " different physical strategy: the point at 100 TB. HAVING"
+        " cnt >= 3 bounds the tail so the result is the trainable"
+        " co-occurrence table, not the raw pair stream.",
+)
+def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = S.spread(docs, ("doc_id",)).select(
+        "doc_id", F.posexplode(dedup.tokens_expr("text")).alias("pos", "tok")
+    )
+    probes = toks.select(
+        "doc_id",
+        F.col("tok").alias("center"),
+        F.explode(
+            F.array(*[F.col("pos") + F.lit(d) for d in (-2, -1, 1, 2)])
+        ).alias("probe_pos"),
+    )
+    pairs = probes.join(
+        toks.select(
+            "doc_id", F.col("pos").alias("probe_pos"),
+            F.col("tok").alias("context"),
+        ),
+        ["doc_id", "probe_pos"],
+    )
+    return (
+        pairs.groupBy("center", "context")
+        .agg(F.count("*").alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= 3)
+    )
+
+
+@_register(
+    "cdc_apply_changes",
+    oracle="""
+    WITH changes AS (
+        SELECT l_orderkey AS key,
+               l_linenumber AS seq,
+               CASE WHEN l_quantity < 5 THEN 'D' ELSE 'U' END AS op,
+               l_extendedprice AS price,
+               l_quantity AS qty, l_partkey AS pk, l_suppkey AS sk
+        FROM lineitem
+    ),
+    latest AS (
+        SELECT key, seq, op, price,
+               ROW_NUMBER() OVER (
+                   PARTITION BY key
+                   ORDER BY seq DESC, price DESC, qty DESC, pk DESC, sk DESC
+               ) AS rn
+        FROM changes
+    )
+    SELECT key AS o_orderkey,
+           CAST(seq AS BIGINT) AS last_seq,
+           price AS final_price
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+    doc="CDC changelog apply (the MERGE-free upsert/delete compaction"
+        " every lakehouse ingestion runs): a keyed change stream with"
+        " monotonically increasing sequence numbers per key collapses"
+        " to latest-wins state — row_number() DESC per key, keep rn=1,"
+        " drop keys whose final operation is a delete. The fixture"
+        " derives the change stream from lineitem (l_linenumber is the"
+        " per-order sequence; small-quantity lines stand in for"
+        " deletes). ONE shuffle on the key — at 100 TB the window"
+        " degenerates gracefully (max-seq pre-aggregation + self-join"
+        " is the AQE-friendly alternative, merge_upsert_customers"
+        " shows that form); complements scd2_dim_customers (full"
+        " history) and merge_upsert_customers (snapshot merge):"
+        " this is the log-compaction third of the trio.",
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    li = _t(spark, sf_dir, "lineitem")
+    changes = li.select(
+        F.col("l_orderkey").alias("key"),
+        F.col("l_linenumber").alias("seq"),
+        F.when(F.col("l_quantity") < 5, "D").otherwise("U").alias("op"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_partkey").alias("pk"),
+        F.col("l_suppkey").alias("sk"),
+    )
+    # the synthetic lineitem REUSES line numbers within an order, so the
+    # latest-wins rank needs a deterministic full tie-break chain (any
+    # rows still tied are identical in every output-relevant column)
+    latest = changes.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("key").orderBy(
+                F.desc("seq"), F.desc("price"), F.desc("qty"),
+                F.desc("pk"), F.desc("sk"),
+            )
+        ),
+    ).filter((F.col("rn") == 1) & (F.col("op") != "D"))
+    return latest.select(
+        F.col("key").alias("o_orderkey"),
+        F.col("seq").cast("long").alias("last_seq"),
+        F.col("price").alias("final_price"),
+    )
+
+
+@_register(
+    "stratified_exact_n_sample",
+    oracle=f"""
+    SELECT event_id, user_id, event_type
+    FROM (
+        SELECT event_id, user_id, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY {_PORTABLE_HASH_SQL.format(id='event_id')},
+                            event_id
+               ) AS rn
+        FROM events
+    ) WHERE rn <= 40
+    """,
+    doc="Exact-n stratified sampling: exactly 40 rows per stratum"
+        " (event_type), chosen by rank under a portable multiplicative"
+        " hash of the row id — the reproducible 'random but"
+        " deterministic' order eval-set construction needs (sampleBy"
+        " gives BINOMIAL counts, not exact n; orderBy(rand()) is"
+        " irreproducible across runs/engines). One shuffle on the"
+        " stratum key; per-stratum TOP-N, so at 100 TB the window"
+        " sort is bounded by the stratum partition — for heavy"
+        " strata compose with the salted two-phase top-k"
+        " (grouped_topk_salted) to cap partition width.",
+)
+def stratified_exact_n_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    h = (
+        (F.col("event_id") % F.lit(2147483647)) * F.lit(2654435761)
+        + F.lit(40503)
+    ) % F.lit(2147483647)
+    return (
+        ev.select(
+            "event_id", "user_id", "event_type",
+            F.row_number()
+            .over(W.partitionBy("event_type").orderBy(h.asc(), F.col("event_id").asc()))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= 40)
+        .drop("rn")
+    )
+
+
+# =====================================================================
+# Round-6 wave 2: malformed-record-tolerant ingestion, blocked fuzzy
+# matching, seasonal-residual anomalies, KS distribution drift,
+# l-diversity audit
+# =====================================================================
+
+
+@_register(
+    "json_malformed_recovery",
+    oracle="""
+    WITH raw AS (
+        SELECT o_orderkey,
+               '{"pri":"' || o_orderpriority || '","cents":'
+                   || CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                           AS VARCHAR)
+                   || ',"k":' || CAST(o_orderkey AS VARCHAR) || '}' AS js
+        FROM orders
+    ),
+    corrupted AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN substr(js, 1, 20)
+                    ELSE js END AS js
+        FROM raw
+    )
+    SELECT o_orderkey,
+           json_valid(js) AS parsed_ok,
+           CASE WHEN json_valid(js)
+                THEN CAST(json_extract_string(js, '$.cents') AS BIGINT)
+           END AS cents,
+           CASE WHEN json_valid(js)
+                THEN NULL
+                ELSE CAST(length(js) AS BIGINT) END AS corrupt_len
+    FROM corrupted
+    """,
+    doc="Malformed-record-tolerant JSON ingestion — PERMISSIVE"
+        " from_json with columnNameOfCorruptRecord, the recovery"
+        " contract production log pipelines rely on (a poison record"
+        " must surface in the corrupt column, never kill the job or"
+        " silently vanish; FAILFAST/DROPMALFORMED are the other two"
+        " modes). The fixture synthesizes the payload from orders with"
+        " engine-portable string concatenation (integer fields only —"
+        " double→string formatting is not a cross-engine contract) and"
+        " truncates every 7th record mid-token; parsed fields, the"
+        " ok/corrupt split, and the quarantined corrupt-record length"
+        " are all under the hash gate (oracle side: json_valid +"
+        " json_extract). Pure per-row expressions — zero shuffles,"
+        " scan-parallel at any scale.",
+)
+def json_malformed_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    js = F.concat(
+        F.lit('{"pri":"'), F.col("o_orderpriority"), F.lit('","cents":'),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+        F.lit(',"k":'), F.col("o_orderkey").cast("string"), F.lit("}"),
+    )
+    corrupted = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.substring(js, 1, 20))
+        .otherwise(js)
+        .alias("js"),
+    )
+    parsed = corrupted.select(
+        "o_orderkey",
+        F.from_json(
+            F.col("js"),
+            "pri string, cents bigint, k bigint, _corrupt string",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("r"),
+    )
+    return parsed.select(
+        "o_orderkey",
+        F.col("r._corrupt").isNull().alias("parsed_ok"),
+        F.col("r.cents").alias("cents"),
+        F.length("r._corrupt").cast("long").alias("corrupt_len"),
+    )
+
+
+@_register(
+    "fuzzy_match_blocked_levenshtein",
+    oracle="""
+    WITH dirty AS (
+        SELECT p_partkey AS dirty_id,
+               substr(p_name, 1, CAST(p_partkey % (length(p_name) - 1) + 1
+                                      AS INTEGER))
+               || substr(p_name, CAST(p_partkey % (length(p_name) - 1) + 3
+                                      AS INTEGER)) AS dirty_name
+        FROM part WHERE p_partkey % 2 = 1
+    ),
+    cand AS (
+        SELECT d.dirty_id, d.dirty_name, p.p_partkey, p.p_name,
+               levenshtein(d.dirty_name, p.p_name) AS dist
+        FROM dirty d JOIN part p
+          ON substr(d.dirty_name, 1, 1) = substr(p.p_name, 1, 1)
+        WHERE levenshtein(d.dirty_name, p.p_name) <= 1
+    ),
+    best AS (
+        SELECT dirty_id, dirty_name, p_partkey, p_name, dist,
+               ROW_NUMBER() OVER (PARTITION BY dirty_id
+                                  ORDER BY dist, p_partkey) AS rn
+        FROM cand
+    )
+    SELECT dirty_id, dirty_name,
+           p_partkey AS matched_partkey, p_name AS matched_name,
+           CAST(dist AS BIGINT) AS dist
+    FROM best WHERE rn = 1
+    """,
+    doc="Blocked fuzzy (edit-distance) entity matching — the record-"
+        "linkage workhorse: dirty strings (here: one deterministic"
+        " mid-string character deletion per odd part) are matched back"
+        " to the clean catalog through a BLOCKING key (first"
+        " character) so Levenshtein — O(|s|²) per pair and not"
+        " index-able — only runs inside blocks, never as a cross"
+        " join; best match per dirty row by (distance, key) rank."
+        " At 100 TB blocking is THE difference between |dirty|×|clean|"
+        " pairs and a hash join on the block key with per-block"
+        " candidate lists; compose multiple blocking passes (prefix,"
+        " suffix, length band) and union for recall — the same"
+        " architecture as record_linkage_blocked, which blocks"
+        " structured keys where this blocks raw strings.",
+)
+def fuzzy_match_blocked_levenshtein(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    part = _t(spark, sf_dir, "part")
+    pos = (F.col("p_partkey") % (F.length("p_name") - 1) + 1).cast("int")
+    dirty = part.filter(F.col("p_partkey") % 2 == 1).select(
+        F.col("p_partkey").alias("dirty_id"),
+        F.concat(
+            F.expr("substr(p_name, 1, CAST(p_partkey % (length(p_name) - 1)"
+                   " + 1 AS INT))"),
+            F.expr("substr(p_name, CAST(p_partkey % (length(p_name) - 1)"
+                   " + 3 AS INT))"),
+        ).alias("dirty_name"),
+    )
+    cand = (
+        dirty.withColumn("blk", F.substring("dirty_name", 1, 1))
+        .join(
+            part.withColumn("blk", F.substring("p_name", 1, 1)),
+            "blk",
+        )
+        .withColumn("dist", F.levenshtein("dirty_name", "p_name"))
+        .filter(F.col("dist") <= 1)
+    )
+    best = cand.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("dirty_id").orderBy("dist", "p_partkey")
+        ),
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        "dirty_id", "dirty_name",
+        F.col("p_partkey").alias("matched_partkey"),
+        F.col("p_name").alias("matched_name"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
+@_register(
+    "anomaly_seasonal_residuals",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_id, event_type, value,
+               CAST(date_part('hour', ts) AS BIGINT) AS hod
+        FROM events
+    ),
+    prof AS (
+        SELECT event_type, hod,
+               {_SQL_DSUM('value')} AS sv,
+               COUNT(*) AS n
+        FROM base GROUP BY 1, 2
+    ),
+    resid AS (
+        SELECT b.event_id, b.event_type, b.hod, b.value,
+               b.value - p.sv / p.n AS r
+        FROM base b JOIN prof p USING (event_type, hod)
+    ),
+    sig AS (
+        SELECT event_type,
+               sqrt(({_SQL_DSUM('r * r')}) / COUNT(*)) AS sigma
+        FROM resid GROUP BY 1
+    )
+    SELECT r.event_id, r.event_type, r.value,
+           ROUND(r.r, 4) AS resid
+    FROM resid r JOIN sig s USING (event_type)
+    WHERE abs(r.r) > 3 * s.sigma
+    """,
+    doc="Seasonal-residual anomaly detection: the hour-of-day seasonal"
+        " profile (per event_type mean) is subtracted from every"
+        " observation and rows beyond 3σ of the residual distribution"
+        " are flagged — seasonal-naive decomposition, the first-line"
+        " drift/outlier monitor for event streams (MAD-based"
+        " mad_outlier_filter is the robust sibling; this one is the"
+        " classical z-score on DESEASONALIZED values, so a nightly"
+        " traffic spike at 3am flags while the same volume at noon"
+        " does not). Two aggregations over (type, hour) and (type) —"
+        " both tiny — then broadcast back over the scan: one wide"
+        " pass at any scale. Exact-decimal sums keep mean/σ"
+        " bit-identical cross-engine.",
+)
+def anomaly_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", "event_type", "value",
+        F.hour("ts").cast("long").alias("hod"),
+    )
+    prof = base.groupBy("event_type", "hod").agg(
+        _dsum(F.col("value")).alias("sv"), F.count("*").alias("n")
+    )
+    resid = base.join(F.broadcast(prof), ["event_type", "hod"]).withColumn(
+        "r", F.col("value") - F.col("sv") / F.col("n")
+    )
+    sig = resid.groupBy("event_type").agg(
+        F.sqrt(_dsum(F.col("r") * F.col("r")) / F.count("*")).alias("sigma")
+    )
+    return (
+        resid.join(F.broadcast(sig), "event_type")
+        .filter(F.abs(F.col("r")) > 3 * F.col("sigma"))
+        .select(
+            "event_id", "event_type", "value",
+            F.round("r", 4).alias("resid"),
+        )
+    )
+
+
+@_register(
+    "ks_drift_test",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(n_chars AS BIGINT) AS v,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g
+        FROM documents
+    ),
+    n AS (SELECT CAST(SUM(g) AS BIGINT) AS n1,
+                 CAST(SUM(1 - g) AS BIGINT) AS n2 FROM s),
+    d AS (SELECT v, SUM(g) AS c1, SUM(1 - g) AS c2 FROM s GROUP BY v),
+    c AS (
+        SELECT v,
+               SUM(c1) OVER (ORDER BY v) AS f1,
+               SUM(c2) OVER (ORDER BY v) AS f2
+        FROM d
+    ),
+    x AS (SELECT v, abs(f1 * n.n2 - f2 * n.n1) AS dd FROM c, n),
+    m AS (SELECT MAX(dd) AS mx FROM x)
+    SELECT n.n1, n.n2,
+           CAST(MIN(x.v) AS BIGINT) AS ks_at,
+           CAST(ROUND(CAST(m.mx AS DOUBLE) / (n.n1 * n.n2), 6) AS DOUBLE)
+               AS ks_stat
+    FROM x, m, n
+    WHERE x.dd = m.mx
+    GROUP BY n.n1, n.n2, m.mx
+    """,
+    doc="Two-sample Kolmogorov–Smirnov drift test between the English"
+        " and non-English document-length distributions — the exact"
+        " distribution-shift monitor a corpus pipeline runs between"
+        " snapshots, sources, or train/serve splits. KS = sup|F1−F2|"
+        " computed EXACTLY in integer arithmetic (max |c1·n2 − c2·n1|"
+        " over the merged support, one division at the end) — no"
+        " floating ECDFs, so the statistic is bit-identical cross-"
+        " engine and the argmax value (ks_at) is well-defined. One"
+        " groupBy on the value + one ordered prefix-sum window over"
+        " the DISTINCT support (thousands of rows, not corpus rows):"
+        " the scan dominates at 100 TB, the window never does.",
+)
+def ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.select(
+        F.col("n_chars").cast("long").alias("v"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("g"),
+    )
+    n = s.agg(
+        F.sum("g").cast("long").alias("n1"),
+        F.sum(1 - F.col("g")).cast("long").alias("n2"),
+    )
+    d = s.groupBy("v").agg(
+        F.sum("g").alias("c1"), F.sum(1 - F.col("g")).alias("c2")
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = d.select(
+        "v", F.sum("c1").over(w).alias("f1"), F.sum("c2").over(w).alias("f2")
+    )
+    x = c.crossJoin(F.broadcast(n)).select(
+        "v", "n1", "n2",
+        F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+        .alias("dd"),
+    )
+    m = x.agg(F.max("dd").alias("mx"))
+    return (
+        x.join(F.broadcast(m), F.col("dd") == F.col("mx"))
+        .groupBy("n1", "n2", "mx")
+        .agg(F.min("v").cast("long").alias("ks_at"))
+        .select(
+            "n1", "n2", "ks_at",
+            F.round(F.col("mx").cast("double") / (F.col("n1") * F.col("n2")), 6)
+            .alias("ks_stat"),
+        )
+    )
+
+
+@_register(
+    "l_diversity_audit",
+    oracle="""
+    WITH qi AS (
+        SELECT event_type,
+               CAST(date_part('hour', ts) AS BIGINT) AS hour_of_day,
+               CAST(FLOOR(value / 50.0) AS BIGINT) AS value_band,
+               user_id
+        FROM events
+    )
+    SELECT event_type, hour_of_day, value_band,
+           COUNT(*) AS group_size,
+           COUNT(DISTINCT user_id) AS l_distinct
+    FROM qi
+    GROUP BY 1, 2, 3
+    HAVING COUNT(DISTINCT user_id) < 3
+    """,
+    doc="l-diversity audit — the companion check to k_anonymity_audit"
+        " (same quasi-identifier triple: type, hour, value band):"
+        " k-anonymity bounds GROUP SIZE but a group of 50 rows all"
+        " belonging to one user still leaks the sensitive attribute;"
+        " l-diversity requires ≥ l distinct sensitive values"
+        " (user_id, l=3) per equivalence class (Machanavajjhala et"
+        " al. 2007). One hash aggregation with a distinct-count —"
+        " Spark rewrites count(distinct) into a two-phase expand/agg,"
+        " partial-aggregated map-side, so the audit scales with the"
+        " number of QI groups, not rows.",
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    qi = ev.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("hour_of_day"),
+        F.floor(F.col("value") / 50.0).cast("long").alias("value_band"),
+        "user_id",
+    )
+    return (
+        qi.groupBy("event_type", "hour_of_day", "value_band")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.countDistinct("user_id").alias("l_distinct"),
+        )
+        .filter(F.col("l_distinct") < 3)
+    )
