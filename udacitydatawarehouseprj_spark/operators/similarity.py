@@ -1447,3 +1447,77 @@ def pca_project(
     return df.select(id_col, vec_col).mapInPandas(
         project, schema=f"{id_col} long, proj array<double>"
     )
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 3,
+    ceiling: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-k most-similar corpus vectors whose LABEL DIFFERS, with a
+    cosine ceiling excluding near-duplicate twins (a near-dup with a
+    different label is almost always a labeling error, not a useful
+    negative — the standard filtered-hard-negative recipe, e.g. RocketQA
+    denoising). Same deterministic (cosine desc, id) rank and fold dot
+    product as cosine_topk, so the oracle replays it exactly.
+
+    Scale shape: anchors broadcast, |C|×|A| pairs produced map-side and
+    label/ceiling-FILTERED before the per-partition top-k selection —
+    the full pair relation never shuffles (same contract as
+    cosine_topk; the filter only shrinks the candidate stream).
+    """
+    a = anchors.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("q_label"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("c_label"),
+    )
+    pairs = (
+        _pairs_with_cosine(corpus, anchors, id_col, vec_col)
+        .join(F.broadcast(a), "query_id")
+        .join(c, "neighbor_id")
+        .filter(
+            (F.col("q_label") != F.col("c_label"))
+            & (F.col("cosine") < F.lit(ceiling))
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+    def partial_topk(it):
+        import pandas as pd
+
+        carry = None
+        for pdf in it:
+            carry = pdf if carry is None else pd.concat([carry, pdf])
+            carry = (
+                carry.sort_values(
+                    ["query_id", "cosine", "neighbor_id"],
+                    ascending=[True, False, True],
+                )
+                .groupby("query_id", sort=False)
+                .head(k)
+            )
+        if carry is not None and len(carry):
+            yield carry
+
+    cands = pairs.mapInPandas(partial_topk, schema=_topk_candidates_schema())
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )

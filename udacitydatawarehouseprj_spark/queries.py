@@ -12627,3 +12627,273 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("l_distinct") < 3)
     )
+
+
+# =====================================================================
+# Round-6 wave 3: hard-negative mining, video frame sampling, text-
+# lines + binaryFile sources, sparse TF-IDF all-pairs similarity
+# =====================================================================
+
+
+@_register(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, label, emb,
+               sqrt({_DOT_SQL.format(a='emb', b='emb')}) AS nrm
+        FROM e
+    ),
+    pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_DOT_SQL.format(a='c.emb', b='q.emb')} / (c.nrm * q.nrm)
+                   AS cosine
+        FROM n c JOIN n q
+          ON c.vec_id <> q.vec_id AND c.label <> q.label
+        WHERE q.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank,
+           ROUND(cosine, 6) AS cosine
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM pairs WHERE cosine < 0.95
+    ) WHERE rnk <= 3
+    """,
+    doc="Hard-negative mining for contrastive training"
+        " (operators/similarity.py hard_negative_topk): per anchor"
+        " (vec_id<10), the top-3 most-similar vectors with a DIFFERENT"
+        " label, cosine-ceiling 0.95 to exclude near-duplicate twins —"
+        " the filtered-hard-negative recipe (RocketQA-style denoising:"
+        " a near-dup with a different label is a labeling error, not a"
+        " training signal). Same broadcast + map-side-scored +"
+        " partition-local-top-k shape as cosine_topk: the label and"
+        " ceiling filters run BEFORE candidate selection, so the pair"
+        " stream only shrinks and nothing extra shuffles.",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 10)
+    return similarity.hard_negative_topk(emb, anchors, k=3, ceiling=0.95)
+
+
+@_register(
+    "multimodal_video_frames",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id,
+               unnest(range(0, CAST((n_chars + 255) // 256 AS BIGINT)))
+                   AS frame_idx
+        FROM documents
+    )
+    SELECT f.doc_id,
+           CAST(f.frame_idx AS INTEGER) AS frame_idx,
+           CAST(length(substr(d.text, CAST(f.frame_idx * 256 + 1 AS BIGINT),
+                              64)) AS BIGINT) AS n_bytes,
+           md5(substr(d.text, CAST(f.frame_idx * 256 + 1 AS BIGINT), 64))
+               AS frame_md5
+    FROM f JOIN documents d USING (doc_id)
+    """,
+    doc="Video-style frame sampling over opaque binary payloads"
+        " (operators/multimodal.py sample_frames): every 256th byte"
+        " offset yields a 64-byte 'frame' via one-to-many Arrow-batched"
+        " mapInPandas — the uniform-stride frame-sampling shape a video"
+        " pipeline runs (decode→seek→sample), applied to raw bytes so"
+        " it executes without codecs (the codec call is the stubbed"
+        " seam; plumbing — schema, batch fan-out, partitioning — is"
+        " real and under the hash gate via per-frame md5). ASCII"
+        " corpus ⇒ byte slices == char slices, which is what lets the"
+        " oracle replay frames with substr+md5. Frames never shuffle:"
+        " the expansion is map-side and feature extraction fuses into"
+        " the same stage.",
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    payloads = mm.attach_payload(S.spread(docs, ("doc_id",)))
+    frames = mm.sample_frames(payloads, frame_size=64, stride=256)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.octet_length("frame_bytes").cast("long").alias("n_bytes"),
+        F.md5("frame_bytes").alias("frame_md5"),
+    )
+
+
+@_register(
+    "lines_ingest_roundtrip",
+    oracle="""
+    SELECT doc_id, source,
+           CAST(n_chars AS BIGINT) AS n_chars_rt,
+           md5(text) AS md5_rt
+    FROM documents
+    """,
+    doc="Plain-text-lines source round-trip (spark.read.text — the"
+        " fourth COPY-style format after JSON/CSV/ORC/XML): documents"
+        " serialized as tab-delimited 'doc_id\\tsource\\ttext' lines"
+        " (distributed text write), re-ingested as raw value lines,"
+        " re-typed by a bounded 3-way split (limit=3 so payload tabs"
+        " can never add columns), and proven IDENTICAL per-document"
+        " via md5 + length against the parquet source — the newline-"
+        " delimited landing format most log/scrape corpora arrive in."
+        " Line-splittable ⇒ parallel scan at any file size, unlike"
+        " binaryFile objects.",
+)
+def lines_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    landing = _scratch_dir(sf_dir, "text_lines_docs")
+    docs.select(
+        F.concat_ws("\t", F.col("doc_id"), F.col("source"), F.col("text"))
+        .alias("value")
+    ).write.mode("overwrite").text(landing)
+    lines = spark.read.text(landing)
+    parts = F.split(F.col("value"), "\t", 3)
+    return lines.select(
+        parts.getItem(0).cast("long").alias("doc_id"),
+        parts.getItem(1).alias("source"),
+        F.length(parts.getItem(2)).cast("long").alias("n_chars_rt"),
+        F.md5(parts.getItem(2)).alias("md5_rt"),
+    )
+
+
+@_register(
+    "binary_files_ingest",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+    doc="binaryFile-source ingestion (sources/binary_source.py): each"
+        " document payload lands as one <doc_id>.bin object (executor-"
+        "side foreachPartition writer — no driver loop, crash-safe"
+        " tmp+rename publish), then re-enters through"
+        " spark.read.format('binaryFile') with filename-key recovery,"
+        " status-based sizing, and per-object md5 proven against the"
+        " parquet source — the path multimodal blobs (images, audio,"
+        " video) take into a lakehouse. Scale note in the module doc:"
+        " binaryFile objects are INDIVISIBLE (no intra-file split), so"
+        " land-then-consolidate into parquet binary columns (the"
+        " attach_payload shape) is the 100 TB pattern, not trillions"
+        " of small objects.",
+)
+def binary_files_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacitydatawarehouseprj_spark.sources import binary_source
+
+    docs = _t(spark, sf_dir, "documents")
+    landing = _scratch_dir(sf_dir, "blob_landing")
+    import shutil
+
+    shutil.rmtree(landing, ignore_errors=True)  # fresh zone, never a cache
+    binary_source.write_blobs(
+        mm.attach_payload(docs), landing, id_col="doc_id",
+        payload_col="payload",
+    )
+    blobs = binary_source.read_blobs(spark, landing)
+    return blobs.select(
+        "doc_id", "n_bytes", F.md5("content").alias("content_md5")
+    )
+
+
+@_register(
+    "sparse_tfidf_allpairs",
+    oracle="""
+    WITH terms AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    w AS (
+        SELECT tf.doc_id, tf.term,
+               tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.doc_freq) AS w
+        FROM tf JOIN df USING (term) CROSS JOIN n
+        WHERE df.doc_freq <= 100
+    ),
+    nrm AS (
+        SELECT doc_id,
+               sqrt(CAST(SUM(CAST(ROUND(w * w, 6) AS DECIMAL(18,6)))
+                         AS DOUBLE)) AS nrm
+        FROM w GROUP BY 1
+    ),
+    num AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(SUM(CAST(ROUND(a.w * b.w, 6) AS DECIMAL(18,6)))
+                    AS DOUBLE) AS num
+        FROM w a JOIN w b USING (term)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(num / (x.nrm * y.nrm), 6) AS cosine_tfidf
+    FROM num JOIN nrm x ON doc_a = x.doc_id JOIN nrm y ON doc_b = y.doc_id
+    WHERE num / (x.nrm * y.nrm) >= 0.3
+    """,
+    doc="Sparse all-pairs TF-IDF cosine similarity via inverted-index"
+        " join (the Bayardo/ppjoin family, sparse counterpart to the"
+        " dense embedding_near_dup): tf-idf weights restricted to"
+        " terms with df ≤ 100 (the df cap is simultaneously the stop-"
+        "word prune AND the skew bound — the hottest join key touches"
+        " ≤ 100 postings, so the term-key shuffle cannot blow up),"
+        " per-doc norms, postings self-joined on term, one aggregation"
+        " to pair dot products, pairs kept at cosine ≥ 0.3. Weight"
+        " products pass through exact round→DECIMAL→sum so the"
+        " accumulation order can't drift the hash cross-engine. At"
+        " 100 TB this is THE text-similarity join that works without"
+        " embeddings; prefix-filtering (dedup_ngram_prefix) composes"
+        " on top to prune candidate pairs further.",
+)
+def sparse_tfidf_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    terms = S.spread(docs, ("doc_id",)).select(
+        "doc_id", F.explode(dedup.tokens_expr("text")).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    n_docs = docs.count()
+    w = (
+        tf.join(F.broadcast(df_.filter(F.col("doc_freq") <= 100)), "term")
+        .select(
+            "doc_id", "term",
+            (F.col("tf")
+             * F.log(F.lit(float(n_docs)) / F.col("doc_freq"))).alias("w"),
+        )
+    )
+    dec = "decimal(18,6)"
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum(F.round(F.col("w") * F.col("w"), 6).cast(dec))
+            .cast("double")
+        ).alias("nrm")
+    )
+    a = w.select(
+        F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa")
+    )
+    b = w.select(
+        F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb")
+    )
+    num = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.round(F.col("wa") * F.col("wb"), 6).cast(dec))
+            .cast("double")
+            .alias("num")
+        )
+    )
+    sim = (
+        num.join(F.broadcast(nrm.withColumnRenamed("doc_id", "doc_a")
+                             .withColumnRenamed("nrm", "nrm_a")), "doc_a")
+        .join(F.broadcast(nrm.withColumnRenamed("doc_id", "doc_b")
+                          .withColumnRenamed("nrm", "nrm_b")), "doc_b")
+        .withColumn("sim", F.col("num") / (F.col("nrm_a") * F.col("nrm_b")))
+        .filter(F.col("sim") >= 0.3)
+    )
+    return sim.select(
+        "doc_a", "doc_b", F.round("sim", 6).alias("cosine_tfidf")
+    )
