@@ -267,6 +267,23 @@ NEW_QUERIES_R05 = [
     "surrogate_keys_dense",
 ]
 
+NEW_QUERIES_R06 = [
+    "connected_components_minlabel",
+    "skipgram_pairs",
+    "cdc_apply_changes",
+    "stratified_exact_n_sample",
+    "json_malformed_recovery",
+    "fuzzy_match_blocked_levenshtein",
+    "anomaly_seasonal_residuals",
+    "ks_drift_test",
+    "l_diversity_audit",
+    "hard_negative_mining",
+    "multimodal_video_frames",
+    "lines_ingest_roundtrip",
+    "binary_files_ingest",
+    "sparse_tfidf_allpairs",
+]
+
 #: queries whose bench time is dominated by fixture orchestration, not
 #: the operator: queries.PHASE_TIMINGS records their harness phases
 #: (landing-zone write, stream run) so the report splits harness cost
@@ -301,7 +318,7 @@ def main() -> None:
     phases: dict[str, dict[str, float]] = {}
     for name in (
         HEADLINE + NEW_QUERIES_R02 + NEW_QUERIES_R03 + NEW_QUERIES_R04
-        + NEW_QUERIES_R05
+        + NEW_QUERIES_R05 + NEW_QUERIES_R06
     ):
         t0 = time.perf_counter()
         run_one(registry[name](spark, sf_dir))
@@ -326,6 +343,7 @@ def main() -> None:
         "value_new_r03": round(sum(timings[n] for n in NEW_QUERIES_R03), 3),
         "value_new_r04": round(sum(timings[n] for n in NEW_QUERIES_R04), 3),
         "value_new_r05": round(sum(timings[n] for n in NEW_QUERIES_R05), 3),
+        "value_new_r06": round(sum(timings[n] for n in NEW_QUERIES_R06), 3),
         "phases": phases,
         "n_headline": len(HEADLINE),
         "n_all": len(timings),

@@ -1,0 +1,173 @@
+"""Unit tests for round-6 wave: connected components, skip-gram pairs,
+CDC apply, KS drift, fuzzy matching, hard negatives, frame sampling,
+binary/text sources, sparse TF-IDF pairs (the oracle parity suite covers
+exact cross-engine equality; these pin operator-level invariants)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from udacitydatawarehouseprj_spark import queries as Q
+from udacitydatawarehouseprj_spark.operators import graph, similarity
+
+
+def _brute_components(n_nodes, edges):
+    """Union-find ground truth: node -> min node id in its component."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in range(n_nodes)}
+
+
+def test_connected_components_matches_union_find(spark):
+    rng = random.Random(7)
+    n = 60
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(45)]
+    nodes_df = spark.createDataFrame([Row(n=i) for i in range(n)])
+    edges_df = spark.createDataFrame(
+        [Row(a=a, b=b) for a, b in edges] + [Row(a=b, b=a) for a, b in edges]
+    )
+    got = {
+        r.n: r.component
+        for r in graph.connected_components_minlabel(
+            nodes_df, edges_df
+        ).collect()
+    }
+    assert got == _brute_components(n, edges)
+
+
+def test_connected_components_long_path_converges_fast(spark):
+    # a 64-node path has diameter 63; star shortcuts must close it in
+    # O(log n) rounds — well under the default max_iterations=20
+    n = 64
+    nodes_df = spark.createDataFrame([Row(n=i) for i in range(n)])
+    chain = [(i, i + 1) for i in range(n - 1)]
+    edges_df = spark.createDataFrame(
+        [Row(a=a, b=b) for a, b in chain] + [Row(a=b, b=a) for a, b in chain]
+    )
+    got = {
+        r.n: r.component
+        for r in graph.connected_components_minlabel(
+            nodes_df, edges_df, max_iterations=10
+        ).collect()
+    }
+    assert set(got.values()) == {0}
+
+
+def test_skipgram_pairs_hand_checked(spark, tmp_path):
+    # one doc "a b a b": window ±2 pairs — (a,b)x4? enumerate directly
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a b a b", lang="en", source="s", n_chars=7)]
+    )
+    d = str(tmp_path / "docs")
+    docs.write.parquet(d + "/documents.parquet")
+    rows = {
+        (r.center, r.context): r.pair_cnt
+        for r in Q.skipgram_pairs(spark, d).collect()
+    }
+    # positions a0 b1 a2 b3, window ±2, both directions counted:
+    # (a,b) = a0→b1, a2→b1, a2→b3 = 3 (likewise (b,a));
+    # (a,a) = (b,b) = 2 fall below the pair_cnt >= 3 floor
+    assert rows == {("a", "b"): 3, ("b", "a"): 3}
+
+
+def test_cdc_apply_drops_deleted_keys(spark, sf_dir):
+    out = Q.cdc_apply_changes(spark, sf_dir)
+    li = Q._t(spark, sf_dir, "lineitem")
+    n_keys = li.select("l_orderkey").distinct().count()
+    rows = out.collect()
+    # one row per surviving key, never more than total keys
+    assert len(rows) == len({r.o_orderkey for r in rows}) <= n_keys
+
+
+def test_ks_drift_bounds(spark, sf_dir):
+    row = Q.ks_drift_test(spark, sf_dir).collect()[0]
+    assert 0.0 <= row.ks_stat <= 1.0
+    docs = Q._t(spark, sf_dir, "documents")
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert row.n1 == n_en
+    assert row.n2 == docs.count() - n_en
+
+
+def test_fuzzy_match_every_dirty_row_recovers_a_match(spark, sf_dir):
+    out = Q.fuzzy_match_blocked_levenshtein(spark, sf_dir).collect()
+    part = Q._t(spark, sf_dir, "part")
+    n_dirty = part.filter(F.col("p_partkey") % 2 == 1).count()
+    # the deletion never touches the first (blocking) char, so every
+    # dirty name has at least its own source as a distance-1 candidate
+    assert len(out) == n_dirty
+    assert all(r.dist <= 1 for r in out)
+
+
+def test_hard_negatives_labels_differ_and_below_ceiling(spark, sf_dir):
+    emb = Q._t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 10)
+    out = similarity.hard_negative_topk(emb, anchors, k=3, ceiling=0.95)
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    for r in out.collect():
+        assert labels[r.query_id] != labels[r.neighbor_id]
+        assert r.cosine < 0.95
+        assert r.query_id != r.neighbor_id
+
+
+def test_video_frames_cover_payload(spark, sf_dir):
+    frames = Q.multimodal_video_frames(spark, sf_dir)
+    docs = Q._t(spark, sf_dir, "documents")
+    per_doc = {
+        r.doc_id: r.n
+        for r in frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    for row in docs.select("doc_id", "n_chars").collect():
+        expect = (row.n_chars + 255) // 256
+        assert per_doc.get(row.doc_id, 0) == expect
+
+
+def test_binary_source_roundtrip_small(spark, tmp_path):
+    from udacitydatawarehouseprj_spark.sources import binary_source
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, payload=bytes([i % 251] * (i + 1))) for i in range(12)]
+    )
+    landing = str(tmp_path / "blobs")
+    binary_source.write_blobs(df, landing)
+    back = binary_source.read_blobs(spark, landing).collect()
+    assert {r.doc_id: r.n_bytes for r in back} == {
+        i: i + 1 for i in range(12)
+    }
+    for r in back:
+        assert bytes(r.content) == bytes([r.doc_id % 251] * (r.doc_id + 1))
+
+
+def test_sparse_tfidf_pairs_symmetric_bounds(spark, sf_dir):
+    rows = Q.sparse_tfidf_allpairs(spark, sf_dir).collect()
+    assert rows, "fixture corpus contains near-dup pairs above 0.3"
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert 0.3 <= r.cosine_tfidf <= 1.000001
+
+
+def test_stratified_exact_n_is_exact(spark, sf_dir):
+    out = Q.stratified_exact_n_sample(spark, sf_dir)
+    sizes = {
+        r.event_type: r.n
+        for r in out.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    ev = Q._t(spark, sf_dir, "events")
+    avail = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    for et, n in sizes.items():
+        assert n == min(40, avail[et])

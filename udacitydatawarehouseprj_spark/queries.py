@@ -12855,7 +12855,10 @@ def sparse_tfidf_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_ = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
     n_docs = docs.count()
-    w = (
+    # w feeds THREE consumers (norms + both join arms): cache it so the
+    # corpus explode + two aggregations run once, not three times —
+    # released at the next query boundary (session.track_cache)
+    w = S.track_cache(
         tf.join(F.broadcast(df_.filter(F.col("doc_freq") <= 100)), "term")
         .select(
             "doc_id", "term",
