@@ -282,6 +282,8 @@ NEW_QUERIES_R06 = [
     "lines_ingest_roundtrip",
     "binary_files_ingest",
     "sparse_tfidf_allpairs",
+    "url_canonicalize_dedup",
+    "annotator_agreement_kappa",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

@@ -171,3 +171,27 @@ def test_stratified_exact_n_is_exact(spark, sf_dir):
     }
     for et, n in sizes.items():
         assert n == min(40, avail[et])
+
+
+def test_url_canonicalize_collapses_variant_pairs(spark, sf_dir):
+    out = Q.url_canonicalize_dedup(spark, sf_dir).collect()
+    docs = Q._t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    # doc_id DIV 2 pairs adjacent docs onto one logical page
+    assert sum(r.n_variants for r in out) == n_docs
+    assert all(r.n_variants >= 2 for r in out)
+    for r in out:
+        assert "utm_" not in r.canonical_url
+        assert ":443" not in r.canonical_url
+        assert "www." not in r.canonical_url
+        assert not r.canonical_url.endswith("/")
+        assert r.canonical_url == r.canonical_url.lower()
+
+
+def test_kappa_in_valid_range_and_better_than_chance(spark, sf_dir):
+    row = Q.annotator_agreement_kappa(spark, sf_dir).collect()[0]
+    assert -1.0 <= row.kappa <= 1.0
+    # the perturbed annotator mostly agrees: kappa must be clearly
+    # positive (the fixture perturbation flips only near-threshold rows)
+    assert row.kappa > 0.5
+    assert abs(row.po - (row.n11 + row.n00) / row.n) < 1e-9

@@ -12900,3 +12900,176 @@ def sparse_tfidf_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.select(
         "doc_a", "doc_b", F.round("sim", 6).alias("cosine_tfidf")
     )
+
+
+@_register(
+    "url_canonicalize_dedup",
+    oracle="""
+    WITH pg AS (
+        SELECT doc_id,
+               'site' || CAST((doc_id // 2) % 7 AS VARCHAR) AS h,
+               CAST(doc_id // 2 AS VARCHAR) AS pid
+        FROM documents
+    ),
+    raw AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 4 AS INTEGER)
+                 WHEN 0 THEN 'https://www.' || h || '.example.com/p/' || pid
+                 WHEN 1 THEN 'HTTPS://' || upper(h) || '.EXAMPLE.COM:443/p/'
+                             || pid || '/'
+                 WHEN 2 THEN 'https://' || h || '.example.com/p/' || pid
+                             || '?utm_source=rss&utm_medium=feed'
+                 ELSE 'https://www.' || h || '.example.com:443/p/' || pid
+                      || '/?ref=home'
+               END AS url
+        FROM pg
+    ),
+    canon AS (
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(
+                       replace(replace(lower(url), ':443/', '/'),
+                               'https://www.', 'https://'),
+                       '\\?.*$', ''),
+                   '/$', '') AS curl
+        FROM raw
+    )
+    SELECT curl AS canonical_url,
+           COUNT(*) AS n_variants,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM canon GROUP BY 1
+    """,
+    doc="URL canonicalization + dedup — the crawl-pipeline step that"
+        " collapses scheme/host case, default ports, www., tracking"
+        " query params (utm_*/ref; fixture policy: the whole query"
+        " string is tracking — production keeps an allowlist), and"
+        " trailing slashes into one canonical key before exact URL"
+        " dedup (every web corpus's FIRST dedup pass, upstream of"
+        " content MinHash). The fixture synthesizes four variant"
+        " spellings of each logical URL from documents (doc_id DIV 2"
+        " pairs adjacent docs onto one logical page, so the dedup is"
+        " real). Pure per-row string expressions + ONE exact groupBy"
+        " on the canonical key: scan-parallel, map-side partial"
+        " aggregation, the same scale shape as dedup_exact.",
+)
+def url_canonicalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pid = F.floor(F.col("doc_id") / 2).cast("long").cast("string")
+    h = F.concat(
+        F.lit("site"),
+        (F.floor(F.col("doc_id") / 2) % 7).cast("long").cast("string"),
+    )
+    raw = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("https://www."), h,
+                        F.lit(".example.com/p/"), pid))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("HTTPS://"), F.upper(h),
+                       F.lit(".EXAMPLE.COM:443/p/"), pid, F.lit("/")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("https://"), h,
+                       F.lit(".example.com/p/"), pid,
+                       F.lit("?utm_source=rss&utm_medium=feed")))
+        .otherwise(
+            F.concat(F.lit("https://www."), h,
+                     F.lit(".example.com:443/p/"), pid,
+                     F.lit("/?ref=home")))
+        .alias("url"),
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.replace(
+                F.replace(F.lower(F.col("url")), F.lit(":443/"), F.lit("/")),
+                F.lit("https://www."), F.lit("https://"),
+            ),
+            r"\?.*$", "",
+        ),
+        "/$", "",
+    )
+    return (
+        raw.select("doc_id", curl.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_variants"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+    )
+
+
+@_register(
+    "annotator_agreement_kappa",
+    oracle="""
+    WITH lab AS (
+        SELECT CASE WHEN value > 50 THEN 1 ELSE 0 END AS a1,
+               CASE WHEN value + (event_id % 7) - 3 > 50 THEN 1 ELSE 0 END
+                   AS a2
+        FROM events WHERE value IS NOT NULL
+    ),
+    c AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(a1 * a2) AS BIGINT) AS n11,
+               CAST(SUM((1 - a1) * (1 - a2)) AS BIGINT) AS n00,
+               CAST(SUM(a1) AS BIGINT) AS p1,
+               CAST(SUM(a2) AS BIGINT) AS q1
+        FROM lab
+    )
+    SELECT n, n11, n00,
+           ROUND(CAST(n11 + n00 AS DOUBLE) / n, 6) AS po,
+           ROUND((CAST(p1 AS DOUBLE) * q1 + CAST(n - p1 AS DOUBLE) * (n - q1))
+                 / (CAST(n AS DOUBLE) * n), 6) AS pe,
+           ROUND((CAST(n11 + n00 AS DOUBLE) / n
+                  - (CAST(p1 AS DOUBLE) * q1
+                     + CAST(n - p1 AS DOUBLE) * (n - q1))
+                    / (CAST(n AS DOUBLE) * n))
+                 / (1 - (CAST(p1 AS DOUBLE) * q1
+                         + CAST(n - p1 AS DOUBLE) * (n - q1))
+                        / (CAST(n AS DOUBLE) * n)), 6) AS kappa
+    FROM c
+    """,
+    doc="Inter-annotator agreement (Cohen's κ) — the label-quality"
+        " gate every human- or model-annotated training set runs"
+        " before trusting its labels: observed agreement po corrected"
+        " by chance agreement pe from the marginals, κ=(po−pe)/(1−pe)."
+        " Two deterministic binary 'annotators' over events (threshold"
+        " vs perturbed threshold) stand in for label columns. The"
+        " whole statistic reduces to FIVE integer counts in one"
+        " aggregation — exact at any scale, one scan, no shuffle"
+        " beyond the final single-row reduce; the κ arithmetic is a"
+        " pure function of bigint counts so the hash gate covers it"
+        " bit-for-bit.",
+)
+def annotator_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    lab = ev.filter(F.col("value").isNotNull()).select(
+        F.when(F.col("value") > 50, 1).otherwise(0).alias("a1"),
+        F.when(F.col("value") + (F.col("event_id") % 7) - 3 > 50, 1)
+        .otherwise(0)
+        .alias("a2"),
+    )
+    c = lab.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("a1") * F.col("a2")).cast("long").alias("n11"),
+        F.sum((1 - F.col("a1")) * (1 - F.col("a2"))).cast("long")
+        .alias("n00"),
+        F.sum("a1").cast("long").alias("p1"),
+        F.sum("a2").cast("long").alias("q1"),
+    )
+    po = F.col("n11").cast("double") / F.col("n") + F.col("n00").cast(
+        "double"
+    ) / F.col("n")
+    # match the oracle's operation tree exactly: (n11+n00)/n, not split
+    po = (F.col("n11") + F.col("n00")).cast("double") / F.col("n")
+    pe = (
+        F.col("p1").cast("double") * F.col("q1")
+        + (F.col("n") - F.col("p1")).cast("double")
+        * (F.col("n") - F.col("q1"))
+    ) / (F.col("n").cast("double") * F.col("n"))
+    return c.select(
+        "n", "n11", "n00",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+    )
