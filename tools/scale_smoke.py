@@ -170,6 +170,23 @@ SMOKE = [
     "moments_rollup_mergeable",
     "benford_digit_audit",
     "surrogate_keys_dense",
+    # round 6
+    "connected_components_minlabel",
+    "skipgram_pairs",
+    "cdc_apply_changes",
+    "stratified_exact_n_sample",
+    "json_malformed_recovery",
+    "fuzzy_match_blocked_levenshtein",
+    "anomaly_seasonal_residuals",
+    "ks_drift_test",
+    "l_diversity_audit",
+    "hard_negative_mining",
+    "multimodal_video_frames",
+    "lines_ingest_roundtrip",
+    "binary_files_ingest",
+    "sparse_tfidf_allpairs",
+    "url_canonicalize_dedup",
+    "annotator_agreement_kappa",
 ]
 
 
@@ -324,21 +341,26 @@ def main() -> None:
     reg = Q.queries()
     reg["agg_count_star"](spark, OUT).write.format("noop").mode("overwrite").save()
     timings = {}
-    for name in SMOKE:
+    names = SMOKE
+    for arg in sys.argv[1:]:
+        if arg.startswith("--only="):  # subset run: --only=a,b,c
+            names = [n for n in arg.split("=", 1)[1].split(",") if n]
+    for name in names:
         t0 = time.perf_counter()
         reg[name](spark, OUT).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
-    # production sketch profile (approx only, no Expand) — not registry-
-    # registered (approx values are engine-specific, invariant-checked
-    # via profile_table_stats_approx); timed here to document the
-    # exact-vs-sketch gap at sf1 in SCALE.md
-    t0 = time.perf_counter()
-    Q.profile_table_stats_approx_only(spark, OUT).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    timings["profile_table_stats_approx_only"] = round(
-        time.perf_counter() - t0, 3
-    )
+    if names is SMOKE:
+        # production sketch profile (approx only, no Expand) — not
+        # registry-registered (approx values are engine-specific,
+        # invariant-checked via profile_table_stats_approx); timed here
+        # to document the exact-vs-sketch gap at sf1 in SCALE.md
+        t0 = time.perf_counter()
+        Q.profile_table_stats_approx_only(spark, OUT).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        timings["profile_table_stats_approx_only"] = round(
+            time.perf_counter() - t0, 3
+        )
     print(json.dumps({"metric": "scale_smoke_10x_total",
                       "value": round(sum(timings.values()), 3),
                       "unit": "sec", "queries": timings, "sf": 1.0}))
