@@ -284,6 +284,7 @@ NEW_QUERIES_R06 = [
     "sparse_tfidf_allpairs",
     "url_canonicalize_dedup",
     "annotator_agreement_kappa",
+    "streaming_static_join_readback",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not
@@ -293,7 +294,8 @@ NEW_QUERIES_R06 = [
 PHASED = {"streaming_hourly_sink_readback", "streaming_corpus_dedup_readback",
           "streaming_stateful_sessions_readback",
           "streaming_running_totals_readback",
-          "streaming_attribution_readback"}
+          "streaming_attribution_readback",
+          "streaming_static_join_readback"}
 
 
 def run_one(df) -> None:

@@ -187,6 +187,7 @@ SMOKE = [
     "sparse_tfidf_allpairs",
     "url_canonicalize_dedup",
     "annotator_agreement_kappa",
+    "streaming_static_join_readback",
 ]
 
 

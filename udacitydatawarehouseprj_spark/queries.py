@@ -13073,3 +13073,73 @@ def annotator_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe, 6).alias("pe"),
         F.round((po - pe) / (1 - pe), 6).alias("kappa"),
     )
+
+
+@_register(
+    "streaming_static_join_readback",
+    oracle="""
+    WITH prof AS (
+        SELECT user_id, event_type AS profile_type
+        FROM (
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY event_id) AS rn
+            FROM events
+        ) WHERE rn = 1
+    )
+    SELECT p.profile_type, e.event_type, COUNT(*) AS n_events
+    FROM events e JOIN prof p USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="Stream-static join under the hash gate (streaming/"
+        "events_stream.py run_stream_static_enrich) — the sixth"
+        " streaming proof and the one STRUCTURAL join shape the other"
+        " five don't cover: the event stream enriched per micro-batch"
+        " against a STATIC batch dimension (each user's first-ever"
+        " event type, computed batch-side), then aggregated in"
+        " complete mode to integer counts. Stream-static joins are"
+        " stateless (no watermark, unlike stream-stream) and broadcast"
+        " the static side inside every micro-batch — the fact stream"
+        " never shuffles for the enrichment, the same plan discipline"
+        " as the batch star join. The oracle replays profile + join +"
+        " counts relationally; pure integers, so ANY micro-batch split"
+        " produces the identical readback.",
+)
+def streaming_static_join_readback(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+
+    from pyspark.sql.window import Window as W
+
+    from udacitydatawarehouseprj_spark.streaming import events_stream
+
+    ev = _t(spark, sf_dir, "events")
+    base = _scratch_dir(sf_dir, "stream_static")
+    shutil.rmtree(base, ignore_errors=True)
+    src = f"{base}/landing"
+    with _phase("streaming_static_join_readback", "landing_write"):
+        ev.select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        ).coalesce(8).write.mode("overwrite").json(src)
+    profile = (
+        ev.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy("event_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("profile_type"))
+    )
+    with _phase("streaming_static_join_readback", "stream_run"), \
+            _state_partitions(spark, 8):
+        q = events_stream.run_stream_static_enrich(
+            spark, src, f"{base}/ckpt", profile,
+            sink_table="stream_static_readback",
+        )
+        q.awaitTermination(600)
+    return spark.sql(
+        "SELECT profile_type, event_type, n_events"
+        " FROM stream_static_readback"
+    )

@@ -379,3 +379,43 @@ def run_stateful_sessionizer_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_stream_static_enrich(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    static_profile: DataFrame,
+    sink_table: str = "stream_static_enrich",
+    fmt: str = "json",
+    available_now: bool = True,
+):
+    """Stream-static join: the event stream enriched against a STATIC
+    batch dimension (per-user profile), then aggregated — the lookup-
+    enrichment shape every production stream runs (user profile, device
+    registry, feature store snapshot).
+
+    Semantics worth pinning: Spark re-evaluates the static side per
+    micro-batch (so a backing table CAN move between batches — here it
+    is a fixed DataFrame, the deterministic case), the join is
+    stateless (no watermark needed, unlike stream-stream joins), and
+    with a small static side it executes as a broadcast hash join
+    inside each micro-batch — the fact stream never shuffles for the
+    enrichment, exactly like the batch star join. Output: complete-mode
+    integer counts per (profile_type, event_type) — fully
+    deterministic, so the readback sits under the hash gate.
+    """
+    src = read_events_stream(spark, source_dir, fmt=fmt)
+    enriched = src.join(F.broadcast(static_profile), "user_id")
+    agg = enriched.groupBy("profile_type", "event_type").agg(
+        F.count("*").alias("n_events")
+    )
+    writer = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink_table)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
