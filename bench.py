@@ -285,6 +285,7 @@ NEW_QUERIES_R06 = [
     "url_canonicalize_dedup",
     "annotator_agreement_kappa",
     "streaming_static_join_readback",
+    "python_datasource_stream_scan",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not
@@ -295,7 +296,8 @@ PHASED = {"streaming_hourly_sink_readback", "streaming_corpus_dedup_readback",
           "streaming_stateful_sessions_readback",
           "streaming_running_totals_readback",
           "streaming_attribution_readback",
-          "streaming_static_join_readback"}
+          "streaming_static_join_readback",
+          "python_datasource_stream_scan"}
 
 
 def run_one(df) -> None:

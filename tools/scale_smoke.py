@@ -188,6 +188,7 @@ SMOKE = [
     "url_canonicalize_dedup",
     "annotator_agreement_kappa",
     "streaming_static_join_readback",
+    "python_datasource_stream_scan",
 ]
 
 

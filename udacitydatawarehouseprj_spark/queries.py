@@ -13143,3 +13143,90 @@ def streaming_static_join_readback(
         "SELECT profile_type, event_type, n_events"
         " FROM stream_static_readback"
     )
+
+
+@_register(
+    "python_datasource_stream_scan",
+    oracle="""
+    WITH ids AS (SELECT UNNEST(range(0, 12000)) AS doc_id),
+    s AS (
+        SELECT doc_id,
+               doc_id % 37 AS group_key,
+               (((doc_id % 999999937) * 48271 + 12345) % 999999937)
+                   * 48271 % 999999937 AS h2
+        FROM ids
+    )
+    SELECT group_key,
+           COUNT(*) AS n_rows,
+           CAST(SUM(h2) AS BIGINT) AS sum_h2,
+           ROUND(CAST(SUM(h2) AS DOUBLE) / 999999937.0, 6) AS score_mass
+    FROM s GROUP BY 1
+    """,
+    doc="Custom Python STREAMING DataSource (Spark 4"
+        " SimpleDataSourceStreamReader, sources/python_source.py"
+        " synthstreamcorpus) — the streaming twin of"
+        " python_datasource_scan and the connector-plane proof the"
+        " batch API can't give: engine-checkpointed JSON offsets"
+        " ({'pos': k}, resume-exact across restarts),"
+        " readBetweenOffsets replay for exactly-once recovery, and a"
+        " bounded drain (empty batch + unchanged offset past n_rows)."
+        " The 12k-row fixture arrives in 5 micro-batches (batch_rows="
+        "2500); the readback polls the complete-mode memory sink until"
+        " the stream drains, then stops it. Values are carried as the"
+        " EXACT integer hash h2 — streaming agg order is batch-"
+        "dependent, so integer sums (not double sums) are what keep"
+        " the readback bit-identical for ANY batch split, which is"
+        " what puts a streaming SOURCE under the batch hash gate.",
+)
+def python_datasource_stream_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import time as _time
+
+    from udacitydatawarehouseprj_spark.sources import python_source
+
+    S.configure(spark)
+    python_source.register_stream(spark)
+    base = _scratch_dir(sf_dir, "pyds_stream")
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    n_rows = 12_000
+    src = (
+        spark.readStream.format("synthstreamcorpus")
+        .option("n_rows", str(n_rows))
+        .option("batch_rows", "2500")
+        .load()
+    )
+    agg = src.groupBy("group_key").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("h2").cast("long").alias("sum_h2"),
+    )
+    with _phase("python_datasource_stream_scan", "stream_run"), \
+            _state_partitions(spark, 8):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("pyds_stream_readback")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .start()
+        )
+        # drain: the bounded source stops yielding past n_rows; poll the
+        # complete-mode sink until every generated row is accounted for
+        deadline = _time.time() + 600
+        while _time.time() < deadline:
+            got = spark.sql(
+                "SELECT SUM(n_rows) AS n FROM pyds_stream_readback"
+            ).first()["n"]
+            if got is not None and int(got) >= n_rows:
+                break
+            _time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(60)
+    return spark.sql(
+        """
+        SELECT group_key, n_rows, sum_h2,
+               ROUND(CAST(sum_h2 AS DOUBLE) / 999999937.0, 6) AS score_mass
+        FROM pyds_stream_readback
+        """
+    )
