@@ -13152,31 +13152,30 @@ def streaming_static_join_readback(
     s AS (
         SELECT doc_id,
                doc_id % 37 AS group_key,
-               (((doc_id % 999999937) * 48271 + 12345) % 999999937)
-                   * 48271 % 999999937 AS h2
+               CAST((((doc_id % 999999937) * 48271 + 12345) % 999999937)
+                    * 48271 % 999999937 AS DOUBLE) / 999999937.0 AS score
         FROM ids
     )
     SELECT group_key,
            COUNT(*) AS n_rows,
-           CAST(SUM(h2) AS BIGINT) AS sum_h2,
-           ROUND(CAST(SUM(h2) AS DOUBLE) / 999999937.0, 6) AS score_mass
+           CAST(CAST(ROUND(SUM(CAST(score AS DECIMAL(18,6))), 4)
+                AS DECIMAL(18,4)) AS DOUBLE) AS total_score
     FROM s GROUP BY 1
     """,
-    doc="Custom Python STREAMING DataSource (Spark 4"
-        " SimpleDataSourceStreamReader, sources/python_source.py"
-        " synthstreamcorpus) — the streaming twin of"
-        " python_datasource_scan and the connector-plane proof the"
-        " batch API can't give: engine-checkpointed JSON offsets"
-        " ({'pos': k}, resume-exact across restarts),"
-        " readBetweenOffsets replay for exactly-once recovery, and a"
-        " bounded drain (empty batch + unchanged offset past n_rows)."
-        " The 12k-row fixture arrives in 5 micro-batches (batch_rows="
-        "2500); the readback polls the complete-mode memory sink until"
-        " the stream drains, then stops it. Values are carried as the"
-        " EXACT integer hash h2 — streaming agg order is batch-"
-        "dependent, so integer sums (not double sums) are what keep"
-        " the readback bit-identical for ANY batch split, which is"
-        " what puts a streaming SOURCE under the batch hash gate.",
+    doc="Custom Python STREAMING DataSource under the hash gate"
+        " (sources/python_source.py synthcorpusstream, the Spark 4"
+        " SimpleDataSourceStreamReader built in round 4 — this query"
+        " finally registers it as a driver-checked oracle row): the"
+        " same portable Lehmer row family as python_datasource_scan,"
+        " delivered as engine-checkpointed micro-batches ({'pos': k}"
+        " JSON offsets, resume-exact across restarts,"
+        " readBetweenOffsets replay for exactly-once recovery, bounded"
+        " drain past n_rows). The 12k-row fixture arrives in 5 micro-"
+        "batches (rows_per_batch=2500); the readback polls the"
+        " complete-mode memory sink until drained. Score sums go"
+        " through exact DECIMAL accumulation, so the aggregate is"
+        " bit-identical for ANY micro-batch split — which is what"
+        " puts a streaming SOURCE under the batch SQL oracle.",
 )
 def python_datasource_stream_scan(
     spark: SparkSession, sf_dir: str
@@ -13193,14 +13192,14 @@ def python_datasource_stream_scan(
     shutil.rmtree(base, ignore_errors=True)
     n_rows = 12_000
     src = (
-        spark.readStream.format("synthstreamcorpus")
+        spark.readStream.format("synthcorpusstream")
         .option("n_rows", str(n_rows))
-        .option("batch_rows", "2500")
+        .option("rows_per_batch", "2500")
         .load()
     )
     agg = src.groupBy("group_key").agg(
         F.count("*").alias("n_rows"),
-        F.sum("h2").cast("long").alias("sum_h2"),
+        _dsum(F.col("score")).alias("total_score"),
     )
     with _phase("python_datasource_stream_scan", "stream_run"), \
             _state_partitions(spark, 8):
@@ -13224,9 +13223,5 @@ def python_datasource_stream_scan(
         q.stop()
         q.awaitTermination(60)
     return spark.sql(
-        """
-        SELECT group_key, n_rows, sum_h2,
-               ROUND(CAST(sum_h2 AS DOUBLE) / 999999937.0, 6) AS score_mass
-        FROM pyds_stream_readback
-        """
+        "SELECT group_key, n_rows, total_score FROM pyds_stream_readback"
     )

@@ -325,78 +325,3 @@ class SynthCorpusStreamDataSource(DataSource):
 
 def register_stream(spark) -> None:
     spark.dataSource.register(SynthCorpusStreamDataSource)
-
-
-# --- Custom Python STREAMING source: offset-tracked micro-batches ------
-#
-# ``synthstreamcorpus`` is the STREAMING twin of ``synthcorpus``: the
-# same portable Lehmer row family delivered as an unbounded-source
-# micro-batch stream through the Spark 4 SimpleDataSourceStreamReader
-# API — the extension point for a Kafka-less queue, a REST poller, or a
-# CDC feed written in Python. What it demonstrates:
-#
-# * **offset management** — initialOffset / read(start) return JSON
-#   offsets {"pos": k}; the engine checkpoints them, so restart resumes
-#   exactly where the last committed batch ended;
-# * **replay** — readBetweenOffsets(start, end) regenerates any
-#   committed range for recovery, the exactly-once contract;
-# * **bounded drain** — past n_rows the reader returns an empty batch
-#   with an unchanged offset, letting harnesses drain deterministically.
-#
-# The simple-reader API reads on the DRIVER (records then distributed);
-# for driver-bottleneck-free scale the full DataSourceStreamReader with
-# partitioned planning is the upgrade path — same offset contract.
-
-
-from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
-
-
-class SynthStreamReader(SimpleDataSourceStreamReader):
-    def __init__(self, options):
-        self.n = int(options.get("n_rows", 10_000))
-        self.step = int(options.get("batch_rows", 2_500))
-
-    def initialOffset(self):
-        return {"pos": 0}
-
-    def _rows(self, lo: int, hi: int):
-        # MUST be a list iterator, not a generator: the engine's
-        # prefetch cache copy.copy()s the returned iterator when it
-        # plans partitions from cached entries, and generators are not
-        # copyable (TypeError: cannot pickle 'generator' object)
-        out = []
-        for i in range(lo, hi):
-            h1 = ((i % MOD) * MULT + OFFSET) % MOD
-            h2 = (h1 * MULT) % MOD
-            out.append((i, i % N_GROUPS, h2))
-        return iter(out)
-
-    def read(self, start):
-        pos = int(start["pos"])
-        if pos >= self.n:
-            return (iter(()), {"pos": pos})
-        end = min(pos + self.step, self.n)
-        return (self._rows(pos, end), {"pos": end})
-
-    def readBetweenOffsets(self, start, end):
-        return self._rows(int(start["pos"]), int(end["pos"]))
-
-
-class SynthStreamDataSource(DataSource):
-    @classmethod
-    def name(cls):
-        return "synthstreamcorpus"
-
-    def schema(self):
-        # score is carried as the EXACT integer hash h2 (score ≡ h2/MOD):
-        # streaming aggregation order is batch-dependent, so the exact-
-        # integer form is what keeps downstream sums deterministic
-        return "doc_id bigint, group_key bigint, h2 bigint"
-
-    def simpleStreamReader(self, schema):
-        return SynthStreamReader(self.options)
-
-
-def register_stream(spark) -> None:
-    """Idempotent registration of the synthstreamcorpus format."""
-    spark.dataSource.register(SynthStreamDataSource)
