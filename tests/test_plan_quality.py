@@ -723,3 +723,59 @@ def test_k_anonymity_two_aggregations_only(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) <= 4  # 2 aggs x partial/final
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+# --- round-6 wave plan pins ------------------------------------------
+
+
+def test_skipgram_probe_join_is_equijoin_not_theta(spark, sf_dir):
+    """The skip-gram pairing must execute as an equi-join on
+    (doc_id, position) — a theta-join on |i-j|<=2 would plan a
+    nested-loop over every token pair (quadratic per doc)."""
+    plan = plan_of(spark, sf_dir, "skipgram_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_json_malformed_recovery_is_scan_parallel(spark, sf_dir):
+    """Pure per-row expressions: ZERO shuffle exchanges."""
+    plan = plan_of(spark, sf_dir, "json_malformed_recovery")
+    assert count_exchanges(plan) == 0
+    assert "from_json" in plan
+
+
+def test_fuzzy_match_joins_on_block_key(spark, sf_dir):
+    """The Levenshtein filter must ride an equi-join on the blocking
+    key — never a cartesian pair enumeration."""
+    plan = plan_of(spark, sf_dir, "fuzzy_match_blocked_levenshtein")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan.lower()
+
+
+def test_sparse_tfidf_broadcasts_df_and_norms(spark, sf_dir):
+    """df table and per-doc norms are vocabulary/doc-bounded smalls —
+    they must broadcast; only the postings self-join shuffles."""
+    plan = plan_of(spark, sf_dir, "sparse_tfidf_allpairs")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_anomaly_profiles_broadcast_back_over_scan(spark, sf_dir):
+    """The (type, hour) seasonal profile and per-type sigma are tiny
+    aggregates: both enrichment joins must be broadcast — the event
+    scan itself never shuffles for them."""
+    plan = plan_of(spark, sf_dir, "anomaly_seasonal_residuals")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_url_canonicalize_single_aggregation_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "url_canonicalize_dedup")
+    assert count_exchanges(plan) <= 1
+    assert "HashAggregate" in plan  # map-side partial + final
+
+
+def test_cdc_apply_single_shuffle_on_key(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "cdc_apply_changes")
+    assert count_exchanges(plan) <= 1  # the window partition-by only
