@@ -286,6 +286,8 @@ NEW_QUERIES_R06 = [
     "annotator_agreement_kappa",
     "streaming_static_join_readback",
     "python_datasource_stream_scan",
+    "psi_drift_bins",
+    "calibration_curve_deciles",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

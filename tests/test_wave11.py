@@ -195,3 +195,20 @@ def test_kappa_in_valid_range_and_better_than_chance(spark, sf_dir):
     # positive (the fixture perturbation flips only near-threshold rows)
     assert row.kappa > 0.5
     assert abs(row.po - (row.n11 + row.n00) / row.n) < 1e-9
+
+
+def test_psi_terms_sum_nonnegative_and_bins_complete(spark, sf_dir):
+    rows = Q.psi_drift_bins(spark, sf_dir).collect()
+    assert sorted(r.bin for r in rows) == list(range(10))
+    # PSI total is a KL-symmetrized quantity: each term can be negative
+    # only when the OTHER side dominates, but the TOTAL is >= 0
+    assert sum(r.psi_term for r in rows) >= 0
+
+
+def test_calibration_deciles_cover_and_rates_bounded(spark, sf_dir):
+    rows = Q.calibration_curve_deciles(spark, sf_dir).collect()
+    assert sorted(r.decile for r in rows) == list(range(10))
+    for r in rows:
+        assert 0.0 <= r.pos_rate <= 1.0
+        # mean score of decile d sits inside [d/10, (d+1)/10)
+        assert r.decile / 10 <= r.mean_score < (r.decile + 1) / 10 + 1e-9

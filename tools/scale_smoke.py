@@ -189,6 +189,8 @@ SMOKE = [
     "annotator_agreement_kappa",
     "streaming_static_join_readback",
     "python_datasource_stream_scan",
+    "psi_drift_bins",
+    "calibration_curve_deciles",
 ]
 
 

@@ -13276,3 +13276,135 @@ def python_datasource_stream_scan(
     return spark.sql(
         "SELECT group_key, n_rows, total_score FROM pyds_stream_readback"
     )
+
+
+@_register(
+    "psi_drift_bins",
+    oracle="""
+    WITH pop AS (
+        SELECT CASE WHEN date_part('dow', ts) IN (0, 6) THEN 'weekend'
+                    ELSE 'weekday' END AS pop,
+               CAST(least(greatest(CAST(FLOOR(value / 10.0) AS BIGINT), 0), 9)
+                    AS BIGINT) AS bin
+        FROM events WHERE value IS NOT NULL
+    ),
+    c AS (
+        SELECT bin,
+               CAST(SUM(CASE WHEN pop = 'weekday' THEN 1 ELSE 0 END) + 1
+                    AS BIGINT) AS ref_n,
+               CAST(SUM(CASE WHEN pop = 'weekend' THEN 1 ELSE 0 END) + 1
+                    AS BIGINT) AS cur_n
+        FROM pop GROUP BY 1
+    ),
+    t AS (SELECT SUM(ref_n) AS ref_t, SUM(cur_n) AS cur_t FROM c)
+    SELECT bin, ref_n, cur_n,
+           ROUND((CAST(cur_n AS DOUBLE) / t.cur_t
+                  - CAST(ref_n AS DOUBLE) / t.ref_t)
+                 * ln((CAST(cur_n AS DOUBLE) / t.cur_t)
+                      / (CAST(ref_n AS DOUBLE) / t.ref_t)), 6)
+               AS psi_term
+    FROM c, t
+    """,
+    doc="Population-stability-index (PSI) drift report — the binned"
+        " companion to ks_drift_test and the metric ML-ops monitors"
+        " actually alert on: per-bin contribution (p−q)·ln(p/q)"
+        " between the weekday (reference) and weekend (current) value"
+        " distributions, +1-smoothed so empty bins can't produce"
+        " ±inf. KS gives the sup-norm of the ECDF gap (exact,"
+        " bin-free); PSI localizes WHERE the mass moved — the two"
+        " together are the standard drift dashboard. Ten fixed"
+        " equi-width bins clipped at the tails; everything reduces to"
+        " integer bin counts in ONE aggregation, then a 10-row"
+        " per-bin expression — scan-bounded at any scale, and the"
+        " log/division tree is identical on both engines so the"
+        " terms sit under the hash gate bit-for-bit.",
+)
+def psi_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    pop = ev.filter(F.col("value").isNotNull()).select(
+        F.when(F.dayofweek("ts").isin(1, 7), "weekend")
+        .otherwise("weekday")
+        .alias("pop"),
+        F.least(
+            F.greatest(F.floor(F.col("value") / 10.0).cast("long"), F.lit(0)),
+            F.lit(9),
+        ).cast("long").alias("bin"),
+    )
+    c = pop.groupBy("bin").agg(
+        (F.sum(F.when(F.col("pop") == "weekday", 1).otherwise(0)) + 1)
+        .cast("long").alias("ref_n"),
+        (F.sum(F.when(F.col("pop") == "weekend", 1).otherwise(0)) + 1)
+        .cast("long").alias("cur_n"),
+    )
+    t = c.agg(
+        F.sum("ref_n").alias("ref_t"), F.sum("cur_n").alias("cur_t")
+    )
+    p = F.col("cur_n").cast("double") / F.col("cur_t")
+    q = F.col("ref_n").cast("double") / F.col("ref_t")
+    return c.crossJoin(F.broadcast(t)).select(
+        "bin", "ref_n", "cur_n",
+        F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+    )
+
+
+@_register(
+    "calibration_curve_deciles",
+    oracle="""
+    WITH s AS (
+        SELECT CAST((((event_id % 999999937) * 48271 + 12345) % 999999937)
+                    * 48271 % 999999937 AS DOUBLE) / 999999937.0 AS score,
+               CASE WHEN value > 50 THEN 1 ELSE 0 END AS y
+        FROM events WHERE value IS NOT NULL
+    ),
+    b AS (
+        SELECT least(CAST(FLOOR(score * 10) AS BIGINT), 9) AS decile,
+               score, y
+        FROM s
+    )
+    SELECT decile,
+           COUNT(*) AS n,
+           CAST(CAST(ROUND(SUM(CAST(score AS DECIMAL(18,6))), 4)
+                AS DECIMAL(18,4)) AS DOUBLE) / COUNT(*) AS mean_score,
+           CAST(SUM(y) AS DOUBLE) / COUNT(*) AS pos_rate,
+           ROUND(CAST(CAST(ROUND(SUM(CAST(score AS DECIMAL(18,6))), 4)
+                      AS DECIMAL(18,4)) AS DOUBLE) / COUNT(*)
+                 - CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS gap
+    FROM b GROUP BY 1
+    """,
+    doc="Calibration / reliability curve — the companion to"
+        " classifier_eval_suite's ranking metrics: scores bucketed"
+        " into deciles, predicted mass (mean score, exact-DECIMAL"
+        " sum) vs observed positive rate (integer counts) per bucket,"
+        " and the per-decile gap whose |·|-weighted sum is ECE. A"
+        " model can have perfect AUC and still be badly calibrated —"
+        " this is the query that shows it. The fixture scorer is the"
+        " portable Lehmer hash (a deliberately uninformative random"
+        " model: pos_rate flat across deciles, mean_score ≈ decile"
+        " midpoint — so the gap column itself is the sanity check)."
+        " One aggregation, ten output rows, scan-bounded.",
+)
+def calibration_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    s = ev.filter(F.col("value").isNotNull()).select(
+        (
+            (
+                ((F.col("event_id") % 999999937) * 48271 + 12345) % 999999937
+            ) * 48271 % 999999937
+        ).cast("double").alias("h"),
+        F.when(F.col("value") > 50, 1).otherwise(0).alias("y"),
+    ).select(
+        (F.col("h") / 999999937.0).alias("score"), "y"
+    )
+    b = s.select(
+        F.least(F.floor(F.col("score") * 10).cast("long"), F.lit(9))
+        .alias("decile"),
+        "score", "y",
+    )
+    mean_score = _dsum(F.col("score")) / F.count("*")
+    pos_rate = F.sum("y").cast("double") / F.count("*")
+    return b.groupBy("decile").agg(
+        F.count("*").alias("n"),
+        mean_score.alias("mean_score"),
+        pos_rate.alias("pos_rate"),
+        F.round(mean_score - pos_rate, 6).alias("gap"),
+    )
