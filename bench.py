@@ -288,6 +288,8 @@ NEW_QUERIES_R06 = [
     "python_datasource_stream_scan",
     "psi_drift_bins",
     "calibration_curve_deciles",
+    "dp_noisy_counts_seeded",
+    "ab_test_two_proportion",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

@@ -212,3 +212,25 @@ def test_calibration_deciles_cover_and_rates_bounded(spark, sf_dir):
         assert 0.0 <= r.pos_rate <= 1.0
         # mean score of decile d sits inside [d/10, (d+1)/10)
         assert r.decile / 10 <= r.mean_score < (r.decile + 1) / 10 + 1e-9
+
+
+def test_dp_noise_is_bounded_and_released_nonnegative(spark, sf_dir):
+    rows = Q.dp_noisy_counts_seeded(spark, sf_dir).collect()
+    ev = Q._t(spark, sf_dir, "events")
+    true = {r.event_type: r.n for r in
+            ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    for r in rows:
+        assert r.released_n >= 0
+        assert r.released_n == max(r.raw_noisy, 0)
+        # geometric(ε=1) noise: |noise| > 30 has probability ~1e-13 —
+        # a deterministic seed draw far outside that is a formula bug
+        assert abs(r.raw_noisy - true[r.event_type]) <= 30
+
+
+def test_ab_test_counts_partition_events(spark, sf_dir):
+    row = Q.ab_test_two_proportion(spark, sf_dir).collect()[0]
+    ev = Q._t(spark, sf_dir, "events")
+    assert row.n_a + row.n_b == ev.count()
+    assert row.x_a <= row.n_a and row.x_b <= row.n_b
+    assert row.diff_ci_lo <= row.p_a - row.p_b + 1e-9
+    assert row.p_a - row.p_b <= row.diff_ci_hi + 1e-9

@@ -191,6 +191,8 @@ SMOKE = [
     "python_datasource_stream_scan",
     "psi_drift_bins",
     "calibration_curve_deciles",
+    "dp_noisy_counts_seeded",
+    "ab_test_two_proportion",
 ]
 
 

@@ -13408,3 +13408,161 @@ def calibration_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pos_rate.alias("pos_rate"),
         F.round(mean_score - pos_rate, 6).alias("gap"),
     )
+
+
+@_register(
+    "dp_noisy_counts_seeded",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, COUNT(*) AS true_n,
+               CAST((((hash_base % 999999937) * 48271 + 12345) % 999999937)
+                    * 48271 % 999999937 AS DOUBLE) / 999999937.0 AS u
+        FROM (
+            SELECT event_type,
+                   CAST(length(event_type) * 2654435761 AS BIGINT) AS hash_base
+            FROM events
+        ) GROUP BY event_type, hash_base
+    ),
+    m AS (
+        SELECT event_type, true_n, u,
+               CASE WHEN u >= 0.5 THEN 1 ELSE -1 END AS sgn,
+               greatest(1e-12, 1.0 - 2.0 * abs(u - 0.5)) AS u2
+        FROM c
+    )
+    SELECT event_type,
+           CAST(true_n + sgn * CAST(FLOOR(ln(u2) / ln(exp(-1.0))) AS BIGINT)
+                AS BIGINT) AS raw_noisy,
+           CAST(greatest(
+               true_n + sgn * CAST(FLOOR(ln(u2) / ln(exp(-1.0))) AS BIGINT),
+               0) AS BIGINT) AS released_n
+    FROM m
+    """,
+    doc="Differential-privacy release mechanics — the two-sided"
+        " GEOMETRIC (discrete Laplace) mechanism at ε=1 over per-type"
+        " counts, with non-negativity post-processing (post-processing"
+        " never degrades the DP guarantee): inverse-CDF noise"
+        " magnitude floor(ln(u)/ln(e^{-ε})), the integer-valued noise"
+        " a count release should use (continuous Laplace + rounding"
+        " leaks via the rounding pattern). The noise draw here is a"
+        " SEEDED portable hash of the group key — reproducible for"
+        " testing and for the hash gate; a production release swaps in"
+        " real randomness, the mechanism and post-processing are the"
+        " operator. Third member of the privacy family beside the"
+        " k-anonymity and l-diversity audits; one aggregation, the"
+        " noise math is per-GROUP (5 rows), cost-free at any scale.",
+)
+def dp_noisy_counts_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        (F.length("event_type").cast("long") * 2654435761).alias("hash_base"),
+    ).groupBy("event_type", "hash_base").agg(F.count("*").alias("true_n"))
+    u = (
+        (
+            ((F.col("hash_base") % 999999937) * 48271 + 12345) % 999999937
+        ) * 48271 % 999999937
+    ).cast("double") / 999999937.0
+    m = c.select(
+        "event_type", "true_n", u.alias("u")
+    ).select(
+        "event_type", "true_n",
+        F.when(F.col("u") >= 0.5, 1).otherwise(-1).alias("sgn"),
+        F.greatest(
+            F.lit(1e-12), 1.0 - 2.0 * F.abs(F.col("u") - 0.5)
+        ).alias("u2"),
+    )
+    mag = F.floor(F.log(F.col("u2")) / F.log(F.exp(F.lit(-1.0)))).cast("long")
+    raw = (F.col("true_n") + F.col("sgn") * mag).cast("long")
+    return m.select(
+        "event_type",
+        raw.alias("raw_noisy"),
+        F.greatest(raw, F.lit(0).cast("long")).alias("released_n"),
+    )
+
+
+@_register(
+    "ab_test_two_proportion",
+    oracle="""
+    WITH g AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+        FROM events
+    ),
+    c AS (
+        SELECT CAST(SUM(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN grp = 'A' THEN conv ELSE 0 END) AS BIGINT) AS x_a,
+               CAST(SUM(CASE WHEN grp = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN grp = 'B' THEN conv ELSE 0 END) AS BIGINT) AS x_b
+        FROM g
+    )
+    SELECT n_a, x_a, n_b, x_b,
+           ROUND(CAST(x_a AS DOUBLE) / n_a, 6) AS p_a,
+           ROUND(CAST(x_b AS DOUBLE) / n_b, 6) AS p_b,
+           ROUND((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                        * (1 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z,
+           ROUND(CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b
+                 - 1.959963984540054
+                   * sqrt(CAST(x_a AS DOUBLE) / n_a
+                          * (1 - CAST(x_a AS DOUBLE) / n_a) / n_a
+                          + CAST(x_b AS DOUBLE) / n_b
+                            * (1 - CAST(x_b AS DOUBLE) / n_b) / n_b), 6)
+               AS diff_ci_lo,
+           ROUND(CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b
+                 + 1.959963984540054
+                   * sqrt(CAST(x_a AS DOUBLE) / n_a
+                          * (1 - CAST(x_a AS DOUBLE) / n_a) / n_a
+                          + CAST(x_b AS DOUBLE) / n_b
+                            * (1 - CAST(x_b AS DOUBLE) / n_b) / n_b), 6)
+               AS diff_ci_hi
+    FROM c
+    """,
+    doc="Two-proportion A/B test — the experimentation readout every"
+        " product analytics stack ships: pooled-variance z statistic"
+        " plus the unpooled 95% Wald CI on the conversion-rate"
+        " difference (z for the decision, the CI for the effect size —"
+        " reporting both is the standard practice). Deterministic"
+        " assignment (user_id parity) stands in for the experiment"
+        " bucketing column. Everything reduces to FOUR integer counts"
+        " in one scan — closed-form statistics beside the Poissonized"
+        " bootstrap_ci_mean, which answers the same question"
+        " nonparametrically when the metric isn't a proportion. The"
+        " z/CI float trees are written identically on both engines.",
+)
+def ab_test_two_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    g = ev.select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("grp"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        .alias("conv"),
+    )
+    c = g.agg(
+        F.sum(F.when(F.col("grp") == "A", 1).otherwise(0)).cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("grp") == "A", F.col("conv")).otherwise(0))
+        .cast("long").alias("x_a"),
+        F.sum(F.when(F.col("grp") == "B", 1).otherwise(0)).cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("grp") == "B", F.col("conv")).otherwise(0))
+        .cast("long").alias("x_b"),
+    )
+    p_a = F.col("x_a").cast("double") / F.col("n_a")
+    p_b = F.col("x_b").cast("double") / F.col("n_b")
+    pool = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (p_a - p_b) / F.sqrt(
+        pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    half = 1.959963984540054 * F.sqrt(
+        p_a * (1 - p_a) / F.col("n_a") + p_b * (1 - p_b) / F.col("n_b")
+    )
+    return c.select(
+        "n_a", "x_a", "n_b", "x_b",
+        F.round(p_a, 6).alias("p_a"),
+        F.round(p_b, 6).alias("p_b"),
+        F.round(z, 6).alias("z"),
+        F.round(p_a - p_b - half, 6).alias("diff_ci_lo"),
+        F.round(p_a - p_b + half, 6).alias("diff_ci_hi"),
+    )
