@@ -290,6 +290,8 @@ NEW_QUERIES_R06 = [
     "calibration_curve_deciles",
     "dp_noisy_counts_seeded",
     "ab_test_two_proportion",
+    "k_core_similarity_graph",
+    "minhash_banding_sweep",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

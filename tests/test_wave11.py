@@ -234,3 +234,30 @@ def test_ab_test_counts_partition_events(spark, sf_dir):
     assert row.x_a <= row.n_a and row.x_b <= row.n_b
     assert row.diff_ci_lo <= row.p_a - row.p_b + 1e-9
     assert row.p_a - row.p_b <= row.diff_ci_hi + 1e-9
+
+
+def test_k_core_members_have_min_degree(spark):
+    # triangle (0,1,2) + pendant 3 attached to 0: 2-core = the triangle
+    edges = [(0, 1), (1, 2), (0, 2), (0, 3)]
+    nodes_df = spark.createDataFrame([Row(n=i) for i in range(4)])
+    edges_df = spark.createDataFrame(
+        [Row(a=a, b=b) for a, b in edges] + [Row(a=b, b=a) for a, b in edges]
+    )
+    out = {r.n: r.core_degree
+           for r in graph.k_core(nodes_df, edges_df, k=2).collect()}
+    assert out == {0: 2, 1: 2, 2: 2}
+
+
+def test_banding_sweep_monotone_tradeoff(spark, sf_dir):
+    rows = {r.cfg: r for r in Q.minhash_banding_sweep(spark, sf_dir).collect()}
+    assert set(rows) == {"12x1", "6x2", "4x3", "3x4", "2x6"}
+    # more rows per band => fewer candidates (monotone) and recall
+    # never increases; 12x1 (OR over every perm) must have recall 1.0
+    order = ["12x1", "6x2", "4x3", "3x4", "2x6"]
+    cands = [rows[c].n_candidates for c in order]
+    assert cands == sorted(cands, reverse=True)
+    recalls = [rows[c].recall for c in order]
+    assert all(a >= b for a, b in zip(recalls, recalls[1:]))
+    assert rows["12x1"].recall == 1.0
+    for r in rows.values():
+        assert r.true_pos + r.false_neg == rows["12x1"].true_pos + rows["12x1"].false_neg

@@ -193,6 +193,8 @@ SMOKE = [
     "calibration_curve_deciles",
     "dp_noisy_counts_seeded",
     "ab_test_two_proportion",
+    "k_core_similarity_graph",
+    "minhash_banding_sweep",
 ]
 
 

@@ -306,3 +306,54 @@ def connected_components_minlabel(
     return labels.select(
         F.col("n").alias(id_col), F.col("lbl").alias("component")
     )
+
+
+def k_core(
+    nodes: DataFrame,
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 4,
+    id_col: str = "n",
+) -> DataFrame:
+    """k-core decomposition by synchronous peeling (Batagelj-Zaversnik
+    family, round-unrolled): each round removes every node whose degree
+    WITHIN the surviving subgraph is < k; the k-core is the fixpoint —
+    the maximal subgraph where every member keeps ≥ k neighbors, the
+    standard dense-region extractor (community seeds, spam-farm
+    detection) that CC/LPA can't express (they never remove nodes).
+
+    A FIXED round count keeps every round a pure function of the edge
+    set, so a SQL oracle replays the peeling CTE by CTE (the LPA
+    discipline); at fixture scale the fixpoint is reached well inside
+    ``rounds`` — at 100 TB each round is one |E|-linear join + one
+    count aggregation, and O(log) rounds suffice in practice because
+    peeling cascades.
+
+    Returns (id_col, core_degree) for members of the k-core after
+    ``rounds`` peels, with their within-core degree.
+    """
+    e = edges.select("a", "b").localCheckpoint(eager=True)
+    alive = nodes.select(F.col(id_col).alias("n")).distinct().localCheckpoint(
+        eager=True
+    )
+    for _ in range(rounds):
+        live_edges = (
+            e.join(alive.withColumnRenamed("n", "a"), "a")
+            .join(alive.withColumnRenamed("n", "b"), "b")
+        )
+        deg = live_edges.groupBy("a").agg(F.count("*").alias("d"))
+        alive = (
+            alive.join(deg, alive["n"] == deg["a"])
+            .filter(F.col("d") >= k)
+            .select("n")
+            .localCheckpoint(eager=True)
+        )
+    final_edges = (
+        e.join(alive.withColumnRenamed("n", "a"), "a")
+        .join(alive.withColumnRenamed("n", "b"), "b")
+    )
+    return (
+        final_edges.groupBy("a")
+        .agg(F.count("*").cast("long").alias("core_degree"))
+        .select(F.col("a").alias(id_col), "core_degree")
+    )
