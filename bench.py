@@ -292,6 +292,7 @@ NEW_QUERIES_R06 = [
     "ab_test_two_proportion",
     "k_core_similarity_graph",
     "minhash_banding_sweep",
+    "entity_resolution_pipeline",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

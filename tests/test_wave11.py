@@ -261,3 +261,16 @@ def test_banding_sweep_monotone_tradeoff(spark, sf_dir):
     assert rows["12x1"].recall == 1.0
     for r in rows.values():
         assert r.true_pos + r.false_neg == rows["12x1"].true_pos + rows["12x1"].false_neg
+
+
+def test_entity_resolution_entities_are_consistent(spark, sf_dir):
+    rows = Q.entity_resolution_pipeline(spark, sf_dir).collect()
+    cust = Q._t(spark, sf_dir, "customer")
+    n_dirty_src = cust.filter(F.col("c_custkey") % 3 == 0).count()
+    # every dirty record resolves into exactly one merged entity
+    assert sum(r.n_dirty for r in rows) == n_dirty_src
+    for r in rows:
+        # canonical record is a clean one (min id in component)
+        assert r.entity_id < 10_000_000
+        assert r.n_dirty >= 1 and r.n_records >= 2
+        assert r.canonical_name.startswith("C")

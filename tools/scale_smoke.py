@@ -195,6 +195,7 @@ SMOKE = [
     "ab_test_two_proportion",
     "k_core_similarity_graph",
     "minhash_banding_sweep",
+    "entity_resolution_pipeline",
 ]
 
 

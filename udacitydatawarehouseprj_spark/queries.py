@@ -12421,60 +12421,36 @@ def fuzzy_match_blocked_levenshtein(
                    " + 3 AS INT))"),
         ).alias("dirty_name"),
     )
-    # Candidate generation is a symmetric-delete (SymSpell) index, NOT
-    # the quadratic block join the oracle replays: every Levenshtein-<=1
-    # pair shares a single-deletion variant (substitution at i -> both
-    # del(i); insert/delete -> the longer side's deletion equals the
-    # shorter; equality trivially), so exploding del-0/del-1 variants on
-    # BOTH sides and hash-joining on the variant string finds ALL
-    # distance-<=1 candidates in O(rows x avg_len) - measured 22.4 s ->
-    # ~1 s at sf0.1 vs first-char blocking, and the gap GROWS with
-    # catalog size. Levenshtein runs only on the candidate pairs (the
-    # signature join admits a few distance-2 pairs, e.g. transpositions,
-    # which the exact verify drops), and the oracle's same-first-char
-    # block contract is re-applied so both formulations return the
-    # identical relation.
-    def _del_variants(df, name_col, keep):
-        return df.select(
-            *keep,
-            F.explode(
-                F.array_union(
-                    F.array(F.col(name_col)),
-                    F.transform(
-                        F.sequence(F.lit(1), F.length(name_col)),
-                        lambda i: F.concat(
-                            F.substring(F.col(name_col), F.lit(1), i - 1),
-                            F.col(name_col).substr(
-                                i + 1, F.length(name_col)
-                            ),
-                        ),
-                    ),
-                )
-            ).alias("sig"),
-        )
-
-    # Second scale lever: the catalog reuses a small name vocabulary
-    # (thousands of parts share "red widget"), so matching runs on
-    # DISTINCT STRINGS and the result propagates back by equi-join —
-    # the standard entity-resolution dedup-then-broadcast shape. The
-    # oracle's (dist, p_partkey) tie-break survives because for equal
-    # names the rank always lands on the per-name min partkey, so
-    # ranking (dist, min-partkey-per-name) over distinct names is the
-    # identical relation.
+    # Candidate generation is the symmetric-delete (SymSpell) index
+    # (operators/relational.py symdelete_candidates), NOT the quadratic
+    # block join the oracle replays — measured 22.4 s -> ~1 s at sf0.1,
+    # and the gap grows with catalog size. Second scale lever: the
+    # catalog reuses a small name vocabulary (thousands of parts share
+    # "red widget"), so matching runs on DISTINCT STRINGS and the
+    # result propagates back by equi-join — the standard entity-
+    # resolution dedup-then-broadcast shape. The oracle's
+    # (dist, p_partkey) tie-break survives because for equal names the
+    # rank always lands on the per-name min partkey, so ranking
+    # (dist, min-partkey-per-name) over distinct names is the identical
+    # relation; the oracle's same-first-char block contract is
+    # re-applied so both formulations agree exactly.
     c_names = part.groupBy("p_name").agg(
         F.min("p_partkey").alias("best_pk")
     )
-    d_names = dirty.select("dirty_name").distinct()
-    d_sigs = _del_variants(d_names, "dirty_name", ["dirty_name"])
-    c_sigs = _del_variants(c_names, "p_name", ["p_name", "best_pk"])
+    d_names = dirty.select(
+        F.col("dirty_name").alias("d_nm")
+    ).distinct().withColumn("d_id", F.lit(0))
     cand = (
-        d_sigs.join(c_sigs, "sig")
-        .select("dirty_name", "p_name", "best_pk")
-        .distinct()
-        .withColumn("dist", F.levenshtein("dirty_name", "p_name"))
+        rel.symdelete_candidates(
+            d_names, "d_id", "d_nm",
+            c_names.withColumnRenamed("best_pk", "c_id"), "c_id", "p_name",
+        )
         .filter(
-            (F.col("dist") <= 1)
-            & (F.substring("dirty_name", 1, 1) == F.substring("p_name", 1, 1))
+            F.substring("d_nm", 1, 1) == F.substring("p_name", 1, 1)
+        )
+        .select(
+            F.col("d_nm").alias("dirty_name"), "p_name",
+            F.col("c_id").alias("best_pk"), "dist",
         )
     )
     best_name = cand.withColumn(
@@ -13797,4 +13773,114 @@ def minhash_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("precision"),
         F.round(F.col("true_pos").cast("double") / F.lit(n_truth), 6)
         .alias("recall"),
+    )
+
+
+@_register(
+    "entity_resolution_pipeline",
+    oracle="""
+    WITH RECURSIVE dirty AS (
+        SELECT c_custkey + 10000000 AS did,
+               substr(c_name, 1,
+                      CAST(c_custkey % (length(c_name) - 1) + 1 AS INTEGER))
+               || substr(c_name,
+                         CAST(c_custkey % (length(c_name) - 1) + 3
+                              AS INTEGER)) AS dname
+        FROM customer WHERE c_custkey % 3 = 0
+    ),
+    rec AS (
+        SELECT c_custkey AS id, c_name AS name FROM customer
+        UNION ALL SELECT did, dname FROM dirty
+    ),
+    edges_d AS (
+        SELECT d.did AS a, c.c_custkey AS b
+        FROM dirty d JOIN customer c
+          ON substr(d.dname, 1, 1) = substr(c.c_name, 1, 1)
+         AND levenshtein(d.dname, c.c_name) <= 1
+    ),
+    edges AS (
+        SELECT a, b FROM edges_d UNION SELECT b, a FROM edges_d
+    ),
+    walk(n, m) AS (
+        SELECT id, CAST(id AS BIGINT) FROM rec
+        UNION
+        SELECT w.n, CAST(e.b AS BIGINT)
+        FROM walk w JOIN edges e ON w.m = e.a
+    ),
+    comp AS (SELECT n AS id, MIN(m) AS entity FROM walk GROUP BY 1),
+    g AS (
+        SELECT entity,
+               COUNT(*) AS n_records,
+               CAST(SUM(CASE WHEN id >= 10000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dirty
+        FROM comp GROUP BY 1
+    )
+    SELECT CAST(g.entity AS BIGINT) AS entity_id,
+           g.n_records, g.n_dirty,
+           r.name AS canonical_name
+    FROM g JOIN rec r ON g.entity = r.id
+    WHERE g.n_records >= 2
+    """,
+    doc="END-TO-END entity resolution — the composed showcase of the"
+        " round's matching machinery: (1) dirty records synthesized"
+        " from customers (one char deletion per every-third row, ids"
+        " offset by 10M), (2) candidate matching via the symmetric-"
+        "delete index (operators/relational.py symdelete_candidates —"
+        " O(rows × len), no pairwise Levenshtein sweep), (3)"
+        " transitive closure of the match graph via"
+        " connected_components_minlabel (a dirty variant that is"
+        " distance-1 from TWO clean names merges them — the classic"
+        " over-merge hazard ER must surface, deterministic here), (4)"
+        " survivorship: the min-id record (always a clean one, ids"
+        " ordered) becomes the golden record, with member and dirty"
+        " counts. The oracle replays all four stages — quadratic"
+        " block-join matching + recursive-CTE closure — so the whole"
+        " pipeline sits under one hash gate. Every stage is the"
+        " at-scale formulation: signature hash join, O(log d) CC"
+        " rounds, one aggregation for survivorship.",
+)
+def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacitydatawarehouseprj_spark.operators import graph
+
+    cust = _t(spark, sf_dir, "customer")
+    dirty = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        (F.col("c_custkey") + 10_000_000).alias("did"),
+        F.concat(
+            F.expr("substr(c_name, 1, CAST(c_custkey % (length(c_name) - 1)"
+                   " + 1 AS INT))"),
+            F.expr("substr(c_name, CAST(c_custkey % (length(c_name) - 1)"
+                   " + 3 AS INT))"),
+        ).alias("dname"),
+    )
+    records = cust.select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    ).unionByName(
+        dirty.select(F.col("did").alias("id"), F.col("dname").alias("name"))
+    )
+    matches = rel.symdelete_candidates(
+        dirty, "did", "dname", cust, "c_custkey", "c_name"
+    ).filter(F.substring("dname", 1, 1) == F.substring("c_name", 1, 1))
+    edges = matches.select(
+        F.col("did").alias("a"), F.col("c_custkey").alias("b")
+    ).union(
+        matches.select(
+            F.col("c_custkey").alias("a"), F.col("did").alias("b")
+        )
+    )
+    comp = graph.connected_components_minlabel(
+        records.select("id"), edges, id_col="id"
+    )
+    g = comp.groupBy("component").agg(
+        F.count("*").alias("n_records"),
+        F.sum((F.col("id") >= 10_000_000).cast("int")).cast("long")
+        .alias("n_dirty"),
+    )
+    return (
+        g.filter(F.col("n_records") >= 2)
+        .join(records, g["component"] == records["id"])
+        .select(
+            F.col("component").cast("long").alias("entity_id"),
+            "n_records", "n_dirty",
+            F.col("name").alias("canonical_name"),
+        )
     )
