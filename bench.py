@@ -293,6 +293,8 @@ NEW_QUERIES_R06 = [
     "k_core_similarity_graph",
     "minhash_banding_sweep",
     "entity_resolution_pipeline",
+    "collation_aware_grouping",
+    "sql_udf_suite",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

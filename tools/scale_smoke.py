@@ -196,6 +196,8 @@ SMOKE = [
     "k_core_similarity_graph",
     "minhash_banding_sweep",
     "entity_resolution_pipeline",
+    "collation_aware_grouping",
+    "sql_udf_suite",
 ]
 
 

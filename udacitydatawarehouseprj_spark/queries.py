@@ -13884,3 +13884,104 @@ def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("name").alias("canonical_name"),
         )
     )
+
+
+@_register(
+    "collation_aware_grouping",
+    oracle="""
+    WITH spelled AS (
+        SELECT CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END
+                   AS spelled,
+               n_chars
+        FROM documents
+    )
+    SELECT lower(spelled) AS source_ci,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT spelled) AS BIGINT) AS n_spellings,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM spelled GROUP BY lower(spelled)
+    """,
+    doc="Collation-aware aggregation (Spark 4 COLLATE — here"
+        " UTF8_LCASE): mixed-case spellings of the same source group"
+        " as ONE equivalence class at the COLLATION level, not via an"
+        " explicit lower() rewrite — the first-class way to get"
+        " case-insensitive semantics that also flows through joins,"
+        " DISTINCT, and comparisons without wrapping every predicate"
+        " (and without breaking scan pruning the way expression-"
+        "wrapped keys do). The oracle replays with the lower() rewrite"
+        " — identical equivalence classes, which is the contract. The"
+        " n_spellings column proves real case-variants were merged"
+        " (2 per class by construction). Same one-shuffle hash-agg"
+        " plan as any groupBy: collation changes the KEY COMPARATOR,"
+        " not the plan shape.",
+)
+def collation_aware_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    docs.select(
+        F.when(F.col("doc_id") % 2 == 0, F.upper("source"))
+        .otherwise(F.col("source"))
+        .alias("spelled"),
+        "n_chars",
+    ).createOrReplaceTempView("collate_docs_v")
+    return spark.sql(
+        """
+        SELECT min(lower(spelled)) AS source_ci,
+               COUNT(*) AS n_docs,
+               CAST(COUNT(DISTINCT spelled) AS BIGINT) AS n_spellings,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM collate_docs_v
+        GROUP BY spelled COLLATE UTF8_LCASE
+        """
+    )
+
+
+@_register(
+    "sql_udf_suite",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey,
+               o_totalprice * 0.9 + 1.0 AS adj_price,
+               CAST(o_orderkey % 3 + 1 AS INTEGER) AS n_copies
+        FROM orders WHERE o_orderkey % 100 = 0
+    )
+    SELECT b.o_orderkey,
+           ROUND(b.adj_price, 4) AS adj_price,
+           CAST(u.i AS INTEGER) AS copy_idx
+    FROM base b, unnest(range(1, b.n_copies + 1)) AS u(i)
+    """,
+    doc="SQL-language UDFs (Spark 4 CREATE FUNCTION … RETURN): a"
+        " SCALAR SQL UDF (price adjustment) and a TABLE-valued SQL"
+        " UDF (per-row fan-out via LATERAL), both declared in pure"
+        " SQL — the right UDF tier for logic that IS expressible as"
+        " expressions: the analyzer INLINES the body into the plan,"
+        " so unlike Python UDFs there is no serialization boundary,"
+        " codegen stays whole-stage, and filters still push through"
+        " (the classic 'UDFs are optimization fences' problem"
+        " disappears when the UDF is SQL). The oracle replays both"
+        " bodies inlined manually — which is exactly what Catalyst"
+        " does, and why the hash gate can cover a UDF at all.",
+)
+def sql_udf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("sql_udf_orders_v")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION adj_price(p DOUBLE)"
+        " RETURNS DOUBLE RETURN p * 0.9 + 1.0"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION fan_out(n INT)"
+        " RETURNS TABLE(copy_idx INT)"
+        " RETURN SELECT explode(sequence(1, n))"
+    )
+    return spark.sql(
+        """
+        SELECT b.o_orderkey,
+               ROUND(adj_price(b.o_totalprice), 4) AS adj_price,
+               f.copy_idx
+        FROM (
+            SELECT o_orderkey, o_totalprice,
+                   CAST(o_orderkey % 3 + 1 AS INT) AS n_copies
+            FROM sql_udf_orders_v WHERE o_orderkey % 100 = 0
+        ) b, LATERAL fan_out(b.n_copies) f
+        """
+    )
