@@ -295,6 +295,9 @@ NEW_QUERIES_R06 = [
     "entity_resolution_pipeline",
     "collation_aware_grouping",
     "sql_udf_suite",
+    "scd2_point_in_time_join",
+    "ratio_to_report_share",
+    "gini_concentration",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

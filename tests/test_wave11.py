@@ -274,3 +274,27 @@ def test_entity_resolution_entities_are_consistent(spark, sf_dir):
         assert r.entity_id < 10_000_000
         assert r.n_dirty >= 1 and r.n_records >= 2
         assert r.canonical_name.startswith("C")
+
+
+def test_pit_join_one_version_per_order(spark, sf_dir):
+    out = Q.scd2_point_in_time_join(spark, sf_dir)
+    orders = Q._t(spark, sf_dir, "orders")
+    rows = out.collect()
+    assert len(rows) == orders.count()  # exactly one version per order
+    assert set(r.version_at_order for r in rows) <= {1, 2}
+
+
+def test_shares_sum_to_one(spark, sf_dir):
+    rows = Q.ratio_to_report_share(spark, sf_dir).collect()
+    assert abs(sum(r.share_of_total for r in rows) - 1.0) < 1e-4
+    by_region = {}
+    for r in rows:
+        by_region.setdefault(r.region, 0.0)
+        by_region[r.region] += r.share_of_region
+    for tot in by_region.values():
+        assert abs(tot - 1.0) < 1e-4
+
+
+def test_gini_in_unit_interval(spark, sf_dir):
+    row = Q.gini_concentration(spark, sf_dir).collect()[0]
+    assert 0.0 <= row.gini < 1.0

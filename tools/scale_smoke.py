@@ -198,6 +198,9 @@ SMOKE = [
     "entity_resolution_pipeline",
     "collation_aware_grouping",
     "sql_udf_suite",
+    "scd2_point_in_time_join",
+    "ratio_to_report_share",
+    "gini_concentration",
 ]
 
 

@@ -13985,3 +13985,219 @@ def sql_udf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) b, LATERAL fan_out(b.n_copies) f
         """
     )
+
+
+@_register(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH hist AS (
+        SELECT c_custkey,
+               CAST(1 AS INTEGER) AS version,
+               c_acctbal,
+               TIMESTAMP '1990-01-01 00:00:00' AS valid_from,
+               CASE WHEN c_custkey % 10 = 3
+                    THEN TIMESTAMP '1995-01-01 00:00:00'
+                         + INTERVAL (c_custkey % 1000) DAY
+                    ELSE TIMESTAMP '2999-01-01 00:00:00' END AS valid_to
+        FROM customer
+        UNION ALL
+        SELECT c_custkey,
+               CAST(2 AS INTEGER) AS version,
+               CAST(CAST(c_acctbal AS DECIMAL(15,2))
+                    + CAST(100.00 AS DECIMAL(5,2)) AS DOUBLE) AS c_acctbal,
+               TIMESTAMP '1995-01-01 00:00:00'
+                   + INTERVAL (c_custkey % 1000) DAY AS valid_from,
+               TIMESTAMP '2999-01-01 00:00:00' AS valid_to
+        FROM customer WHERE c_custkey % 10 = 3
+    )
+    SELECT o.o_orderkey,
+           o.o_custkey,
+           h.version AS version_at_order,
+           h.c_acctbal AS acctbal_at_order
+    FROM orders o JOIN hist h
+      ON o.o_custkey = h.c_custkey
+     AND o.o_orderdate >= h.valid_from
+     AND o.o_orderdate < h.valid_to
+    """,
+    doc="Point-in-time (PIT) join against an SCD2 history — the"
+        " companion query scd2_dim_customers exists to serve: every"
+        " order picks the dimension VERSION that was valid at its"
+        " order date (version 2 opens at a per-key boundary date for"
+        " every custkey%10=3). The oracle states the semantics as the"
+        " textbook BETWEEN-validity theta join; the engine side"
+        " deliberately does NOT run that join (Catalyst plans"
+        " inequality joins as nested-loop — quadratic per key):"
+        " it reuses the as-of machinery (operators/temporal.py"
+        " asof_join — union both sides, one sort per key, last-known-"
+        "version carry), which is O(n log n) per key and ONE shuffle."
+        " PIT-correct feature retrieval is exactly this operator in"
+        " feature-store terms (no feature leakage from the future)."
+        " Same-relation-different-physical-strategy, proven by the"
+        " hash gate.",
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacitydatawarehouseprj_spark.operators import temporal
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    boundary = F.expr(
+        "TIMESTAMP '1995-01-01 00:00:00'"
+        " + make_interval(0, 0, 0, CAST(c_custkey % 1000 AS INT), 0, 0, 0)"
+    )
+    v1 = cust.select(
+        "c_custkey",
+        F.lit(1).cast("int").alias("version"),
+        "c_acctbal",
+        F.lit("1990-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+    )
+    v2 = cust.filter(F.col("c_custkey") % 10 == 3).select(
+        "c_custkey",
+        F.lit(2).cast("int").alias("version"),
+        (
+            F.col("c_acctbal").cast("decimal(15,2)")
+            + F.lit(100.00).cast("decimal(5,2)")
+        ).cast("double").alias("c_acctbal"),
+        boundary.alias("valid_from"),
+    )
+    hist = v1.unionByName(v2)
+    joined = temporal.asof_join(
+        orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        hist.withColumnRenamed("c_custkey", "o_custkey"),
+        key="o_custkey",
+        left_ts="o_orderdate",
+        right_ts="valid_from",
+        right_payload=["version", "c_acctbal"],
+    )
+    return joined.select(
+        "o_orderkey", "o_custkey",
+        F.col("version").alias("version_at_order"),
+        F.col("c_acctbal").alias("acctbal_at_order"),
+    )
+
+
+@_register(
+    "ratio_to_report_share",
+    oracle="""
+    WITH rev AS (
+        SELECT n.n_name AS nation, r.r_name AS region,
+               CAST(CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))), 4)
+                    AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+    )
+    SELECT nation, region, revenue,
+           ROUND(revenue / SUM(revenue) OVER (PARTITION BY region), 6)
+               AS share_of_region,
+           ROUND(revenue / SUM(revenue) OVER (), 6) AS share_of_total
+    FROM rev
+    """,
+    doc="Percent-of-total analytics (RATIO_TO_REPORT in warehouse"
+        " dialects): each nation's revenue as a share of its region"
+        " and of the grand total, via unbounded window sums OVER the"
+        " aggregated relation — the key scale discipline being that"
+        " the windows run over the 25-row AGGREGATE, never the fact"
+        " table (aggregate-then-window, not window-then-aggregate:"
+        " the empty-frame global window is a single-partition sort,"
+        " safe only because its input is dimension-bounded). Exact-"
+        "decimal revenue keeps the shares bit-identical cross-engine;"
+        " the star join itself is the broadcast-dimension shape the"
+        " plan suite pins.",
+)
+def ratio_to_report_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    rev = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"), F.col("r_name").alias("region")
+        )
+        .agg(_dsum(F.col("o_totalprice")).alias("revenue"))
+    )
+    return rev.select(
+        "nation", "region", "revenue",
+        F.round(
+            F.col("revenue")
+            / F.sum("revenue").over(W.partitionBy("region")), 6
+        ).alias("share_of_region"),
+        F.round(
+            F.col("revenue") / F.sum("revenue").over(W.partitionBy()), 6
+        ).alias("share_of_total"),
+    )
+
+
+@_register(
+    "gini_concentration",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS rnk
+        FROM per_cust
+    ),
+    agg AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(cents) AS BIGINT) AS total,
+               CAST(SUM(CAST(rnk AS BIGINT) * cents) AS BIGINT) AS wsum
+        FROM ranked
+    )
+    SELECT n,
+           total AS total_cents,
+           ROUND((2.0 * wsum) / (CAST(n AS DOUBLE) * total)
+                 - (CAST(n AS DOUBLE) + 1) / n, 6) AS gini
+    FROM agg
+    """,
+    doc="Gini coefficient of revenue concentration across customers —"
+        " the inequality/concentration measure (who owns the spend:"
+        " a handful of whales or the long tail) that key_skew_report"
+        " gives distributionally, reduced here to the single canonical"
+        " scalar via the rank formulation G = 2·Σ(i·xᵢ)/(n·Σxᵢ) −"
+        " (n+1)/n over ascending-sorted values. Revenue is summed in"
+        " exact integer CENTS, so rank weights and totals are pure"
+        " BIGINT and the one closing division is bit-identical. The"
+        " rank runs over the per-customer AGGREGATE (|customers|"
+        " rows, not orders); at 10^9 customers swap the window for"
+        " exact_distributed_rank (the blocked two-pass rank) — same"
+        " relation, no single-partition sort.",
+)
+def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long").alias("cents")
+    )
+    ranked = per_cust.select(
+        "cents",
+        F.row_number().over(W.orderBy("cents", "o_custkey")).alias("rnk"),
+    )
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("cents").cast("long").alias("total"),
+        F.sum(F.col("rnk").cast("long") * F.col("cents")).cast("long")
+        .alias("wsum"),
+    )
+    return agg.select(
+        "n",
+        F.col("total").alias("total_cents"),
+        F.round(
+            (2.0 * F.col("wsum"))
+            / (F.col("n").cast("double") * F.col("total"))
+            - (F.col("n").cast("double") + 1) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
