@@ -298,6 +298,8 @@ NEW_QUERIES_R06 = [
     "scd2_point_in_time_join",
     "ratio_to_report_share",
     "gini_concentration",
+    "json_schema_profile",
+    "sequence_pattern_match",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

@@ -298,3 +298,19 @@ def test_shares_sum_to_one(spark, sf_dir):
 def test_gini_in_unit_interval(spark, sf_dir):
     row = Q.gini_concentration(spark, sf_dir).collect()[0]
     assert 0.0 <= row.gini < 1.0
+
+
+def test_json_profile_surfaces_type_drift(spark, sf_dir):
+    rows = {r.key: r for r in Q.json_schema_profile(spark, sf_dir).collect()}
+    # the planted drift: amount is number in 2/3 of rows, string in 1/3
+    a = rows["amount"]
+    assert a.n_number > 0 and a.n_string > 0
+    assert a.presence == 1.0
+    assert rows["note"].n_null == rows["note"].n_present
+
+
+def test_sequence_patterns_bounded_by_users(spark, sf_dir):
+    row = Q.sequence_pattern_match(spark, sf_dir).collect()[0]
+    for c in ("signup_then_purchase", "two_views_then_purchase",
+              "double_error", "first_touch_view"):
+        assert 0 <= getattr(row, c) <= row.n_users

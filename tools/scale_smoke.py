@@ -201,6 +201,8 @@ SMOKE = [
     "scd2_point_in_time_join",
     "ratio_to_report_share",
     "gini_concentration",
+    "json_schema_profile",
+    "sequence_pattern_match",
 ]
 
 

@@ -14201,3 +14201,188 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@_register(
+    "json_schema_profile",
+    oracle="""
+    WITH raw AS (
+        SELECT o_orderkey,
+               CASE CAST(o_orderkey % 3 AS INTEGER)
+                 WHEN 0 THEN '{"amount": '
+                     || CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR)
+                     || ', "status": "' || o_orderstatus || '"}'
+                 WHEN 1 THEN '{"amount": '
+                     || CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR)
+                     || ', "flag": '
+                     || CASE WHEN o_orderpriority = '1-URGENT'
+                             THEN 'true' ELSE 'false' END || '}'
+                 ELSE '{"amount": "'
+                     || CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR)
+                     || '", "status": "' || o_orderstatus
+                     || '", "note": null}'
+               END AS js
+        FROM orders
+    ),
+    kv AS (
+        SELECT unnest(json_keys(js)) AS key, js FROM raw
+    ),
+    typed AS (
+        SELECT key,
+               -- DuckDB json_extract returns SQL NULL for JSON null
+               CASE substr(COALESCE(CAST(json_extract(js, '$.' || key)
+                                         AS VARCHAR), 'null'), 1, 1)
+                 WHEN '"' THEN 'string'
+                 WHEN 't' THEN 'boolean'
+                 WHEN 'f' THEN 'boolean'
+                 WHEN 'n' THEN 'null'
+                 ELSE 'number' END AS jtype
+        FROM kv
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM raw)
+    SELECT key,
+           COUNT(*) AS n_present,
+           CAST(SUM(CASE WHEN jtype = 'number' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_number,
+           CAST(SUM(CASE WHEN jtype = 'string' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_string,
+           CAST(SUM(CASE WHEN jtype = 'boolean' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boolean,
+           CAST(SUM(CASE WHEN jtype = 'null' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / n.n_docs, 6) AS presence
+    FROM typed, n
+    GROUP BY key, n.n_docs
+    """,
+    doc="Semi-structured schema profiling — key DISCOVERY plus per-key"
+        " TYPE histograms over raw JSON, the schema-drift audit every"
+        " landing zone needs before a declared-schema ingest (the"
+        " fixture plants the classic bug: 'amount' arrives as number"
+        " in two variants and as STRING in the third — a silent"
+        " ingestion-killer this profile surfaces as a split type"
+        " histogram). Keys come from json_object_keys (no declared"
+        " schema anywhere); values are typed through the VARIANT path"
+        " (variant_get with a DYNAMIC '$.'||key path, then to_json"
+        " to recover the raw-JSON spelling whose first character"
+        " classifies the type — identical classification on the"
+        " oracle via json_extract). One explode + one aggregation,"
+        " output bounded by the key vocabulary.",
+)
+def json_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    amt = F.floor(F.col("o_totalprice")).cast("bigint").cast("string")
+    js = (
+        F.when(F.col("o_orderkey") % 3 == 0,
+               F.concat(F.lit('{"amount": '), amt, F.lit(', "status": "'),
+                        F.col("o_orderstatus"), F.lit('"}')))
+        .when(F.col("o_orderkey") % 3 == 1,
+              F.concat(F.lit('{"amount": '), amt, F.lit(', "flag": '),
+                       F.when(F.col("o_orderpriority") == "1-URGENT",
+                              "true").otherwise("false"),
+                       F.lit("}")))
+        .otherwise(
+            F.concat(F.lit('{"amount": "'), amt, F.lit('", "status": "'),
+                     F.col("o_orderstatus"), F.lit('", "note": null}')))
+    )
+    raw = orders.select(js.alias("js"))
+    n_docs = raw.count()
+    kv = raw.select(
+        F.explode(F.expr("json_object_keys(js)")).alias("key"), "js"
+    )
+    typed = kv.select(
+        "key",
+        F.expr(
+            "CASE substr(to_json(variant_get(parse_json(js),"
+            " concat('$.', key))), 1, 1)"
+            " WHEN '\"' THEN 'string'"
+            " WHEN 't' THEN 'boolean' WHEN 'f' THEN 'boolean'"
+            " WHEN 'n' THEN 'null' ELSE 'number' END"
+        ).alias("jtype"),
+    )
+    return typed.groupBy("key").agg(
+        F.count("*").alias("n_present"),
+        F.sum((F.col("jtype") == "number").cast("int")).cast("long")
+        .alias("n_number"),
+        F.sum((F.col("jtype") == "string").cast("int")).cast("long")
+        .alias("n_string"),
+        F.sum((F.col("jtype") == "boolean").cast("int")).cast("long")
+        .alias("n_boolean"),
+        F.sum((F.col("jtype") == "null").cast("int")).cast("long")
+        .alias("n_null"),
+        F.round(F.count("*").cast("double") / F.lit(n_docs), 6)
+        .alias("presence"),
+    )
+
+
+@_register(
+    "sequence_pattern_match",
+    oracle="""
+    WITH seqs AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN regexp_matches(seq, 's.*p')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS signup_then_purchase,
+           CAST(SUM(CASE WHEN regexp_matches(seq, 'vvp')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS two_views_then_purchase,
+           CAST(SUM(CASE WHEN regexp_matches(seq, 'ee')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS double_error,
+           CAST(SUM(CASE WHEN regexp_matches(seq, '^v')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS first_touch_view
+    FROM seqs
+    """,
+    doc="Event-sequence pattern matching — MATCH_RECOGNIZE-lite, the"
+        " Spark-first emulation of row-pattern recognition (a major"
+        " SQL:2016 feature Spark lacks natively): each user's event"
+        " history collapses to an ordered initial-character string"
+        " (event types map to distinct initials; order pinned by"
+        " (ts, event_id) — collect_list alone is NON-deterministic,"
+        " the sort_array(struct) step is load-bearing), and behavioral"
+        " patterns become plain regexes over it: signup-then-later-"
+        "purchase, two consecutive views then purchase, consecutive"
+        " errors, first-touch view. One groupBy per user + regex per"
+        " pattern — funnel_signup_purchase answers ONE fixed funnel"
+        " relationally; this form answers ARBITRARY ordered patterns"
+        " (including adjacency, which joins express poorly) at the"
+        " cost of one sequence materialization bounded by events-per-"
+        "user.",
+)
+def sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    seqs = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                "ts", "event_id",
+                                F.substring("event_type", 1, 1).alias("c"),
+                            )
+                        )
+                    ),
+                    lambda s: s["c"],
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    return seqs.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(F.col("seq").rlike("s.*p").cast("int")).cast("long")
+        .alias("signup_then_purchase"),
+        F.sum(F.col("seq").rlike("vvp").cast("int")).cast("long")
+        .alias("two_views_then_purchase"),
+        F.sum(F.col("seq").rlike("ee").cast("int")).cast("long")
+        .alias("double_error"),
+        F.sum(F.col("seq").rlike("^v").cast("int")).cast("long")
+        .alias("first_touch_view"),
+    )
