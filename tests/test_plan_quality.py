@@ -779,3 +779,20 @@ def test_url_canonicalize_single_aggregation_shuffle(spark, sf_dir):
 def test_cdc_apply_single_shuffle_on_key(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "cdc_apply_changes")
     assert count_exchanges(plan) <= 1  # the window partition-by only
+
+
+def test_hard_negative_pair_stream_never_shuffles(spark, sf_dir):
+    """hard_negative_topk's |C|x|A| pair relation must stay map-side:
+    both the anchor label AND the corpus label attach via broadcast
+    (the corpus label rides along from the scan — round-6 advice: a
+    plain join on neighbor_id would shuffle the full pair stream
+    beyond the auto-broadcast threshold). The only shuffles allowed
+    are the corpus spread (pre-pair) and the final candidate rank
+    (post-MapInPandas, bounded at partitions x |A| x k rows)."""
+    plan = plan_of(spark, sf_dir, "hard_negative_mining")
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning(neighbor_id" not in plan
+    # pair production + label filters: broadcast joins only
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastHashJoin" in plan

@@ -223,6 +223,23 @@ def test_bloom_semijoin_mixed_key_types_no_false_negatives(spark):
                   rel.bloom_semijoin_reduce(fact_s, "k", dim, "d").collect()}
     assert set(keys[::3]) <= survived_s
 
+    # double fact key vs bigint dim key: must widen to a common NUMERIC
+    # type (the string route renders '42.0' != '42' and silently drops
+    # keys that ARE equal under SQL numeric equality — round-6 advice).
+    fact_d = spark.createDataFrame(
+        [(float(k),) for k in keys], "k double"
+    )
+    survived_d = {int(r.k) for r in
+                  rel.bloom_semijoin_reduce(fact_d, "k", dim, "d").collect()}
+    assert set(keys[::3]) <= survived_d
+
+    # string vs double has no canonical common rendering: refuse loudly
+    # rather than degrade to false negatives.
+    import pytest as _pytest
+    dim_d = spark.createDataFrame([(1.5,)], "d double")
+    with _pytest.raises(ValueError, match="common rendering"):
+        rel.bloom_semijoin_reduce(fact_s, "k", dim_d, "d")
+
 
 @settings(max_examples=8, deadline=None)
 @given(

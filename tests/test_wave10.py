@@ -177,9 +177,12 @@ def test_inverted_index_df_and_postings_consistent(spark, sf_dir):
     rows = Q.inverted_index_postings(spark, sf_dir).collect()
     assert rows
     for r in rows:
-        assert r.df >= len(r.postings_head) or r.df > 20
-        assert len(r.postings_head) == min(r.df, 20)
-        assert list(r.postings_head) == sorted(set(r.postings_head))
+        # postings_head is a driver-safe CSV string; the underlying
+        # array semantics (sorted, distinct, head-truncated to 20)
+        # must survive the round-trip through array_join.
+        head = [int(x) for x in r.postings_head.split(",")]
+        assert len(head) == min(r.df, 20)
+        assert head == sorted(set(head))
     # spot-check one term against a direct filter count
     mid = rows[len(rows) // 2]
     docs = Q._t(spark, sf_dir, "documents")

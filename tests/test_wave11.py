@@ -314,3 +314,23 @@ def test_sequence_patterns_bounded_by_users(spark, sf_dir):
     for c in ("signup_then_purchase", "two_views_then_purchase",
               "double_error", "first_touch_view"):
         assert 0 <= getattr(row, c) <= row.n_users
+
+
+def test_connected_components_one_directional_edges(spark):
+    """Edge 2->1 stored ONE direction only must still merge node 2 into
+    component 1 (round-6 advice: in-edge-only propagation left the
+    smaller-id-has-no-in-edge case unmerged unless callers
+    pre-symmetrized). The default symmetrize=True handles it; the
+    symmetrize=False escape hatch documents the old contract."""
+    nodes_df = spark.createDataFrame([Row(n=i) for i in range(1, 6)])
+    # 2->1, 3->2 (chain stored high->low only), 5->4 isolated pair
+    edges_df = spark.createDataFrame(
+        [Row(a=2, b=1), Row(a=3, b=2), Row(a=5, b=4)]
+    )
+    got = {
+        r.n: r.component
+        for r in graph.connected_components_minlabel(
+            nodes_df, edges_df
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}

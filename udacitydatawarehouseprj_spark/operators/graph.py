@@ -243,6 +243,7 @@ def connected_components_minlabel(
     edges: DataFrame,
     id_col: str = "n",
     max_iterations: int = 20,
+    symmetrize: bool = True,
 ) -> DataFrame:
     """Connected components by min-label propagation with star
     shortcuts — the alternating-contraction family (Kiveris et al.,
@@ -265,10 +266,25 @@ def connected_components_minlabel(
     one left join; lineage truncated per round with localCheckpoint
     (the iterative-plan-growth guard the PageRank/LPA rounds use).
 
+    Labels propagate along STORED edge direction only (nbr_min
+    aggregates over a→b), so the edge set must contain BOTH directions
+    of every undirected edge or components fail to merge whenever the
+    smaller id has no in-edge (edge 2→1 alone would leave node 2 in
+    its own component). ``symmetrize=True`` (the default) unions the
+    reversed edges internally — a one-time lineage step before the
+    single checkpoint, NOT a per-round cost; pass ``symmetrize=False``
+    only when the input is already symmetric (skips doubling the
+    checkpointed edge relation).
+
     Returns (id_col, component) — component = min node id reachable.
     """
     node_ids = nodes.select(F.col(id_col).alias("n")).distinct()
-    base = edges.select("a", "b").localCheckpoint(eager=True)
+    base = edges.select("a", "b")
+    if symmetrize:
+        base = base.unionByName(
+            base.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+    base = base.localCheckpoint(eager=True)
     labels = node_ids.select(
         "n", F.col("n").cast("long").alias("lbl")
     ).localCheckpoint(eager=True)

@@ -226,15 +226,33 @@ def bloom_semijoin_reduce(
     # so build and probe must hash from ONE common type or a fact int
     # key probed against a dim bigint key drops TRUE matches —
     # violating the no-false-negatives contract. Both integral → widen
-    # to long; anything else → hash the string form (long 42 and
-    # string "42" render identically, so a string/numeric pair still
-    # matches on equal logical values in canonical representation).
+    # to long; numeric/numeric mixes (double fact key vs bigint dim
+    # key) → widen to double, because the string route renders '42.0'
+    # != '42' and silently drops keys that ARE equal under SQL
+    # numeric equality. Only a genuinely non-numeric side falls back
+    # to the string form (long 42 and string "42" render identically,
+    # so string/integral pairs still match on canonical values);
+    # string/fractional pairs have no canonical common rendering, so
+    # refuse them loudly rather than degrade to false negatives.
     _integral = ("tinyint", "smallint", "int", "bigint")
+    _fractional = ("float", "double") + tuple(
+        k for k in (dict(fact.dtypes)[fact_key], dict(dim_keys.dtypes)[dim_key])
+        if k.startswith("decimal")
+    )
     f_kind = dict(fact.dtypes)[fact_key]
     d_kind = dict(dim_keys.dtypes)[dim_key]
-    common = (
-        "long" if f_kind in _integral and d_kind in _integral else "string"
-    )
+    _numeric = _integral + _fractional
+    if f_kind in _integral and d_kind in _integral:
+        common = "long"
+    elif f_kind in _numeric and d_kind in _numeric:
+        common = "double"
+    elif f_kind in _fractional or d_kind in _fractional:
+        raise ValueError(
+            "bloom_semijoin_reduce: no canonical common rendering for "
+            f"key types ({f_kind}, {d_kind}) — cast explicitly first"
+        )
+    else:
+        common = "string"
 
     def _probe_positions(df: DataFrame, key: str, pfx: str) -> DataFrame:
         df = df.withColumn(f"{pfx}h", F.xxhash64(F.col(key).cast(common)))

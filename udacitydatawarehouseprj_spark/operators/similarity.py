@@ -57,14 +57,22 @@ def norm(a: Column) -> Column:
 
 
 def _pairs_with_cosine(corpus: DataFrame, queries: DataFrame,
-                       id_col: str, vec_col: str) -> DataFrame:
+                       id_col: str, vec_col: str,
+                       extra_corpus_cols: tuple = ()) -> DataFrame:
     """(query, candidate, cosine) via broadcast cross join. The corpus is
     spread to session parallelism first: a single-file corpus would
-    otherwise evaluate the (CPU-heavy) fold dot products on one core."""
+    otherwise evaluate the (CPU-heavy) fold dot products on one core.
+
+    ``extra_corpus_cols`` ride along from the corpus side map-side (e.g.
+    a label for hard-negative filtering) so callers never need a second
+    join against the big relation — the pair stream stays shuffle-free.
+    """
     from udacitydatawarehouseprj_spark.session import spread
 
     c = spread(corpus, (id_col,)).select(
-        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("c_emb")
+        F.col(id_col).alias("neighbor_id"),
+        as_double(vec_col).alias("c_emb"),
+        *[F.col(x) for x in extra_corpus_cols],
     ).withColumn("c_norm", norm(F.col("c_emb")))
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("q_emb")
@@ -76,7 +84,7 @@ def _pairs_with_cosine(corpus: DataFrame, queries: DataFrame,
             dot(F.col("c_emb"), F.col("q_emb"))
             / (F.col("c_norm") * F.col("q_norm")),
         )
-        .select("query_id", "neighbor_id", "cosine")
+        .select("query_id", "neighbor_id", "cosine", *extra_corpus_cols)
     )
 
 
@@ -1466,23 +1474,24 @@ def hard_negative_topk(
     denoising). Same deterministic (cosine desc, id) rank and fold dot
     product as cosine_topk, so the oracle replays it exactly.
 
-    Scale shape: anchors broadcast, |C|×|A| pairs produced map-side and
-    label/ceiling-FILTERED before the per-partition top-k selection —
-    the full pair relation never shuffles (same contract as
-    cosine_topk; the filter only shrinks the candidate stream).
+    Scale shape: anchors broadcast, |C|×|A| pairs produced map-side with
+    the corpus label RIDING ALONG from the scan (extra_corpus_cols — no
+    second join against the big relation), the anchor label attached via
+    an explicit broadcast, and label/ceiling-FILTERED before the
+    per-partition top-k selection — the full pair relation never
+    shuffles (same contract as cosine_topk; the filters only shrink the
+    candidate stream map-side).
     """
     a = anchors.select(
         F.col(id_col).alias("query_id"),
         F.col(label_col).alias("q_label"),
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(label_col).alias("c_label"),
-    )
     pairs = (
-        _pairs_with_cosine(corpus, anchors, id_col, vec_col)
+        _pairs_with_cosine(
+            corpus.withColumn("c_label", F.col(label_col)),
+            anchors, id_col, vec_col, extra_corpus_cols=("c_label",),
+        )
         .join(F.broadcast(a), "query_id")
-        .join(c, "neighbor_id")
         .filter(
             (F.col("q_label") != F.col("c_label"))
             & (F.col("cosine") < F.lit(ceiling))

@@ -1199,13 +1199,15 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: ``queries()`` (observed in rounds 1-2: ``set(queries()[:50]) ==
 #: set(CORRECTNESS_rNN)``), so dict order decides which queries get the
 #: hard DuckDB-oracle signal. Registration order is file-layout accident;
-#: this list is the explicit policy. The ROUND-6 window holds the 33
-#: round-5-wave oracled queries that have never had a driver hard-signal
-#: row (the whole rotation debt — exact set from tools/rotate_window.py,
-#: which derives the count from CORRECTNESS_r*.json rather than a hand
-#: count), the flagship, and the stalest greens (round-2 rows) in the
-#: remaining slots. Queries ADDED in round 6 intentionally sit OUTSIDE
-#: the window: they are round 7's rotation, covered until then by the
+#: this list is the explicit policy. The ROUND-7 window holds the 33
+#: queries needing signal (exact set from tools/rotate_window.py, which
+#: derives the count from CORRECTNESS_r*.json rather than a hand
+#: count): the 32-query round-6 wave that has never had a driver
+#: hard-signal row, plus inverted_index_postings whose round-6 driver
+#: row erred on the array-typed postings_head (now a driver-safe CSV
+#: string). The flagship and the stalest greens fill the remaining
+#: slots. Queries ADDED in round 7 intentionally sit OUTSIDE the
+#: window: they are round 8's rotation, covered until then by the
 #: strict exact-value oracle replays at sf0.001 and sf0.01.
 #: Everything demoted out of the window stays
 #: covered by the identical oracle comparison in pytest
@@ -1215,59 +1217,62 @@ def multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: first) and replace this list with its output.
 WINDOW_PRIORITY: list[str] = [
     "flagship_hourly_activity",
-    # round-5 wave: 33 oracled queries that have never had a driver
-    # hard-signal row (rotate_window.py output, round 6). Clearing these
-    # zeroes the round-5 rotation debt.
-    "catalog_introspection",
-    "dim_users_build",
-    "dim_users_build_deduped",
-    "bpe_learn_merges_batched",
-    "profile_table_stats_approx",
-    "equidepth_value_buckets",
-    "ngram_pmi_collocations",
-    "matryoshka_prefix_ann",
-    "matryoshka_recall_check",
-    "temperature_mix_sources",
-    "bm25_topk",
-    "bloom_prefilter_join",
-    "skyline_orders_pareto",
-    "label_propagation_communities",
-    "streaming_attribution_readback",
+    # inverted_index_postings: round-6 driver row erred on the
+    # array-typed postings_head (unhashable numpy array in the driver
+    # canonicalizer); now a CSV string — re-check until green.
     "inverted_index_postings",
-    "quantile_normalize_by_group",
-    "recursive_cte_reachability",
-    "python_udtf_token_windows",
-    "pca_variance_check",
-    "classifier_eval_suite",
-    "resample_interpolate_hourly",
-    "xml_ingest_roundtrip",
-    "leakage_safe_split",
-    "distinct_ngram_diversity",
-    "zipf_law_fit",
-    "compact_small_files",
-    "hopping_window_counts",
-    "k_anonymity_audit",
-    "modern_sql_syntax_suite",
-    "moments_rollup_mergeable",
-    "benford_digit_audit",
-    "surrogate_keys_dense",
+    # round-6 wave: 32 oracled queries that have never had a driver
+    # hard-signal row (rotate_window.py output, round 7). Clearing
+    # these zeroes the round-6 rotation debt.
+    "connected_components_minlabel",
+    "skipgram_pairs",
+    "cdc_apply_changes",
+    "stratified_exact_n_sample",
+    "json_malformed_recovery",
+    "fuzzy_match_blocked_levenshtein",
+    "anomaly_seasonal_residuals",
+    "ks_drift_test",
+    "l_diversity_audit",
+    "hard_negative_mining",
+    "multimodal_video_frames",
+    "lines_ingest_roundtrip",
+    "binary_files_ingest",
+    "sparse_tfidf_allpairs",
+    "url_canonicalize_dedup",
+    "annotator_agreement_kappa",
+    "streaming_static_join_readback",
+    "python_datasource_stream_scan",
+    "psi_drift_bins",
+    "calibration_curve_deciles",
+    "dp_noisy_counts_seeded",
+    "ab_test_two_proportion",
+    "k_core_similarity_graph",
+    "minhash_banding_sweep",
+    "entity_resolution_pipeline",
+    "collation_aware_grouping",
+    "sql_udf_suite",
+    "scd2_point_in_time_join",
+    "ratio_to_report_share",
+    "gini_concentration",
+    "json_schema_profile",
+    "sequence_pattern_match",
     # stalest greens (oldest green round first) to re-confirm stability
-    "agg_count_star",
-    "agg_groupby_count",
-    "agg_grouping_sets",
-    "distinct_multi",
-    "topk_orders",
-    "window_user_top_events",
-    "setops_daily_users",
-    "cte_hourly_active_users",
-    "time_dimension_build",
-    "epoch_millis_roundtrip",
-    "sparkify_fct_build",
-    "tpch_q1_pricing_summary",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "ann_cosine_topk",
+    "ann_cosine_topk_blas",
+    "embedding_near_dup",
+    "embedding_near_dup_bcast",
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "doc_fingerprint_rolling",
+    "multimodal_byte_features",
+    "json_extract_props",
+    "agg_percentiles",
+    "pandas_udf_zscore",
+    "salted_join_skew",
+    "sessionize_events",
+    "tpch_q3_shipping_priority",
+    "agg_rollup",
+    "string_functions_suite",
 ]
 
 #: size of the driver's recorded window (empirical, rounds 1-2)
@@ -10688,7 +10693,8 @@ def streaming_attribution_readback(
     stats AS (
         SELECT term,
                CAST(COUNT(*) AS BIGINT) AS df,
-               list_sort(list(doc_id))[1:20] AS postings_head
+               array_to_string(list_sort(list(doc_id))[1:20], ',')
+                   AS postings_head
         FROM toks GROUP BY 1
     )
     SELECT term, df, postings_head
@@ -10697,10 +10703,13 @@ def streaming_attribution_readback(
     doc="Inverted-index construction — the retrieval-infrastructure"
         " primitive under BM25/keyword search: per term, the document"
         " frequency and the first 20 postings in sorted doc order."
-        " Postings lists are ARRAY-valued results under the hash gate"
-        " (sort_array(collect_list) ≙ DuckDB list_sort(list) — the"
-        " nondeterministic collection order is canonicalized by the"
-        " sort, the established array-suite pattern). Per-doc terms"
+        " Postings lists surface as a CSV STRING under the hash gate"
+        " (array_join(sort_array(collect_list)) ≙ DuckDB"
+        " array_to_string(list_sort(list)) — the driver canonicalizer"
+        " sorts result rows in pandas and cannot hash raw numpy"
+        " arrays, the array_functions_suite driver-proven shape;"
+        " the array form itself stays covered by a unit test). Per-doc"
+        " terms"
         " are deduped row-local (array_distinct before the explode),"
         " so the shuffle carries one row per (doc, distinct term)."
         " Scale: one map-side explode + one groupBy(term) — posting"
@@ -10720,8 +10729,9 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return toks.groupBy("term").agg(
         F.count("*").cast("long").alias("df"),
-        F.slice(
-            F.sort_array(F.collect_list("doc_id")), 1, 20
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20),
+            ",",
         ).alias("postings_head"),
     )
 
@@ -12100,9 +12110,9 @@ def connected_components_minlabel(
     pairs = _lsh_pairs_05(spark, sf_dir)
     edges = pairs.select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
-    ).union(
-        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
     )
+    # one-directional near-dup pairs: the operator symmetrizes
+    # internally (undirected semantics, round-6 advice)
     return graph.connected_components_minlabel(
         docs.select("doc_id"), edges, id_col="doc_id"
     )
@@ -13862,11 +13872,8 @@ def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.substring("dname", 1, 1) == F.substring("c_name", 1, 1))
     edges = matches.select(
         F.col("did").alias("a"), F.col("c_custkey").alias("b")
-    ).union(
-        matches.select(
-            F.col("c_custkey").alias("a"), F.col("did").alias("b")
-        )
     )
+    # one-directional match pairs: the operator symmetrizes internally
     comp = graph.connected_components_minlabel(
         records.select("id"), edges, id_col="id"
     )

@@ -27,10 +27,24 @@ def write_blobs(df: DataFrame, landing: str, id_col: str = "doc_id",
     ``foreachPartition`` keeps the write distributed (each task writes
     its partition's blobs directly — the driver never sees a payload),
     mirroring how an object-store landing zone is produced.
+
+    CONTRACT — ``landing`` must be a filesystem every executor can
+    reach at the same path (local mode, NFS, or a FUSE-mounted object
+    store). ``open()`` writes node-local paths: on a multi-node
+    cluster with plain local disks the blobs would land scattered
+    across executor-local filesystems and ``read_blobs`` (which lists
+    from the driver's view) would see nothing. A production landing
+    zone on HDFS/S3 should route through a Hadoop-FS-compatible
+    client instead; this writer models the SHAPE of the distributed
+    write (no driver loop, no collect) for the test environment.
+    The directory is created inside each task (not only on the
+    driver) so a shared-filesystem cluster works even when the
+    driver-side mkdir raced or the path is mounted read-late.
     """
     os.makedirs(landing, exist_ok=True)
 
     def write_partition(rows):
+        os.makedirs(landing, exist_ok=True)  # executor-side, idempotent
         for row in rows:
             path = os.path.join(landing, f"{row[id_col]}.{ext}")
             tmp = path + ".tmp"
