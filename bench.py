@@ -6,6 +6,16 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Each query is forced end-to-end with the noop writer (executes the full
 plan — unlike count(), which lets Catalyst prune unreferenced projections).
+
+Noise control (round-6 verdict: single-run box noise was ±8-15%, making
+sub-1.5 s/query deltas unresolvable round-over-round): every query is
+timed SPARK_GRAFT_BENCH_REPEATS times (default 3) and the MEDIAN is
+reported. Streaming/phased queries run once — their cost is dominated
+by real stream execution with checkpoints, and repeating them triples
+wall-clock for a number that is harness-floor-bound anyway (the ~10 s
+per-batch plan-construction floor, measured round 4). The full report
+(BENCH_full_latest.json) also records each query's min-max spread so a
+noisy box is visible in the record itself.
 """
 
 from __future__ import annotations
@@ -302,6 +312,11 @@ NEW_QUERIES_R06 = [
     "sequence_pattern_match",
 ]
 
+#: queries added in round 7 — their own bucket (value_new_r07).
+NEW_QUERIES_R07 = [
+    "table_ddl_lifecycle",
+]
+
 #: queries whose bench time is dominated by fixture orchestration, not
 #: the operator: queries.PHASE_TIMINGS records their harness phases
 #: (landing-zone write, stream run) so the report splits harness cost
@@ -334,16 +349,24 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     phases: dict[str, dict[str, float]] = {}
     for name in (
         HEADLINE + NEW_QUERIES_R02 + NEW_QUERIES_R03 + NEW_QUERIES_R04
-        + NEW_QUERIES_R05 + NEW_QUERIES_R06
+        + NEW_QUERIES_R05 + NEW_QUERIES_R06 + NEW_QUERIES_R07
     ):
-        t0 = time.perf_counter()
-        run_one(registry[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
-        dedup.release_caches()  # drop per-query shingle caches
+        n_runs = 1 if name in PHASED else repeats
+        runs: list[float] = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            run_one(registry[name](spark, sf_dir))
+            runs.append(time.perf_counter() - t0)
+            dedup.release_caches()  # drop per-query shingle caches
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 3)  # median
+        spreads[name] = round(runs[-1] - runs[0], 3)
         if name in PHASED and name in Q.PHASE_TIMINGS:
             ph = dict(Q.PHASE_TIMINGS[name])
             ph["readback_agg"] = round(timings[name] - sum(ph.values()), 3)
@@ -364,10 +387,13 @@ def main() -> None:
         "value_new_r04": round(sum(timings[n] for n in NEW_QUERIES_R04), 3),
         "value_new_r05": round(sum(timings[n] for n in NEW_QUERIES_R05), 3),
         "value_new_r06": round(sum(timings[n] for n in NEW_QUERIES_R06), 3),
+        "value_new_r07": round(sum(timings[n] for n in NEW_QUERIES_R07), 3),
         "phases": phases,
         "n_headline": len(HEADLINE),
         "n_all": len(timings),
+        "repeats": repeats,
     }
+    report_full = dict(report, spreads=spreads)
     # The driver truncates BENCH_rN.json to its tail, losing most of the
     # per-query map; persist the full report too so round-over-round
     # per-query regressions stay diffable (tools/bench_diff.py).
@@ -375,7 +401,7 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_full_latest.json"
     )
     with open(full_path, "w", encoding="utf-8") as fh:
-        json.dump(report, fh, indent=1, sort_keys=True)
+        json.dump(report_full, fh, indent=1, sort_keys=True)
     print(json.dumps(report))
 
 
