@@ -315,6 +315,8 @@ NEW_QUERIES_R06 = [
 #: queries added in round 7 — their own bucket (value_new_r07).
 NEW_QUERIES_R07 = [
     "table_ddl_lifecycle",
+    "sequence_pattern_compile",
+    "er_survivorship_scored",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

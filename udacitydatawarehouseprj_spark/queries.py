@@ -38,6 +38,7 @@ from udacitydatawarehouseprj_spark.functions import datetime as dtf
 from udacitydatawarehouseprj_spark.operators import dedup, layout, similarity, textops
 from udacitydatawarehouseprj_spark.operators import multimodal as mm
 from udacitydatawarehouseprj_spark.operators import relational as rel
+from udacitydatawarehouseprj_spark.operators import sequence as seqop
 from udacitydatawarehouseprj_spark.plans import star_schema
 from udacitydatawarehouseprj_spark.sources import sinks
 
@@ -13790,6 +13791,48 @@ def minhash_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _er_graph(spark: SparkSession, sf_dir: str):
+    """Shared ER front half (dirty synthesis → symdelete candidate
+    match → CC transitive closure), reused by the min-id pipeline and
+    the scored-survivorship variant. Returns (records, comp): records
+    carries (id, name, acctbal — NULL on dirty rows, the completeness
+    signal survivorship scores on), comp is (id, component)."""
+    from udacitydatawarehouseprj_spark.operators import graph
+
+    cust = _t(spark, sf_dir, "customer")
+    dirty = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        (F.col("c_custkey") + 10_000_000).alias("did"),
+        F.concat(
+            F.expr("substr(c_name, 1, CAST(c_custkey % (length(c_name) - 1)"
+                   " + 1 AS INT))"),
+            F.expr("substr(c_name, CAST(c_custkey % (length(c_name) - 1)"
+                   " + 3 AS INT))"),
+        ).alias("dname"),
+    )
+    records = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+    ).unionByName(
+        dirty.select(
+            F.col("did").alias("id"),
+            F.col("dname").alias("name"),
+            F.lit(None).cast("double").alias("acctbal"),
+        )
+    )
+    matches = rel.symdelete_candidates(
+        dirty, "did", "dname", cust, "c_custkey", "c_name"
+    ).filter(F.substring("dname", 1, 1) == F.substring("c_name", 1, 1))
+    edges = matches.select(
+        F.col("did").alias("a"), F.col("c_custkey").alias("b")
+    )
+    # one-directional match pairs: the operator symmetrizes internally
+    comp = graph.connected_components_minlabel(
+        records.select("id"), edges, id_col="id"
+    )
+    return records, comp
+
+
 @_register(
     "entity_resolution_pipeline",
     oracle="""
@@ -13854,33 +13897,7 @@ def minhash_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         " rounds, one aggregation for survivorship.",
 )
 def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from udacitydatawarehouseprj_spark.operators import graph
-
-    cust = _t(spark, sf_dir, "customer")
-    dirty = cust.filter(F.col("c_custkey") % 3 == 0).select(
-        (F.col("c_custkey") + 10_000_000).alias("did"),
-        F.concat(
-            F.expr("substr(c_name, 1, CAST(c_custkey % (length(c_name) - 1)"
-                   " + 1 AS INT))"),
-            F.expr("substr(c_name, CAST(c_custkey % (length(c_name) - 1)"
-                   " + 3 AS INT))"),
-        ).alias("dname"),
-    )
-    records = cust.select(
-        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
-    ).unionByName(
-        dirty.select(F.col("did").alias("id"), F.col("dname").alias("name"))
-    )
-    matches = rel.symdelete_candidates(
-        dirty, "did", "dname", cust, "c_custkey", "c_name"
-    ).filter(F.substring("dname", 1, 1) == F.substring("c_name", 1, 1))
-    edges = matches.select(
-        F.col("did").alias("a"), F.col("c_custkey").alias("b")
-    )
-    # one-directional match pairs: the operator symmetrizes internally
-    comp = graph.connected_components_minlabel(
-        records.select("id"), edges, id_col="id"
-    )
+    records, comp = _er_graph(spark, sf_dir)
     g = comp.groupBy("component").agg(
         F.count("*").alias("n_records"),
         F.sum((F.col("id") >= 10_000_000).cast("int")).cast("long")
@@ -14453,4 +14470,200 @@ def table_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderstatus").agg(
         F.count("*").cast("long").alias("n_orders"),
         _dsum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+#: DEFINE-lite symbol alphabet for the compiled-pattern query:
+#: attribute-conditioned (purchase SPLITS on value — the classification
+#: a fixed initial-char mapping cannot express), first-match-wins.
+#: Predicates are built lazily (Column construction needs an active
+#: SparkContext); char assignment and pattern compilation are pure.
+_SEQ_DEF_NAMES = [
+    "big_purchase", "small_purchase", "view", "signup", "error",
+]
+
+
+def _seq_defs() -> list:
+    return [
+        ("big_purchase",
+         (F.col("event_type") == "purchase")
+         & (F.coalesce(F.col("value"), F.lit(0.0)) >= 50.0)),
+        ("small_purchase", F.col("event_type") == "purchase"),
+        ("view", F.col("event_type") == "view"),
+        ("signup", F.col("event_type") == "signup"),
+        ("error", F.col("event_type") == "error"),
+    ]
+
+
+_SEQ_CHARS = seqop.assign_chars(_SEQ_DEF_NAMES)
+#: pattern SPECS (symbol names + quantifiers + PERMUTE), compiled once;
+#: the compiled regexes are injected into BOTH engines below.
+_SEQ_PATTERNS = {
+    "binge_then_big": "view{2,} .* big_purchase",
+    "signup_small_adjacent": "PERMUTE(signup small_purchase)",
+    "error_burst": "error{2,}",
+    "cautious_buyer": "view view? small_purchase",
+}
+_SEQ_RX = {
+    k: seqop.compile_pattern(v, _SEQ_CHARS) for k, v in _SEQ_PATTERNS.items()
+}
+
+
+@_register(
+    "sequence_pattern_compile",
+    oracle=f"""
+    WITH seqs AS (
+        SELECT user_id,
+               string_agg(
+                   CASE WHEN event_type = 'purchase'
+                             AND COALESCE(value, 0) >= 50 THEN 'a'
+                        WHEN event_type = 'purchase' THEN 'b'
+                        WHEN event_type = 'view' THEN 'c'
+                        WHEN event_type = 'signup' THEN 'd'
+                        WHEN event_type = 'error' THEN 'e'
+                        ELSE '_' END, ''
+                   ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_partitions,
+           CAST(SUM(CASE WHEN regexp_matches(seq, '{_SEQ_RX["binge_then_big"]}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS binge_then_big,
+           CAST(SUM(CASE WHEN regexp_matches(seq,
+                              '{_SEQ_RX["signup_small_adjacent"]}')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS signup_small_adjacent,
+           CAST(SUM(CASE WHEN regexp_matches(seq, '{_SEQ_RX["error_burst"]}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS error_burst,
+           CAST(SUM(CASE WHEN regexp_matches(seq, '{_SEQ_RX["cautious_buyer"]}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS cautious_buyer
+    FROM seqs
+    """,
+    doc="COMPILED row-pattern recognition — the parameterized upgrade"
+        " of sequence_pattern_match (round-6 verdict ask): the"
+        " operator now takes a PATTERN SPEC (symbol names with regex"
+        " quantifiers ?/*/+/{m,n}, wildcard, and SQL:2016 PERMUTE) plus"
+        " a DEFINE-lite ordered symbol alphabet whose predicates"
+        " condition on event ATTRIBUTES (purchase splits on value >= 50"
+        " — a classification no fixed initial-char mapping expresses),"
+        " and operators/sequence.py compiles spec -> portable regex"
+        " (chars/quantifiers/alternation only; no backreferences or"
+        " lookaround, so Java rlike and DuckDB RE2 agree). The SAME"
+        " compiled regex strings are injected into the oracle, so the"
+        " compiler output itself sits under the hash gate. Patterns"
+        " exercise every spec feature: {2,} + wildcard-gap, PERMUTE"
+        " adjacency in either order, a burst, and '?' optionality."
+        " Scale: one shuffle of (user, ts, char) triples + one regex"
+        " pass per pattern over user-bounded strings — identical shape"
+        " to sequence_pattern_match.",
+)
+def sequence_pattern_compile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return seqop.match_counts(
+        ev, "user_id", ("ts", "event_id"), _seq_defs(), _SEQ_PATTERNS
+    )
+
+
+@_register(
+    "er_survivorship_scored",
+    oracle="""
+    WITH RECURSIVE dirty AS (
+        SELECT c_custkey + 10000000 AS did,
+               substr(c_name, 1,
+                      CAST(c_custkey % (length(c_name) - 1) + 1 AS INTEGER))
+               || substr(c_name,
+                         CAST(c_custkey % (length(c_name) - 1) + 3
+                              AS INTEGER)) AS dname
+        FROM customer WHERE c_custkey % 3 = 0
+    ),
+    rec AS (
+        SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal
+        FROM customer
+        UNION ALL SELECT did, dname, NULL FROM dirty
+    ),
+    edges_d AS (
+        SELECT d.did AS a, c.c_custkey AS b
+        FROM dirty d JOIN customer c
+          ON substr(d.dname, 1, 1) = substr(c.c_name, 1, 1)
+         AND levenshtein(d.dname, c.c_name) <= 1
+    ),
+    edges AS (
+        SELECT a, b FROM edges_d UNION SELECT b, a FROM edges_d
+    ),
+    walk(n, m) AS (
+        SELECT id, CAST(id AS BIGINT) FROM rec
+        UNION
+        SELECT w.n, CAST(e.b AS BIGINT)
+        FROM walk w JOIN edges e ON w.m = e.a
+    ),
+    comp AS (SELECT n AS id, MIN(m) AS entity FROM walk GROUP BY 1),
+    scored AS (
+        SELECT c.entity, r.id, r.name,
+               CAST(CASE WHEN r.acctbal IS NOT NULL THEN 1 ELSE 0 END
+                    AS BIGINT) * 70368744177664
+               + CAST(CASE WHEN r.acctbal IS NOT NULL
+                           THEN CAST(ROUND(r.acctbal * 100) AS BIGINT)
+                                + 100000
+                           ELSE 0 END AS BIGINT) * 33554432
+               + (33554431 - r.id) AS score
+        FROM comp c JOIN rec r ON c.id = r.id
+    ),
+    g AS (
+        SELECT entity,
+               CAST(COUNT(*) AS BIGINT) AS n_records,
+               CAST(SUM(CASE WHEN id >= 10000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dirty,
+               arg_max(id, score) AS golden_id,
+               arg_max(name, score) AS golden_name
+        FROM scored GROUP BY 1
+    )
+    SELECT CAST(entity AS BIGINT) AS entity_id, n_records, n_dirty,
+           CAST(golden_id AS BIGINT) AS golden_id, golden_name,
+           (golden_id <> entity) AS relabeled
+    FROM g WHERE n_records >= 2
+    """,
+    doc="Scored SURVIVORSHIP for entity resolution — the half of ER"
+        " real deployments tune (round-6 verdict ask): instead of the"
+        " min-id golden record, each merged entity elects the record"
+        " maximizing a deterministic quality score packed into ONE"
+        " integer: completeness (acctbal present — dirty synthesized"
+        " records lack it) in the high bits, recency/value proxy"
+        " (account balance in cents, shifted non-negative) in the"
+        " middle, and a unique id tie-break in the low bits — so"
+        " max_by/arg_max is total-ordered and cross-engine exact, no"
+        " struct-comparison semantics to align. Shares the pipeline's"
+        " front half (_er_graph: symdelete match + CC closure);"
+        " survivorship itself is ONE aggregation with max_by, the same"
+        " single-pass shape at any scale. 'relabeled' marks entities"
+        " whose scored golden differs from the min-id choice — the"
+        " policy delta made visible (highest-balance clean record"
+        " wins, not smallest id).",
+)
+def er_survivorship_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    records, comp = _er_graph(spark, sf_dir)
+    present = F.col("acctbal").isNotNull()
+    cents = F.when(
+        present,
+        F.round(F.col("acctbal") * 100, 0).cast("long") + 100000,
+    ).otherwise(F.lit(0))
+    score = (
+        present.cast("long") * F.lit(70368744177664)
+        + cents * F.lit(33554432)
+        + (F.lit(33554431) - F.col("id"))
+    )
+    scored = comp.join(records, "id").select(
+        "component", "id", "name", score.alias("score")
+    )
+    g = scored.groupBy("component").agg(
+        F.count("*").cast("long").alias("n_records"),
+        F.sum((F.col("id") >= 10_000_000).cast("int")).cast("long")
+        .alias("n_dirty"),
+        F.expr("max_by(id, score)").alias("golden_id"),
+        F.expr("max_by(name, score)").alias("golden_name"),
+    )
+    return g.filter(F.col("n_records") >= 2).select(
+        F.col("component").cast("long").alias("entity_id"),
+        "n_records", "n_dirty",
+        F.col("golden_id").cast("long").alias("golden_id"),
+        "golden_name",
+        (F.col("golden_id") != F.col("component")).alias("relabeled"),
     )
