@@ -317,6 +317,10 @@ NEW_QUERIES_R07 = [
     "table_ddl_lifecycle",
     "sequence_pattern_compile",
     "er_survivorship_scored",
+    "chi_square_independence",
+    "welch_t_test",
+    "spearman_rank_correlation",
+    "mann_whitney_u",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

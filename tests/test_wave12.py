@@ -106,3 +106,51 @@ def test_table_ddl_lifecycle_idempotent_rerun(spark, sf_dir):
     )
     assert a == b  # drop -> create -> append is re-runnable
     assert {r.o_orderstatus for r in a} == {"F", "O"}
+
+
+def test_chi_square_zero_for_independent_uniform(spark, sf_dir):
+    out = Q.chi_square_independence(spark, sf_dir).collect()[0]
+    assert out.dof == 8
+    assert out.n > 0
+    assert out.chi2 >= 0.0
+
+
+def test_welch_t_hand_checked(spark):
+    # group A: 1,2,3 (mean 2, var 1); group B: 2,4,6 (mean 4, var 4)
+    rows = [Row(event_type=t, value=float(v))
+            for t, v in [("purchase", 1), ("purchase", 2), ("purchase", 3),
+                         ("view", 2), ("view", 4), ("view", 6)]]
+    import udacitydatawarehouseprj_spark.queries as QQ
+    df = spark.createDataFrame(rows)
+    dec = "decimal(38,4)"
+    v = F.col("value").cast(dec)
+    is_p = F.col("event_type") == "purchase"
+    s = df.agg(
+        F.sum(is_p.cast("int")).cast("long").alias("n1"),
+        F.sum((~is_p).cast("int")).cast("long").alias("n2"),
+        F.sum(F.when(is_p, v).otherwise(F.lit(0).cast(dec))).alias("s1"),
+        F.sum(F.when(~is_p, v).otherwise(F.lit(0).cast(dec))).alias("s2"),
+        F.sum(F.when(is_p, v * v).otherwise(F.lit(0).cast(dec))).alias("q1"),
+        F.sum(F.when(~is_p, v * v).otherwise(F.lit(0).cast(dec))).alias("q2"),
+    ).collect()[0]
+    m1, m2 = float(s.s1) / s.n1, float(s.s2) / s.n2
+    v1 = (float(s.q1) - float(s.s1) ** 2 / s.n1) / (s.n1 - 1)
+    v2 = (float(s.q2) - float(s.s2) ** 2 / s.n2) / (s.n2 - 1)
+    assert (m1, m2, v1, v2) == (2.0, 4.0, 1.0, 4.0)
+    # t = (2-4)/sqrt(1/3+4/3) = -2/sqrt(5/3)
+    t = (m1 - m2) / ((v1 / 3 + v2 / 3) ** 0.5)
+    assert abs(t - (-2.0 / (5.0 / 3.0) ** 0.5)) < 1e-12
+
+
+def test_spearman_bounds_and_sign(spark, sf_dir):
+    out = Q.spearman_rank_correlation(spark, sf_dir).collect()[0]
+    assert -1.0 <= out.rho <= 1.0
+    assert out.n > 0
+
+
+def test_mann_whitney_u_identity(spark, sf_dir):
+    out = Q.mann_whitney_u(spark, sf_dir).collect()[0]
+    # U1 + U2 = n1*n2 — with U2 = n1*n2 - U1 by construction; check
+    # U1 within valid range and z finite
+    assert 0 <= out.u1 <= out.n1 * out.n2
+    assert out.z_approx == out.z_approx  # not NaN

@@ -338,9 +338,97 @@ def boilerplate_smoke(spark) -> dict:
     return {"span_dedup_boilerplate_50pct": elapsed, "n_docs": len(rows)}
 
 
+#: sf10 tier (--sf10): 100× the bench scale, for the operators where
+#: SUPER-LINEAR risk lives (round-6 verdict ask): CC/k-core round
+#: counts, LSH banding candidate growth, exact countDistinct width,
+#: all-pairs term joins, iterative BPE driver rounds. The sf0.1→sf1
+#: ledger proves one decade; this proves the second.
+OUT10 = os.path.join(os.path.dirname(OUT), "sf10")
+SMOKE10 = [
+    "entity_resolution_pipeline",
+    "er_survivorship_scored",
+    "k_core_similarity_graph",
+    "connected_components_minlabel",
+    "minhash_banding_sweep",
+    "sparse_tfidf_allpairs",
+    "json_schema_profile",
+    "profile_table_stats",
+    "bpe_learn_merges",
+    "bpe_learn_merges_batched",
+    "streaming_corpus_dedup_readback",
+]
+
+
+def generate_sf10(spark) -> None:
+    """Only the tables SMOKE10 touches (each query in the subset reads
+    ONE table; no cross-table joins, so per-table strides are
+    independent). Customer uses a 1e9 stride so the ER pipeline's
+    +10M dirty-id offset can never collide with a replica's clean
+    keys — a collision would merge replicas through duplicate ids and
+    measure a degenerate graph instead of the operator."""
+    os.makedirs(OUT10, exist_ok=True)
+    K = 10_000_000
+    plans = {
+        "customer": _replicate_keyed(
+            spark, "customer", {"c_custkey": 1_000_000_000}, 100),
+        "orders": _replicate_keyed(
+            spark, "orders", {"o_orderkey": K, "o_custkey": K}, 100),
+        "lineitem": _replicate_keyed(
+            spark, "lineitem",
+            {"l_orderkey": K, "l_partkey": K, "l_suppkey": K}, 100),
+    }
+    docs = S.load_table(spark, SRC, "documents")
+    doc_parts = [docs]
+    for i in range(1, 20):
+        rot = 7 * i
+        doc_parts.append(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * K))
+            .withColumn(
+                "text",
+                F.array_join(
+                    F.expr(
+                        f"concat(slice(split(text, ' '), {rot + 1}, 100000),"
+                        f" slice(split(text, ' '), 1, {rot}))"
+                    ),
+                    " ",
+                ),
+            )
+        )
+    d = doc_parts[0]
+    for p in doc_parts[1:]:
+        d = d.unionByName(p)
+    plans["documents"] = d
+    for name, df in plans.items():
+        df.write.mode("overwrite").parquet(
+            os.path.join(OUT10, f"{name}.parquet"))
+
+
 def main() -> None:
     spark = S.get_spark("scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
+    if "--sf10" in sys.argv:
+        if "--regen" in sys.argv or not os.path.exists(
+            os.path.join(OUT10, "documents.parquet")
+        ):
+            t0 = time.perf_counter()
+            generate_sf10(spark)
+            print(f"# generated {OUT10} in {time.perf_counter() - t0:.1f}s",
+                  file=sys.stderr)
+        reg = Q.queries()
+        names = SMOKE10
+        for arg in sys.argv[1:]:
+            if arg.startswith("--only="):
+                names = [n for n in arg.split("=", 1)[1].split(",") if n]
+        timings = {}
+        for name in names:
+            t0 = time.perf_counter()
+            reg[name](spark, OUT10).write.format("noop").mode(
+                "overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        print(json.dumps({"metric": "scale_smoke_100x_total",
+                          "value": round(sum(timings.values()), 3),
+                          "unit": "sec", "queries": timings, "sf": 10.0}))
+        return
     if "--boilerplate" in sys.argv:
         res = boilerplate_smoke(spark)
         print(json.dumps({"metric": "span_dedup_boilerplate", "unit": "sec",

@@ -14667,3 +14667,323 @@ def er_survivorship_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         "golden_name",
         (F.col("golden_id") != F.col("component")).alias("relabeled"),
     )
+
+
+@_register(
+    "chi_square_independence",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type,
+               CASE WHEN value < 20 THEN 'low'
+                    WHEN value < 60 THEN 'mid' ELSE 'high' END AS band,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, band, o,
+               SUM(o) OVER (PARTITION BY event_type) AS row_tot,
+               SUM(o) OVER (PARTITION BY band) AS col_tot,
+               SUM(o) OVER () AS n
+        FROM cells
+    ),
+    terms AS (
+        SELECT n,
+               CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+                   / CAST(n AS DOUBLE) AS e,
+               CAST(o AS DOUBLE) AS od
+        FROM tot
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST(8 AS BIGINT) AS dof,
+           CAST(CAST(ROUND(SUM(CAST(ROUND((od - e) * (od - e) / e, 6)
+                    AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE)
+               AS chi2
+    FROM terms
+    """,
+    doc="Chi-square test of independence (event_type x value band) —"
+        " the categorical-drift / feature-dependence workhorse: the"
+        " contingency table is ONE groupBy over the fact table (15"
+        " cells), and row/column/grand totals come from windows OVER"
+        " THE 15-ROW AGGREGATE (the ratio_to_report discipline — the"
+        " fact table never enters a window). Per-cell (O-E)^2/E terms"
+        " are rounded to exact decimals before the final sum so the"
+        " cross-engine hash cannot drift by 1 ulp. dof = (r-1)(c-1) ="
+        " (5-1)(3-1) = 8, emitted as a constant so the result is"
+        " self-describing. Scale: one map-side-combining aggregation;"
+        " everything after is O(cells).",
+)
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.when(F.col("value") < 20, "low")
+        .when(F.col("value") < 60, "mid")
+        .otherwise("high").alias("band"),
+    ).agg(F.count("*").cast("long").alias("o"))
+    tot = cells.select(
+        "event_type", "band", "o",
+        F.sum("o").over(W.partitionBy("event_type")).alias("row_tot"),
+        F.sum("o").over(W.partitionBy("band")).alias("col_tot"),
+        F.sum("o").over(W.partitionBy()).alias("n"),
+    )
+    terms = tot.select(
+        "n",
+        (F.col("row_tot").cast("double") * F.col("col_tot").cast("double")
+         / F.col("n").cast("double")).alias("e"),
+        F.col("o").cast("double").alias("od"),
+    )
+    return terms.agg(
+        F.max("n").cast("long").alias("n"),
+        F.lit(8).cast("long").alias("dof"),
+        _dsum(F.round((F.col("od") - F.col("e")) ** 2 / F.col("e"), 6))
+        .alias("chi2"),
+    )
+
+
+@_register(
+    "welch_t_test",
+    oracle="""
+    WITH s AS (
+        SELECT
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n1,
+            CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n2,
+            SUM(CASE WHEN event_type = 'purchase'
+                     THEN CAST(value AS DECIMAL(38,4)) ELSE 0 END) AS s1,
+            SUM(CASE WHEN event_type = 'view'
+                     THEN CAST(value AS DECIMAL(38,4)) ELSE 0 END) AS s2,
+            SUM(CASE WHEN event_type = 'purchase'
+                     THEN CAST(value AS DECIMAL(38,4))
+                          * CAST(value AS DECIMAL(38,4)) ELSE 0 END) AS q1,
+            SUM(CASE WHEN event_type = 'view'
+                     THEN CAST(value AS DECIMAL(38,4))
+                          * CAST(value AS DECIMAL(38,4)) ELSE 0 END) AS q2
+        FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    m AS (
+        SELECT n1, n2,
+               CAST(s1 AS DOUBLE) / n1 AS m1,
+               CAST(s2 AS DOUBLE) / n2 AS m2,
+               (CAST(q1 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
+                   / (n1 - 1) AS v1,
+               (CAST(q2 AS DOUBLE)
+                - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2)
+                   / (n2 - 1) AS v2
+        FROM s
+    )
+    SELECT n1, n2,
+           ROUND(m1 - m2, 6) AS mean_diff,
+           ROUND((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+           ROUND(
+               (v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+               / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                  + (v2 / n2) * (v2 / n2) / (n2 - 1)), 6) AS df_welch
+    FROM m
+    """,
+    doc="Welch's two-sample t-test (unequal variances) on purchase-vs-"
+        "view event values — the A/B significance test for CONTINUOUS"
+        " outcomes, complementing ab_test_two_proportion's rates: ONE"
+        " conditional-aggregation pass computes both groups' (n, sum,"
+        " sum-of-squares) as EXACT decimals (values carry 2 decimals,"
+        " so decimal(38,4) sums are lossless and cross-engine"
+        " bit-identical), then mean/variance/t/Welch-Satterthwaite df"
+        " are closed-form scalar arithmetic on the 1-row aggregate."
+        " Scale: single map-side-combining scan, zero shuffles beyond"
+        " the 1-row final merge — the textbook statistic at any data"
+        " size.",
+)
+def welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    dec = "decimal(38,4)"
+    v = F.col("value").cast(dec)
+    is_p = F.col("event_type") == "purchase"
+    s = ev.agg(
+        F.sum(is_p.cast("int")).cast("long").alias("n1"),
+        F.sum((~is_p).cast("int")).cast("long").alias("n2"),
+        F.sum(F.when(is_p, v).otherwise(F.lit(0).cast(dec))).alias("s1"),
+        F.sum(F.when(~is_p, v).otherwise(F.lit(0).cast(dec))).alias("s2"),
+        F.sum(F.when(is_p, v * v).otherwise(F.lit(0).cast(dec))).alias("q1"),
+        F.sum(F.when(~is_p, v * v).otherwise(F.lit(0).cast(dec))).alias("q2"),
+    )
+    m = s.select(
+        "n1", "n2",
+        (F.col("s1").cast("double") / F.col("n1")).alias("m1"),
+        (F.col("s2").cast("double") / F.col("n2")).alias("m2"),
+        ((F.col("q1").cast("double")
+          - F.col("s1").cast("double") * F.col("s1").cast("double")
+          / F.col("n1")) / (F.col("n1") - 1)).alias("v1"),
+        ((F.col("q2").cast("double")
+          - F.col("s2").cast("double") * F.col("s2").cast("double")
+          / F.col("n2")) / (F.col("n2") - 1)).alias("v2"),
+    )
+    se2_1 = F.col("v1") / F.col("n1")
+    se2_2 = F.col("v2") / F.col("n2")
+    return m.select(
+        "n1", "n2",
+        F.round(F.col("m1") - F.col("m2"), 6).alias("mean_diff"),
+        F.round(
+            (F.col("m1") - F.col("m2")) / F.sqrt(se2_1 + se2_2), 6
+        ).alias("t_stat"),
+        F.round(
+            (se2_1 + se2_2) * (se2_1 + se2_2)
+            / (se2_1 * se2_1 / (F.col("n1") - 1)
+               + se2_2 * se2_2 / (F.col("n2") - 1)), 6
+        ).alias("df_welch"),
+    )
+
+
+@_register(
+    "spearman_rank_correlation",
+    oracle="""
+    WITH r AS (
+        SELECT event_id,
+               ROW_NUMBER() OVER (ORDER BY value, event_id) AS rx,
+               ROW_NUMBER() OVER (ORDER BY ts, event_id) AS ry
+        FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST((rx - ry) * (rx - ry) AS DECIMAL(38,0))) AS d2
+        FROM r
+    )
+    SELECT n,
+           ROUND(1.0 - 6.0 * CAST(d2 AS DOUBLE)
+                 / (CAST(n AS DOUBLE)
+                    * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0)),
+                 6) AS rho
+    FROM s
+    """,
+    doc="Spearman rank correlation between event value and event time"
+        " — the monotonic-association / temporal-drift statistic"
+        " robust to arbitrary marginal distributions: rho = 1 -"
+        " 6*sum(d^2)/(n(n^2-1)) over the two EXACT global rank"
+        " sequences. Both ranks use a unique (key, event_id) total"
+        " order (deterministic tie-break — classic average-rank tie"
+        " handling replaced by a pinned ordering so both engines agree"
+        " exactly), and BOTH are computed with the two-pass blocked"
+        " rank (operators/relational.exact_distributed_rank: value"
+        " blocks / day blocks) — row_number semantics with NO single-"
+        "partition sort anywhere, the 100 TB formulation. d^2 sums as"
+        " decimal(38,0) (exact to ~10^38 — n^3 overflows bigint past"
+        " ~2M rows), and only the final rho division runs in double."
+        " Scale: two block-window passes + one join on event_id + one"
+        " 1-row aggregate.",
+)
+def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    rx = rel.exact_distributed_rank(
+        ev.select("event_id", "value"),
+        F.floor(F.col("value") / 10).cast("long"),
+        [F.col("value").asc(), F.col("event_id").asc()],
+        rank_col="rx",
+    ).select("event_id", "rx")
+    ry = rel.exact_distributed_rank(
+        ev.select("event_id", "ts"),
+        F.floor(
+            F.unix_timestamp(F.col("ts").cast("timestamp")) / 86400
+        ).cast("long"),
+        [F.col("ts").asc(), F.col("event_id").asc()],
+        rank_col="ry",
+    ).select("event_id", "ry")
+    d = rx.join(ry, "event_id").select(
+        ((F.col("rx") - F.col("ry"))
+         * (F.col("rx") - F.col("ry"))).cast("decimal(38,0)").alias("d2")
+    )
+    s = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("d2").alias("d2"),
+    )
+    n_d = F.col("n").cast("double")
+    return s.select(
+        "n",
+        F.round(
+            F.lit(1.0) - F.lit(6.0) * F.col("d2").cast("double")
+            / (n_d * (n_d * n_d - F.lit(1.0))), 6
+        ).alias("rho"),
+    )
+
+
+@_register(
+    "mann_whitney_u",
+    oracle="""
+    WITH both_g AS (
+        SELECT event_id, event_type, value FROM events
+        WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL
+    ),
+    r AS (
+        SELECT event_type,
+               ROW_NUMBER() OVER (ORDER BY value, event_id) AS rnk
+        FROM both_g
+    ),
+    s AS (
+        SELECT
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n1,
+            CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n2,
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN rnk
+                          ELSE 0 END) AS BIGINT) AS r1
+        FROM r
+    )
+    SELECT n1, n2,
+           CAST(r1 - n1 * (n1 + 1) / 2 AS BIGINT) AS u1,
+           ROUND((CAST(r1 AS DOUBLE)
+                  - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0
+                  - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+                 / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                        * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0)
+                        / 12.0), 6) AS z_approx
+    FROM s
+    """,
+    doc="Mann-Whitney U (Wilcoxon rank-sum) test, purchase vs view"
+        " values — the NONPARAMETRIC two-sample test (welch_t_test's"
+        " rank-based sibling; the right tool when values are heavy-"
+        "tailed, exactly the LLM-corpus quality-score case): rank the"
+        " pooled sample with a unique (value, event_id) total order"
+        " (pinned tie-break, cross-engine exact), U1 = R1 -"
+        " n1(n1+1)/2, and the large-sample normal z approximation."
+        " The pooled rank is the two-pass blocked row_number"
+        " (exact_distributed_rank, value-decade blocks) — no single-"
+        "partition sort; rank sums stay in bigint (exact to ~3e9"
+        " rows), z runs in explicit doubles on both engines (the"
+        " n1*n2*(n+1) product overflows bigint past ~10M rows)."
+        " Scale: one block-window pass + one 1-row conditional"
+        " aggregate.",
+)
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+        & F.col("value").isNotNull()
+    )
+    ranked = rel.exact_distributed_rank(
+        ev.select("event_id", "event_type", "value"),
+        F.floor(F.col("value") / 10).cast("long"),
+        [F.col("value").asc(), F.col("event_id").asc()],
+        rank_col="rnk",
+    )
+    is_p = F.col("event_type") == "purchase"
+    s = ranked.agg(
+        F.sum(is_p.cast("int")).cast("long").alias("n1"),
+        F.sum((~is_p).cast("int")).cast("long").alias("n2"),
+        F.sum(F.when(is_p, F.col("rnk")).otherwise(F.lit(0)))
+        .cast("long").alias("r1"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    r1d = F.col("r1").cast("double")
+    return s.select(
+        "n1", "n2",
+        (F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2)
+        .cast("long").alias("u1"),
+        F.round(
+            (r1d - n1d * (n1d + F.lit(1.0)) / 2
+             - n1d * n2d / 2)
+            / F.sqrt(n1d * n2d * (n1d + n2d + F.lit(1.0)) / 12), 6
+        ).alias("z_approx"),
+    )
