@@ -321,6 +321,10 @@ NEW_QUERIES_R07 = [
     "welch_t_test",
     "spearman_rank_correlation",
     "mann_whitney_u",
+    "gaps_islands_streaks",
+    "max_concurrent_sessions",
+    "autocorrelation_hourly",
+    "cusum_changepoint",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

@@ -154,3 +154,97 @@ def test_mann_whitney_u_identity(spark, sf_dir):
     # U1 within valid range and z finite
     assert 0 <= out.u1 <= out.n1 * out.n2
     assert out.z_approx == out.z_approx  # not NaN
+
+
+def test_blocked_prefix_sum_matches_global_window(spark):
+    import random
+
+    from udacitydatawarehouseprj_spark.operators import relational as rel
+
+    rng = random.Random(11)
+    rows = [Row(k=i, v=rng.randint(-5, 5), b=rng.randint(0, 9))
+            for i in range(500)]
+    df = spark.createDataFrame(rows)
+    # order by (b, k) with block = b: block is monotone in the leading
+    # sort key by construction
+    got = {
+        r.k: r.run_sum
+        for r in rel.blocked_prefix_sum(
+            df, F.col("b"), [F.col("b").asc(), F.col("k").asc()],
+            F.col("v"),
+        ).collect()
+    }
+    ordered = sorted(rows, key=lambda r: (r.b, r.k))
+    acc, want = 0, {}
+    for r in ordered:
+        acc += r.v
+        want[r.k] = acc
+    assert got == want
+
+
+def test_gaps_islands_hand_checked(spark):
+    import datetime as dt
+
+    rows = [
+        Row(user_id=1, ts=dt.datetime(2024, 1, d, 12)) for d in (1, 2, 3, 7)
+    ] + [Row(user_id=2, ts=dt.datetime(2024, 1, 5, 9))]
+    ev = spark.createDataFrame(rows)
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    from pyspark.sql import Window as W
+    r = days.withColumn(
+        "rn", F.row_number().over(W.partitionBy("user_id").orderBy("d"))
+    )
+    isl = r.groupBy(
+        "user_id", F.date_sub(F.col("d"), F.col("rn")).alias("grp")
+    ).agg(F.count("*").alias("len"))
+    out = {
+        r.user_id: (r.n, r.mx)
+        for r in isl.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.max("len").alias("mx"))
+        .collect()
+    }
+    assert out == {1: (2, 3), 2: (1, 1)}  # streaks {1-3, 7} and {5}
+
+
+def test_max_concurrent_hand_checked(spark):
+    from udacitydatawarehouseprj_spark.operators import relational as rel
+
+    # intervals: [0,10], [5,15], [8,12] -> peak 3 at t=8; [20,25] alone
+    iv = [(1, 0, 10), (2, 5, 15), (3, 8, 12), (4, 20, 25)]
+    b = spark.createDataFrame(
+        [Row(user_id=u, ts=s, delta=1) for u, s, _ in iv]
+        + [Row(user_id=u, ts=e, delta=-1) for u, _, e in iv]
+    )
+    r = rel.blocked_prefix_sum(
+        b, (F.col("ts") / 10).cast("long"),
+        [F.col("ts").asc(), F.col("delta").asc(), F.col("user_id").asc()],
+        F.col("delta"), sum_col="conc",
+    )
+    assert r.agg(F.max("conc")).collect()[0][0] == 3
+    # end-before-start at the same instant: [0,5] and [5,9] never overlap
+    b2 = spark.createDataFrame(
+        [Row(user_id=1, ts=0, delta=1), Row(user_id=1, ts=5, delta=-1),
+         Row(user_id=2, ts=5, delta=1), Row(user_id=2, ts=9, delta=-1)]
+    )
+    r2 = rel.blocked_prefix_sum(
+        b2, (F.col("ts") / 10).cast("long"),
+        [F.col("ts").asc(), F.col("delta").asc(), F.col("user_id").asc()],
+        F.col("delta"), sum_col="conc",
+    )
+    assert r2.agg(F.max("conc")).collect()[0][0] == 1
+
+
+def test_autocorrelation_bounds(spark, sf_dir):
+    rows = Q.autocorrelation_hourly(spark, sf_dir).collect()
+    assert [r.lag for r in rows] and len(rows) == 6
+    for r in rows:
+        assert -1.0 <= r.acf <= 1.0
+        assert r.n_pairs > 0
+
+
+def test_cusum_changepoint_shape(spark, sf_dir):
+    out = Q.cusum_changepoint(spark, sf_dir).collect()[0]
+    assert out.n_days > 0
+    assert isinstance(out.cp_day, str) and len(out.cp_day) == 10

@@ -103,6 +103,50 @@ def exact_distributed_rank(
     )
 
 
+def blocked_prefix_sum(
+    df: DataFrame,
+    block: Column,
+    order: Sequence[Column],
+    value: Column,
+    partition: Sequence[str] = (),
+    sum_col: str = "run_sum",
+) -> DataFrame:
+    """EXACT running SUM over a total order WITHOUT a single-partition
+    window — the prefix-sum sibling of ``exact_distributed_rank`` (same
+    two-pass block discipline): ``block`` must be a coarse monotone
+    function of the leading sort key; block-local cumulative sums run
+    in parallel windows, and per-block totals (a tiny n_blocks
+    relation) prefix-summed become broadcast offsets lifting local
+    cumsums to the exact global running sum. Bit-identical to
+    ``SUM(value) OVER (ORDER BY order ROWS UNBOUNDED PRECEDING)`` for
+    any total order (include a unique tie-break). The classic consumer
+    is the +1/-1 interval-concurrency sweep, where the global running
+    sum over event boundaries IS the answer and a naive window would
+    funnel 100 TB of boundaries into one task."""
+    part = list(partition)
+    s = df.withColumn("_blk", block).withColumn("_v", value)
+    w_local = (
+        Window.partitionBy(*(part + ["_blk"]))
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = s.withColumn("_lcs", F.sum("_v").over(w_local))
+    totals = s.groupBy(*(part + ["_blk"])).agg(F.sum("_v").alias("_t"))
+    w_prefix = (
+        (Window.partitionBy(*part) if part else Window.partitionBy())
+        .orderBy(F.col("_blk").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_t").over(w_prefix), F.lit(0))
+    ).select(*part, "_blk", "_off")
+    return (
+        local.join(F.broadcast(offsets), part + ["_blk"])
+        .withColumn(sum_col, F.col("_off") + F.col("_lcs"))
+        .drop("_blk", "_v", "_lcs", "_off")
+    )
+
+
 def merge_upsert(
     target: DataFrame,
     updates: DataFrame,

@@ -14987,3 +14987,298 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(n1d * n2d * (n1d + n2d + F.lit(1.0)) / 12), 6
         ).alias("z_approx"),
     )
+
+
+@_register(
+    "gaps_islands_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    r AS (
+        SELECT user_id, d,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS rn
+        FROM days
+    ),
+    isl AS (
+        SELECT user_id, d - CAST(rn AS INTEGER) AS grp,
+               CAST(COUNT(*) AS BIGINT) AS len
+        FROM r GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak
+    FROM isl GROUP BY 1
+    """,
+    doc="Gaps-and-islands: per-user consecutive-day activity streaks —"
+        " THE classic SQL idiom for run-length analysis (retention"
+        " streaks, sensor uptime, contiguous coverage): distinct"
+        " active days, then day - row_number() is CONSTANT within a"
+        " consecutive run (the anchor-date trick), so one groupBy"
+        " collapses each island and a second rolls up per-user streak"
+        " stats. Both windows partition BY USER (bounded partitions —"
+        " never a global sort), and the distinct prunes the fact table"
+        " to at most users x days rows before any window. Scale: one"
+        " aggregation-distinct + one per-user window + two"
+        " aggregations, all shuffling on user_id.",
+)
+def gaps_islands_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date(F.col("ts").cast("timestamp")).alias("d")
+    ).distinct()
+    r = days.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("user_id").orderBy("d")),
+    )
+    isl = r.groupBy(
+        "user_id", F.date_sub(F.col("d"), F.col("rn")).alias("grp")
+    ).agg(F.count("*").cast("long").alias("len"))
+    return isl.groupBy("user_id").agg(
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.count("*").cast("long").alias("n_streaks"),
+        F.max("len").cast("long").alias("longest_streak"),
+    )
+
+
+@_register(
+    "max_concurrent_sessions",
+    oracle="""
+    WITH sess AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               MIN(ts) AS st, MAX(ts) AS en
+        FROM events GROUP BY 1, 2
+    ),
+    b AS (
+        SELECT user_id, st AS ts, 1 AS delta FROM sess
+        UNION ALL SELECT user_id, en, -1 FROM sess
+    ),
+    r AS (
+        SELECT ts, delta,
+               SUM(delta) OVER (ORDER BY ts, delta, user_id
+                                ROWS UNBOUNDED PRECEDING) AS conc
+        FROM b
+    ),
+    m AS (
+        SELECT CAST(MAX(conc) AS BIGINT) AS mx,
+               CAST(COUNT(*) AS BIGINT) AS nb
+        FROM r
+    )
+    SELECT CAST(m.nb / 2 AS BIGINT) AS n_sessions,
+           m.mx AS max_concurrent,
+           CAST(epoch(MIN(r.ts)) AS BIGINT) AS first_peak_unix
+    FROM r, m WHERE r.conc = m.mx GROUP BY m.nb, m.mx
+    """,
+    doc="Maximum interval concurrency — the +1/-1 boundary-sweep"
+        " answering 'how many sessions were simultaneously open at"
+        " peak' (capacity planning, license counting, connection-pool"
+        " sizing): per-user-day sessions become (start,+1)/(end,-1)"
+        " boundary events; the EXACT global running sum over the"
+        " (ts, delta, user) total order is the concurrency curve, and"
+        " its max + earliest attaining instant is the answer. End"
+        " boundaries sort BEFORE starts at the same instant (delta"
+        " asc) — end-exclusive intervals, back-to-back sessions never"
+        " double-count. The running sum is the NEW two-pass"
+        " blocked_prefix_sum (operators/relational.py) — day blocks,"
+        " block-local cumsums in parallel + broadcast block offsets —"
+        " so no single-partition window anywhere; the oracle states"
+        " the same curve as a plain global window. Scale: boundary"
+        " relation is 2x sessions; everything shuffles once on the"
+        " block key.",
+)
+def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sess = ev.groupBy(
+        "user_id", F.to_date(F.col("ts").cast("timestamp")).alias("d")
+    ).agg(F.min("ts").alias("st"), F.max("ts").alias("en"))
+    b = sess.select(
+        "user_id", F.col("st").alias("ts"), F.lit(1).alias("delta")
+    ).unionByName(
+        sess.select(
+            "user_id", F.col("en").alias("ts"), F.lit(-1).alias("delta")
+        )
+    )
+    r = rel.blocked_prefix_sum(
+        b,
+        F.floor(
+            F.unix_timestamp(F.col("ts").cast("timestamp")) / 86400
+        ).cast("long"),
+        [F.col("ts").asc(), F.col("delta").asc(), F.col("user_id").asc()],
+        F.col("delta"),
+        sum_col="conc",
+    )
+    m = r.agg(
+        F.max("conc").cast("long").alias("mx"),
+        F.count("*").cast("long").alias("nb"),
+    )
+    return (
+        r.crossJoin(F.broadcast(m))
+        .filter(F.col("conc") == F.col("mx"))
+        .groupBy("nb", "mx")
+        .agg(F.min("ts").alias("_pk"))
+        .select(
+            (F.col("nb") / 2).cast("long").alias("n_sessions"),
+            F.col("mx").alias("max_concurrent"),
+            F.unix_timestamp(F.col("_pk").cast("timestamp")).cast("long")
+            .alias("first_peak_unix"),
+        )
+    )
+
+
+@_register(
+    "autocorrelation_hourly",
+    oracle="""
+    WITH h AS (
+        SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hk,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ),
+    lags AS (SELECT UNNEST([1, 2, 3, 4, 5, 6]) AS lag),
+    p AS (
+        SELECT l.lag, a.c AS x, b.c AS y
+        FROM h a CROSS JOIN lags l
+        JOIN h b ON b.hk = a.hk + l.lag
+    ),
+    s AS (
+        SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sx2,
+               CAST(SUM(y * y) AS BIGINT) AS sy2
+        FROM p GROUP BY 1
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sx2
+                         - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * sy2
+                           - CAST(sy AS DOUBLE) * sy)), 6) AS acf
+    FROM s ORDER BY lag
+    """,
+    doc="Autocorrelation function of the hourly event-count series at"
+        " lags 1-6 — the seasonality/burstiness diagnostic feeding"
+        " forecasting and anomaly thresholds: the fact table first"
+        " collapses to an hours-sized series (aggregate-THEN-join"
+        " discipline — the self-join runs on the tiny hourly relation,"
+        " never the fact table), lag pairs come from an integer"
+        " epoch-hour key join (hours missing from the series simply"
+        " form no pair — sparse-series semantics, documented), and"
+        " each lag's Pearson r is computed from EXACT integer sums"
+        " with only the final formula in double. Scale: one map-side-"
+        "combining aggregation + one broadcast-sized self-join.",
+)
+def autocorrelation_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.floor(
+            F.unix_timestamp(F.col("ts").cast("timestamp")) / 3600
+        ).cast("long").alias("hk")
+    ).agg(F.count("*").cast("long").alias("c"))
+    h = S.track_cache(h)  # feeds both join arms
+    lags = spark.range(1, 7).select(F.col("id").alias("lag"))
+    a = h.select(F.col("hk"), F.col("c").alias("x"))
+    bb = h.select(F.col("hk").alias("hk2"), F.col("c").alias("y"))
+    p = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            F.broadcast(bb),
+            F.col("hk2") == F.col("hk") + F.col("lag"),
+        )
+    )
+    s = p.groupBy("lag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("sy2"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").alias("n_pairs"),
+        F.round(
+            (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            / F.sqrt(
+                (nd * F.col("sx2")
+                 - F.col("sx").cast("double") * F.col("sx"))
+                * (nd * F.col("sy2")
+                   - F.col("sy").cast("double") * F.col("sy"))
+            ), 6
+        ).alias("acf"),
+    )
+
+
+@_register(
+    "cusum_changepoint",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(38,4))) AS s,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    g AS (
+        SELECT CAST(SUM(s) AS DOUBLE) / SUM(c) AS gm,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM d
+    ),
+    cs AS (
+        SELECT d.day, g.n_days,
+               SUM(CAST(d.s AS DOUBLE) / d.c - g.gm)
+                   OVER (ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS st
+        FROM d, g
+    )
+    SELECT n_days, CAST(day AS VARCHAR) AS cp_day, ROUND(st, 6) AS s_at_cp
+    FROM cs ORDER BY ROUND(ABS(st), 6) DESC, day LIMIT 1
+    """,
+    doc="CUSUM changepoint detection on the daily mean event value —"
+        " the classic mean-shift detector (data-quality regression"
+        " hunting, pipeline drift alarms): S_t = cumulative sum of"
+        " (daily mean - grand mean); the day maximizing |S_t| is the"
+        " most likely level-shift point (Page 1954 / binary-"
+        "segmentation pivot). The fact table collapses to a days-sized"
+        " relation FIRST; the running sum and argmax run over that"
+        " tiny aggregate (aggregate-then-window discipline — the"
+        " global-order window is bounded by the calendar, not the"
+        " data). Daily sums stay exact decimals; the grand mean is"
+        " sum-of-sums/count (not a mean of means — unequal day sizes"
+        " handled), doubles enter only at the division, and the"
+        " deterministic (|S| desc, day) order pins ties. Scale: one"
+        " aggregation + O(days) everything else.",
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = ev.groupBy(
+        F.to_date(F.col("ts").cast("timestamp")).alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(38,4)")).alias("s"),
+        F.count("*").cast("long").alias("c"),
+    )
+    g = d.agg(
+        (F.sum("s").cast("double") / F.sum("c")).alias("gm"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+    cs = d.crossJoin(F.broadcast(g)).select(
+        "day", "n_days",
+        F.sum(
+            F.col("s").cast("double") / F.col("c") - F.col("gm")
+        ).over(
+            W.partitionBy().orderBy("day")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("st"),
+    )
+    return (
+        cs.orderBy(F.round(F.abs(F.col("st")), 6).desc(), F.col("day"))
+        .limit(1)
+        .select(
+            "n_days",
+            F.col("day").cast("string").alias("cp_day"),
+            F.round(F.col("st"), 6).alias("s_at_cp"),
+        )
+    )
