@@ -325,6 +325,10 @@ NEW_QUERIES_R07 = [
     "max_concurrent_sessions",
     "autocorrelation_hourly",
     "cusum_changepoint",
+    "personalized_pagerank_seeded",
+    "running_distinct_users",
+    "t_closeness_audit",
+    "randomized_response_seeded",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

@@ -248,3 +248,50 @@ def test_cusum_changepoint_shape(spark, sf_dir):
     out = Q.cusum_changepoint(spark, sf_dir).collect()[0]
     assert out.n_days > 0
     assert isinstance(out.cp_day, str) and len(out.cp_day) == 10
+
+
+def test_personalized_pagerank_mass_and_reachability(spark, sf_dir):
+    from udacitydatawarehouseprj_spark.operators import graph as G
+
+    rows = Q.personalized_pagerank_seeded(spark, sf_dir).collect()
+    ranks = {r.doc_id: r.rank_unit for r in rows}
+    assert all(v >= 0 for v in ranks.values())
+    # seeds always hold teleport mass
+    for did, v in ranks.items():
+        if did % 100 == 0:
+            assert v > 0
+    # total mass bounded by the fixed-point unit (floor-division leaks
+    # only shrink it)
+    assert sum(ranks.values()) <= G.PAGERANK_UNIT
+    # docs with no LSH edge and not seeds must be EXACTLY 0
+    pairs = Q._lsh_pairs_05(spark, sf_dir).collect()
+    connected = {p.doc_a for p in pairs} | {p.doc_b for p in pairs}
+    zero = [d for d, v in ranks.items()
+            if d % 100 != 0 and d not in connected]
+    assert zero and all(ranks[d] == 0 for d in zero)
+
+
+def test_running_distinct_users_telescopes(spark, sf_dir):
+    rows = sorted(
+        Q.running_distinct_users(spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    ev = Q._t(spark, sf_dir, "events")
+    total_users = ev.select("user_id").distinct().count()
+    assert rows[-1].cum_distinct_users == total_users
+    cums = [r.cum_distinct_users for r in rows]
+    assert cums == sorted(cums)  # monotone
+    assert all(r.daily_active <= r.cum_distinct_users for r in rows)
+
+
+def test_t_closeness_bounds(spark, sf_dir):
+    out = Q.t_closeness_audit(spark, sf_dir).collect()[0]
+    assert 0.0 <= out.max_t <= 1.0
+    assert 0 <= out.n_classes_above_t <= out.n_classes
+
+
+def test_randomized_response_debias_converges(spark, sf_dir):
+    out = Q.randomized_response_seeded(spark, sf_dir).collect()[0]
+    # debiased estimate within sampling noise of the true rate
+    # (sd ~ sqrt(var)/0.75/sqrt(n); 5 sigma at n=60k is ~0.014)
+    assert abs(out.debiased_rate - out.true_rate) < 0.02

@@ -368,9 +368,17 @@ def generate_sf10(spark) -> None:
     measure a degenerate graph instead of the operator."""
     os.makedirs(OUT10, exist_ok=True)
     K = 10_000_000
+    # c_name must be regenerated from the OFFSET key: replicas keeping
+    # identical name strings would multiply the ER fuzzy-match pair
+    # count by copies^2 (every dirty name matching every replica's
+    # clean twin) — measuring a degenerate blow-up, not the operator.
+    cust = _replicate_keyed(
+        spark, "customer", {"c_custkey": 1_000_000_000}, 100
+    ).withColumn(
+        "c_name", F.format_string("Customer#%018d", F.col("c_custkey"))
+    )
     plans = {
-        "customer": _replicate_keyed(
-            spark, "customer", {"c_custkey": 1_000_000_000}, 100),
+        "customer": cust,
         "orders": _replicate_keyed(
             spark, "orders", {"o_orderkey": K, "o_custkey": K}, 100),
         "lineitem": _replicate_keyed(

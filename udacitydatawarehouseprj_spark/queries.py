@@ -15282,3 +15282,338 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("st"), 6).alias("s_at_cp"),
         )
     )
+
+
+def _ppr_oracle(iters: int = 6, unit: int = 10**12) -> str:
+    """Unrolled integer personalized-PageRank oracle over the symmetric
+    exact-Jaccard pair graph, seeds = doc_id % 100 == 0. Same
+    CTE-by-CTE replay as _pagerank_oracle; the teleport/dangling terms
+    land on SEEDS only."""
+    ctes = [
+        f"p AS ({_JACCARD_ORACLE})",
+        "edges AS (SELECT doc_a AS a, doc_b AS b FROM p"
+        " UNION SELECT doc_b, doc_a FROM p)",
+        "deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS d"
+        " FROM edges GROUP BY 1)",
+        "nodes AS (SELECT doc_id AS n,"
+        " CASE WHEN doc_id % 100 = 0 THEN 1 ELSE 0 END AS is_seed"
+        " FROM documents)",
+        "ns AS (SELECT SUM(is_seed) AS cnt FROM nodes)",
+        f"r0 AS (SELECT n, CAST(is_seed * ({unit} // (SELECT cnt FROM ns))"
+        " AS BIGINT) AS r FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        prev = f"r{k - 1}"
+        ctes.append(
+            f"c{k} AS (SELECT e.b AS n, SUM((r.r * 85) // (100 * d.d)) AS c"
+            f" FROM {prev} r JOIN edges e ON r.n = e.a"
+            f" JOIN deg d ON d.a = e.a GROUP BY 1)"
+        )
+        ctes.append(
+            f"d{k} AS (SELECT COALESCE(SUM((r.r * 85) // 100), 0) AS dang"
+            f" FROM {prev} r LEFT JOIN deg ON r.n = deg.a"
+            f" WHERE deg.a IS NULL)"
+        )
+        ctes.append(
+            f"r{k} AS (SELECT n.n,"
+            f" CAST(n.is_seed * ((15 * {unit}) // (100 * (SELECT cnt FROM ns))"
+            f" + (SELECT dang FROM d{k}) // (SELECT cnt FROM ns))"
+            f" + COALESCE(c.c, 0) AS BIGINT) AS r"
+            f" FROM nodes n LEFT JOIN c{k} c ON c.n = n.n)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+    SELECT n AS doc_id, r AS rank_unit
+    FROM r{iters}
+    """
+    )
+
+
+@_register(
+    "personalized_pagerank_seeded",
+    oracle=_ppr_oracle(),
+    doc="Personalized PageRank (random walk with restart) over the"
+        " document near-dup similarity graph, seeds = every 100th doc"
+        " — the seed-relative relevance measure behind related-item"
+        " expansion and graph-local dedup triage, DISTINCT from global"
+        " PageRank: teleport and dangling mass restart at the SEED SET"
+        " (operators/graph.py personalized_pagerank_integer), so rank"
+        " concentrates in seed neighborhoods and docs unreachable from"
+        " any seed converge to EXACTLY 0 — a property the integer"
+        " fixed-point preserves bit-for-bit and the unrolled CTE"
+        " oracle replays round by round (no float drift anywhere)."
+        " Eighth consumer of the session-shared LSH pair relation."
+        " Scale: per round one |E| join + one aggregation, identical"
+        " to pagerank_integer; |S| is one bounded driver scalar.",
+)
+def personalized_pagerank_seeded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from udacitydatawarehouseprj_spark.operators import graph
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _lsh_pairs_05(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).union(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    )
+    nodes = docs.select("doc_id")
+    seeds = nodes.filter(F.col("doc_id") % 100 == 0)
+    return graph.personalized_pagerank_integer(
+        nodes, edges, seeds, id_col="doc_id"
+    )
+
+
+@_register(
+    "running_distinct_users",
+    oracle="""
+    WITH fd AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS fday
+        FROM events GROUP BY 1
+    ),
+    news AS (
+        SELECT fday AS day, CAST(COUNT(*) AS BIGINT) AS n_new
+        FROM fd GROUP BY 1
+    ),
+    daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS daily_active
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(d.day AS VARCHAR) AS day, d.daily_active,
+           CAST(SUM(COALESCE(n.n_new, 0))
+                OVER (ORDER BY d.day ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_distinct_users
+    FROM daily d LEFT JOIN news n ON n.day = d.day
+    """,
+    doc="Running COUNT(DISTINCT) over a window — the cumulative-"
+        "unique-users curve Spark cannot express natively (COUNT("
+        "DISTINCT) OVER is unsupported) and naive engines compute as"
+        " an O(days x users) re-scan: the first-occurrence identity"
+        " (a user contributes to the cumulative count exactly on their"
+        " MIN day) turns it into one per-user aggregation + a running"
+        " sum of per-day first-seen counts over the days-sized"
+        " aggregate — aggregate-then-window, the fact table never"
+        " enters a window. daily_active (per-day distinct) rides along"
+        " from a second aggregation. Scale: two shuffles (user_id,"
+        " day), then O(days).",
+)
+def running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.to_date(F.col("ts").cast("timestamp"))
+    fd = ev.groupBy("user_id").agg(F.min(day).alias("fday"))
+    news = fd.groupBy(F.col("fday").alias("day")).agg(
+        F.count("*").cast("long").alias("n_new")
+    )
+    daily = ev.groupBy(day.alias("day")).agg(
+        F.countDistinct("user_id").cast("long").alias("daily_active")
+    )
+    return (
+        daily.join(news, "day", "left")
+        .select(
+            F.col("day"),
+            "daily_active",
+            F.sum(F.coalesce("n_new", F.lit(0)))
+            .over(
+                W.partitionBy().orderBy("day")
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            ).cast("long").alias("cum_distinct_users"),
+        )
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "daily_active", "cum_distinct_users",
+        )
+    )
+
+
+@_register(
+    "t_closeness_audit",
+    oracle="""
+    WITH base AS (
+        SELECT event_type,
+               CAST(date_part('hour', ts) AS BIGINT) AS hour_of_day,
+               CAST(FLOOR(value / 50.0) AS BIGINT) AS value_band
+        FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS gs FROM base
+        GROUP BY 1
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM base),
+    cls AS (
+        SELECT hour_of_day, value_band, event_type,
+               CAST(COUNT(*) AS BIGINT) AS cs
+        FROM base GROUP BY 1, 2, 3
+    ),
+    sizes AS (
+        SELECT hour_of_day, value_band, CAST(SUM(cs) AS BIGINT) AS nc
+        FROM cls GROUP BY 1, 2
+    ),
+    full_grid AS (
+        SELECT s.hour_of_day, s.value_band, s.nc, g.event_type, g.gs,
+               COALESCE(c.cs, 0) AS cs
+        FROM sizes s CROSS JOIN g
+        LEFT JOIN cls c
+          ON c.hour_of_day = s.hour_of_day
+         AND c.value_band = s.value_band
+         AND c.event_type = g.event_type
+    ),
+    t_per AS (
+        SELECT hour_of_day, value_band, MAX(nc) AS nc,
+               CAST(CAST(ROUND(SUM(CAST(ROUND(
+                   ABS(CAST(cs AS DOUBLE) / nc
+                       - CAST(gs AS DOUBLE) / (SELECT total FROM n)), 6)
+                   AS DECIMAL(18,6))) / 2, 6) AS DECIMAL(18,6)) AS DOUBLE)
+                   AS t
+        FROM full_grid GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           ROUND(MAX(t), 6) AS max_t,
+           CAST(SUM(CASE WHEN t > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_classes_above_t,
+           CAST(SUM(CASE WHEN t > 0.2 THEN nc ELSE 0 END) AS BIGINT)
+               AS n_rows_above_t
+    FROM t_per
+    """,
+    doc="t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) —"
+        " the third rung of the syntactic-privacy ladder after the"
+        " k-anonymity and l-diversity audits: k bounds class size, l"
+        " bounds sensitive-value variety, but a class can pass both"
+        " while its sensitive DISTRIBUTION (event_type here) still"
+        " leaks (e.g. 95% 'error'); t-closeness bounds the total-"
+        "variation distance between each QI class's sensitive"
+        " distribution and the global one (TV = the categorical EMD"
+        " of the paper). The class x sensitive-domain grid is built"
+        " explicitly (absent combos contribute |0 - p_global|, which"
+        " a naive join silently drops), per-cell terms are rounded to"
+        " exact decimals before summing, and the audit reports max t"
+        " plus the classes/rows beyond t = 0.2. Scale: one groupBy to"
+        " classes, a |classes| x |domain| grid (domain = 5), then"
+        " O(classes).",
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = ev.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("hour_of_day"),
+        F.floor(F.col("value") / F.lit(50.0)).cast("long")
+        .alias("value_band"),
+    )
+    g = base.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("gs")
+    )
+    n = base.agg(F.count("*").cast("long").alias("total"))
+    cls = base.groupBy("hour_of_day", "value_band", "event_type").agg(
+        F.count("*").cast("long").alias("cs")
+    )
+    sizes = cls.groupBy("hour_of_day", "value_band").agg(
+        F.sum("cs").cast("long").alias("nc")
+    )
+    grid = (
+        sizes.crossJoin(F.broadcast(g))
+        .join(cls, ["hour_of_day", "value_band", "event_type"], "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "hour_of_day", "value_band", "nc", "gs", "total",
+            F.coalesce("cs", F.lit(0)).alias("cs"),
+        )
+    )
+    term = F.abs(
+        F.col("cs").cast("double") / F.col("nc")
+        - F.col("gs").cast("double") / F.col("total")
+    )
+    t_per = grid.groupBy("hour_of_day", "value_band").agg(
+        F.max("nc").alias("nc"),
+        F.round(
+            (F.sum(F.round(term, 6).cast("decimal(18,6)")) / 2)
+            .cast("decimal(18,6)").cast("double"), 6
+        ).alias("t"),
+    )
+    return t_per.agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.round(F.max("t"), 6).alias("max_t"),
+        F.sum((F.col("t") > 0.2).cast("int")).cast("long")
+        .alias("n_classes_above_t"),
+        F.sum(F.when(F.col("t") > 0.2, F.col("nc")).otherwise(0))
+        .cast("long").alias("n_rows_above_t"),
+    )
+
+
+@_register(
+    "randomized_response_seeded",
+    oracle="""
+    WITH coins AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b,
+               CAST((((event_id * 2654435761) % 999999937) * 48271
+                     + 12345) % 999999937 AS DOUBLE) / 999999937.0 AS u1,
+               CAST((((((event_id * 2654435761) % 999999937) * 48271
+                       + 12345) % 999999937) * 48271) % 999999937
+                    AS DOUBLE) / 999999937.0 AS u2
+        FROM events
+    ),
+    rr AS (
+        SELECT b,
+               CASE WHEN u1 < 0.75 THEN b
+                    WHEN u2 < 0.5 THEN 1 ELSE 0 END AS reported
+        FROM coins
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(b) AS BIGINT) AS true_pos,
+               CAST(SUM(reported) AS BIGINT) AS obs_pos
+        FROM rr
+    )
+    SELECT n, true_pos, obs_pos,
+           ROUND(CAST(true_pos AS DOUBLE) / n, 6) AS true_rate,
+           ROUND((CAST(obs_pos AS DOUBLE) / n - 0.125) / 0.75, 6)
+               AS debiased_rate
+    FROM s
+    """,
+    doc="Randomized response (Warner 1965) — LOCAL differential"
+        " privacy, the per-record counterpart of the central-DP"
+        " dp_noisy_counts_seeded: each record reports its true bit"
+        " (is-purchase) with probability 0.75, else a fair coin, so"
+        " no individual row's report reveals its truth (epsilon ="
+        " ln(0.875/0.125) ≈ 1.95-LDP for this mechanism), yet the"
+        " population rate debiases exactly: pi = (obs - 0.125)/0.75."
+        " Both coins come from the portable seeded integer hash chain"
+        " (the dp_noisy_counts PRNG pattern keyed by event_id), so"
+        " the oracle replays every flip bit-for-bit — reproducible"
+        " mechanism testing; production swaps real randomness, the"
+        " mechanism and the debiasing estimator are the operator."
+        " Scale: pure per-row integer arithmetic + one 1-row"
+        " aggregate; nothing shuffles but the final merge.",
+)
+def randomized_response_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    p = 999999937
+    h0 = (F.col("event_id") * 2654435761) % p
+    h1 = (h0 * 48271 + 12345) % p
+    h2 = (h1 * 48271) % p
+    coins = ev.select(
+        (F.col("event_type") == "purchase").cast("int").alias("b"),
+        (h1.cast("double") / p).alias("u1"),
+        (h2.cast("double") / p).alias("u2"),
+    )
+    rr = coins.select(
+        "b",
+        F.when(F.col("u1") < 0.75, F.col("b"))
+        .when(F.col("u2") < 0.5, F.lit(1)).otherwise(F.lit(0))
+        .alias("reported"),
+    )
+    s = rr.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("b").cast("long").alias("true_pos"),
+        F.sum("reported").cast("long").alias("obs_pos"),
+    )
+    return s.select(
+        "n", "true_pos", "obs_pos",
+        F.round(F.col("true_pos").cast("double") / F.col("n"), 6)
+        .alias("true_rate"),
+        F.round(
+            (F.col("obs_pos").cast("double") / F.col("n") - 0.125) / 0.75, 6
+        ).alias("debiased_rate"),
+    )
