@@ -329,6 +329,8 @@ NEW_QUERIES_R07 = [
     "running_distinct_users",
     "t_closeness_audit",
     "randomized_response_seeded",
+    "streaming_stream_join_readback",
+    "domain_blocklist_filter",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not
@@ -340,7 +342,8 @@ PHASED = {"streaming_hourly_sink_readback", "streaming_corpus_dedup_readback",
           "streaming_running_totals_readback",
           "streaming_attribution_readback",
           "streaming_static_join_readback",
-          "python_datasource_stream_scan"}
+          "python_datasource_stream_scan",
+          "streaming_stream_join_readback"}
 
 
 def run_one(df) -> None:

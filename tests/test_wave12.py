@@ -295,3 +295,50 @@ def test_randomized_response_debias_converges(spark, sf_dir):
     # debiased estimate within sampling noise of the true rate
     # (sd ~ sqrt(var)/0.75/sqrt(n); 5 sigma at n=60k is ~0.014)
     assert abs(out.debiased_rate - out.true_rate) < 0.02
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    got = {
+        r.user_id: (r.n_pairs, r.n_views_converted, r.n_purchases_attributed)
+        for r in Q.streaming_stream_join_readback(spark, sf_dir).collect()
+    }
+    ev = Q._t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("vid"), "user_id", F.col("ts").alias("vts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("uid"), F.col("ts").alias("pts"),
+    )
+    j = v.join(
+        p,
+        (F.col("user_id") == F.col("uid"))
+        & (F.col("pts") >= F.col("vts"))
+        & (F.col("pts") <= F.col("vts") + F.expr("INTERVAL 60 MINUTES")),
+    )
+    want = {
+        r.user_id: (r.n, r.nv, r.np)
+        for r in j.groupBy("user_id").agg(
+            F.count("*").alias("n"),
+            F.countDistinct("vid").alias("nv"),
+            F.countDistinct("pid").alias("np"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_domain_blocklist_suffix_anchor(spark, sf_dir):
+    rows = {r.verdict: r.n_urls
+            for r in Q.domain_blocklist_filter(spark, sf_dir).collect()}
+    assert "__allowed__" in rows
+    # every synthesized host family that should be blocked is blocked
+    assert rows.get("example.net", 0) > 0
+    assert rows.get("tracker.io", 0) > 0
+    assert rows.get("site3.example.com", 0) > 0
+    # the www.siteN.example.com family must NOT be swept up by the
+    # site3.example.com exact entry (no accidental substring match)
+    docs = Q._t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    assert sum(rows.values()) == n_docs
+    n_family0 = docs.filter(F.col("doc_id") % 5 == 0).count()
+    assert rows["__allowed__"] >= n_family0

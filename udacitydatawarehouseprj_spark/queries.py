@@ -15617,3 +15617,158 @@ def randomized_response_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("obs_pos").cast("double") / F.col("n") - 0.125) / 0.75, 6
         ).alias("debiased_rate"),
     )
+
+
+@_register(
+    "streaming_stream_join_readback",
+    oracle="""
+    WITH v AS (
+        SELECT event_id AS view_id, user_id, ts AS view_ts FROM events
+        WHERE event_type = 'view'
+    ),
+    p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+        SELECT v.user_id, v.view_id, p.purchase_id
+        FROM v JOIN p ON v.user_id = p.user_id
+         AND p.purchase_ts >= v.view_ts
+         AND p.purchase_ts <= v.view_ts + INTERVAL 60 MINUTES
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT view_id) AS BIGINT) AS n_views_converted,
+           CAST(COUNT(DISTINCT purchase_id) AS BIGINT)
+               AS n_purchases_attributed
+    FROM j GROUP BY 1
+    """,
+    doc="STREAM-STREAM inner join under the hash gate — the eighth"
+        " streaming proof and the hardest stateful shape (two"
+        " watermarked streams, event-time-range join condition"
+        " bounding the state store): views joined to same-user"
+        " purchases within a 60-minute horizon, both sides read from"
+        " the same checkpointed landing-zone stream"
+        " (streaming/events_stream.py run_stream_stream_join)."
+        " Inner matches emit as soon as both sides arrive, so the"
+        " availableNow-drained pair set equals the batch join EXACTLY"
+        " — the oracle is the plain SQL time-range join, aggregated"
+        " per user in the readback. The time bound is the 100 TB"
+        " load-bearing piece: a view older than watermark+horizon is"
+        " EVICTED from join state; without it, stream-stream state"
+        " grows without bound. Complements"
+        " streaming_attribution_readback (same semantics via a"
+        " stateful sessionizer) — this is the declarative join form.",
+)
+def streaming_stream_join_readback(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+
+    from udacitydatawarehouseprj_spark.streaming import events_stream
+
+    ev = _t(spark, sf_dir, "events")
+    base = _scratch_dir(sf_dir, "stream_stream_join")
+    shutil.rmtree(base, ignore_errors=True)
+    src = f"{base}/landing"
+    with _phase("streaming_stream_join_readback", "landing_write"):
+        ev.select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        ).coalesce(8).write.mode("overwrite").json(src)
+    with _phase("streaming_stream_join_readback", "stream_run"), \
+            _state_partitions(spark, 8):
+        q = events_stream.run_stream_stream_join(
+            spark, src, f"{base}/ckpt",
+            sink_table="stream_stream_pairs_rb",
+        )
+        q.awaitTermination(600)
+    pairs = spark.table("stream_stream_pairs_rb")
+    return pairs.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.countDistinct("view_id").cast("long").alias("n_views_converted"),
+        F.countDistinct("purchase_id").cast("long")
+        .alias("n_purchases_attributed"),
+    )
+
+
+@_register(
+    "domain_blocklist_filter",
+    oracle="""
+    WITH urls AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 5 AS INTEGER)
+                 WHEN 0 THEN 'www.site' || CAST(doc_id % 7 AS VARCHAR)
+                             || '.example.com'
+                 WHEN 1 THEN 'a' || CAST(doc_id % 3 AS VARCHAR)
+                             || '.example.net'
+                 WHEN 2 THEN 'cdn.tracker.io'
+                 WHEN 3 THEN 'site3.example.com'
+                 ELSE 'safe' || CAST(doc_id % 4 AS VARCHAR) || '.org'
+               END AS host
+        FROM documents
+    ),
+    bl AS (
+        SELECT UNNEST(['example.net', 'tracker.io', 'site3.example.com'])
+            AS entry
+    ),
+    matched AS (
+        SELECT u.doc_id, MIN(b.entry) AS entry
+        FROM urls u LEFT JOIN bl b
+          ON u.host = b.entry OR u.host LIKE '%.' || b.entry
+        GROUP BY 1
+    )
+    SELECT COALESCE(entry, '__allowed__') AS verdict,
+           CAST(COUNT(*) AS BIGINT) AS n_urls
+    FROM matched GROUP BY 1
+    """,
+    doc="Domain-blocklist filtering with SUFFIX semantics — the crawl-"
+        "hygiene step every web-scale corpus pipeline runs before"
+        " content ever reaches dedup/quality (spam hosts, trackers,"
+        " adult domains): a registrable-domain blocklist matches a"
+        " host when EQUAL or when the host ends with '.'+entry (so"
+        " 'example.net' blocks every subdomain but 'notexample.net'"
+        " passes — the dot anchor is the classic blocklist footgun"
+        " this operator pins). Matching is a BROADCAST left join on"
+        " the non-equi suffix condition (blocklists are thousands of"
+        " rows — driver-broadcast, the fact scan never shuffles),"
+        " min(entry) makes multi-match deterministic, and the verdict"
+        " histogram keeps the output bounded by the blocklist size."
+        " At 100 TB the same shape holds; a million-entry blocklist"
+        " would swap the LIKE chain for a reversed-host prefix join"
+        " against a sorted entry relation (same bucket-join trick as"
+        " the symmetric-delete index).",
+)
+def domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("www.site"), (F.col("doc_id") % 7)
+                        .cast("string"), F.lit(".example.com")))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.lit("a"), (F.col("doc_id") % 3).cast("string"),
+                       F.lit(".example.net")))
+        .when(F.col("doc_id") % 5 == 2, F.lit("cdn.tracker.io"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("site3.example.com"))
+        .otherwise(
+            F.concat(F.lit("safe"), (F.col("doc_id") % 4).cast("string"),
+                     F.lit(".org"))
+        ).alias("host"),
+    )
+    bl = spark.createDataFrame(
+        [("example.net",), ("tracker.io",), ("site3.example.com",)],
+        "entry string",
+    )
+    matched = (
+        urls.join(
+            F.broadcast(bl),
+            (F.col("host") == F.col("entry"))
+            | F.col("host").endswith(F.concat(F.lit("."), F.col("entry"))),
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(F.min("entry").alias("entry"))
+    )
+    return matched.groupBy(
+        F.coalesce("entry", F.lit("__allowed__")).alias("verdict")
+    ).agg(F.count("*").cast("long").alias("n_urls"))

@@ -419,3 +419,73 @@ def run_stream_static_enrich(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_stream_stream_join(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    sink_table: str = "stream_stream_pairs",
+    watermark: str = "2 hours",
+    horizon_minutes: int = 60,
+    fmt: str = "json",
+    available_now: bool = True,
+):
+    """STREAM-STREAM inner join — the hardest stateful shape in
+    Structured Streaming, completing the join family next to the
+    stateless stream-static enrich: a stream of views joined to a
+    stream of purchases by the same user within ``horizon_minutes``
+    AFTER the view (the attribution window expressed as a join, not a
+    stateful sessionizer).
+
+    The load-bearing parts: BOTH sides carry watermarks and the join
+    condition includes an EVENT-TIME RANGE (p.ts between v.ts and
+    v.ts + horizon) — that pair is what lets Spark bound the join
+    state (a view older than watermark + horizon can never match a
+    future purchase and is evicted; without the time bound, state
+    grows forever and a 100 TB stream OOMs on principle). Inner-join
+    matches emit as soon as both sides arrive (append mode, no
+    watermark wait), so with availableNow the drained pair set is
+    exactly the batch join — which is what puts a stream-stream JOIN
+    under the batch SQL oracle.
+    """
+    views = (
+        read_events_stream(spark, source_dir, fmt=fmt)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        read_events_stream(spark, source_dir, fmt=fmt)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = views.join(
+        purchases,
+        (views["user_id"] == purchases["user_id"])
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts")
+            + F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        ),
+        "inner",
+    ).select(views["user_id"], "view_id", "purchase_id")
+    writer = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink_table)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
