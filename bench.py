@@ -331,6 +331,10 @@ NEW_QUERIES_R07 = [
     "randomized_response_seeded",
     "streaming_stream_join_readback",
     "domain_blocklist_filter",
+    "holt_exponential_smoothing",
+    "theil_sen_slope",
+    "sequential_pattern_support",
+    "rolling_regression_slope",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

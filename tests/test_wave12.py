@@ -342,3 +342,74 @@ def test_domain_blocklist_suffix_anchor(spark, sf_dir):
     assert sum(rows.values()) == n_docs
     n_family0 = docs.filter(F.col("doc_id") % 5 == 0).count()
     assert rows["__allowed__"] >= n_family0
+
+
+def test_holt_smoothing_hand_checked(spark):
+    # constant series: level == x, trend == 0, forecast == x
+    import datetime as dt
+    rows = [Row(ts=dt.datetime(2024, 1, 1 + i, 12), value=10.0,
+                event_type="view", event_id=i, user_id=1)
+            for i in range(5)]
+    df = spark.createDataFrame(rows)
+    daily = df.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(38,4)")).alias("s"),
+        F.count("*").cast("long").alias("c"),
+    )
+    series = daily.agg(F.sort_array(F.collect_list(F.struct(
+        F.col("day"), (F.col("s").cast("double") / F.col("c")).alias("x")
+    ))).alias("xs"))
+    out = series.select(F.expr(
+        "aggregate(slice(xs, 2, greatest(size(xs) - 1, 0)),"
+        " named_struct('l', xs[0].x, 'b', xs[1].x - xs[0].x),"
+        " (acc, e) -> named_struct("
+        "'l', 0.3D * e.x + 0.7D * (acc.l + acc.b),"
+        "'b', 0.1D * ((0.3D * e.x + 0.7D * (acc.l + acc.b)) - acc.l)"
+        " + 0.9D * acc.b))").alias("hw")).collect()[0].hw
+    assert abs(out.l - 10.0) < 1e-9 and abs(out.b) < 1e-9
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    # perfect slope-2 line with one wild outlier: median slope stays ~2
+    import datetime as dt
+    vals = [2.0 * i for i in range(10)]
+    vals[5] = 500.0
+    rows = []
+    eid = 0
+    for i, v in enumerate(vals):
+        rows.append(Row(ts=dt.datetime(2024, 2, 1 + i, 12), value=v,
+                        event_type="view", event_id=eid, user_id=1))
+        eid += 1
+    df = spark.createDataFrame(rows)
+    from pyspark.sql import Window as W
+    daily = df.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(38,4)")).alias("s"),
+        F.count("*").cast("long").alias("c"))
+    d = daily.select(
+        F.row_number().over(W.partitionBy().orderBy("day")).alias("i"),
+        (F.col("s").cast("double") / F.col("c")).alias("x"))
+    a = d
+    b = d.select(F.col("i").alias("j"), F.col("x").alias("y"))
+    slopes = sorted(
+        r.sl for r in a.join(b, F.col("j") > F.col("i")).select(
+            ((F.col("y") - F.col("x")) / (F.col("j") - F.col("i")))
+            .alias("sl")).collect())
+    med = slopes[(len(slopes) + 1) // 2 - 1]
+    assert abs(med - 2.0) < 1e-9
+
+
+def test_sequential_pattern_support_bounds(spark, sf_dir):
+    rows = Q.sequential_pattern_support(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.first_type != r.then_type
+        assert 0.0 < r.support <= 1.0
+    # 5 types -> at most 20 ordered pairs
+    assert len(rows) <= 20
+
+
+def test_rolling_regression_window_complete_only(spark, sf_dir):
+    rows = Q.rolling_regression_slope(spark, sf_dir).collect()
+    d = Q._t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(F.to_date("ts").alias("d")).distinct().count()
+    assert len(rows) == max(d - 6, 0)  # only full 7-day windows

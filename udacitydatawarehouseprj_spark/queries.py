@@ -15772,3 +15772,345 @@ def domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matched.groupBy(
         F.coalesce("entry", F.lit("__allowed__")).alias("verdict")
     ).agg(F.count("*").cast("long").alias("n_urls"))
+
+
+@_register(
+    "holt_exponential_smoothing",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(38,4))) AS s,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    d AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY day) AS i,
+               CAST(s AS DOUBLE) / c AS x
+        FROM daily
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM d),
+    hw AS (
+        WITH RECURSIVE rec(i, l, b) AS (
+            SELECT CAST(1 AS BIGINT),
+                   (SELECT x FROM d WHERE i = 1),
+                   (SELECT x FROM d WHERE i = 2)
+                       - (SELECT x FROM d WHERE i = 1)
+            UNION ALL
+            SELECT rec.i + 1,
+                   0.3 * d.x + 0.7 * (rec.l + rec.b),
+                   0.1 * ((0.3 * d.x + 0.7 * (rec.l + rec.b)) - rec.l)
+                       + 0.9 * rec.b
+            FROM rec JOIN d ON d.i = rec.i + 1
+        )
+        SELECT * FROM rec
+    )
+    SELECT n.nd AS n_days,
+           ROUND(hw.l, 6) AS level,
+           ROUND(hw.b, 6) AS trend,
+           ROUND(hw.l + hw.b, 6) AS forecast_next
+    FROM hw, n WHERE hw.i = n.nd
+    """,
+    doc="Holt double exponential smoothing (level + trend, alpha=0.3,"
+        " beta=0.1) of the daily mean event value — the forecasting"
+        " primitive beyond EWMA (ewma_user_value smooths level only;"
+        " Holt tracks a trend, so the one-step forecast is level +"
+        " trend): the fact table collapses to the days-sized series"
+        " FIRST, then the inherently SEQUENTIAL recurrence folds over"
+        " the sorted (day, x) array with F.aggregate — a single JVM"
+        " higher-order-function fold over a calendar-bounded array,"
+        " no driver loop, no UDF, no per-row state machinery. The"
+        " oracle replays the identical recurrence as a recursive CTE"
+        " in index order, so every IEEE operation matches 1:1."
+        " Classic init: l1 = x1, b1 = x2 - x1. Scale: one aggregation"
+        " + an O(days) fold — the 100 TB cost is the scan, never the"
+        " recurrence.",
+)
+def holt_exponential_smoothing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        F.to_date(F.col("ts").cast("timestamp")).alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(38,4)")).alias("s"),
+        F.count("*").cast("long").alias("c"),
+    )
+    series = daily.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("day"),
+                    (F.col("s").cast("double") / F.col("c")).alias("x"),
+                )
+            )
+        ).alias("xs")
+    )
+    folded = series.select(
+        F.size("xs").cast("long").alias("n_days"),
+        F.expr(
+            "aggregate("
+            "  slice(xs, 2, greatest(size(xs) - 1, 0)),"
+            "  named_struct("
+            "    'l', xs[0].x,"
+            "    'b', xs[1].x - xs[0].x),"
+            "  (acc, e) -> named_struct("
+            "    'l', 0.3D * e.x + 0.7D * (acc.l + acc.b),"
+            "    'b', 0.1D * ((0.3D * e.x + 0.7D * (acc.l + acc.b))"
+            "                 - acc.l) + 0.9D * acc.b)"
+            ")"
+        ).alias("hw"),
+    )
+    return folded.select(
+        "n_days",
+        F.round(F.col("hw.l"), 6).alias("level"),
+        F.round(F.col("hw.b"), 6).alias("trend"),
+        F.round(F.col("hw.l") + F.col("hw.b"), 6).alias("forecast_next"),
+    )
+
+
+@_register(
+    "theil_sen_slope",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(38,4))) AS s,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    d AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY day) AS i,
+               CAST(s AS DOUBLE) / c AS x
+        FROM daily
+    ),
+    pairs AS (
+        SELECT a.i AS i, b.i AS j, (b.x - a.x) / (b.i - a.i) AS slope
+        FROM d a JOIN d b ON b.i > a.i
+    ),
+    ranked AS (
+        SELECT slope,
+               ROW_NUMBER() OVER (ORDER BY slope, i, j) AS rn,
+               COUNT(*) OVER () AS m
+        FROM pairs
+    )
+    SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_days,
+           CAST(MAX(m) AS BIGINT) AS n_pairs,
+           ROUND(MAX(slope), 6) AS ts_slope
+    FROM ranked WHERE rn = (m + 1) // 2
+    """,
+    doc="Theil-Sen robust trend slope of the daily mean value — the"
+        " median of all pairwise slopes, the estimator with a 29%"
+        " breakdown point where OLS (linreg_by_group) is wrecked by"
+        " one outlier day: the fact table collapses to the days-sized"
+        " series FIRST, so the O(days^2) pair join is calendar-bounded"
+        " (a year is ~66k pairs — nothing), and the median is the"
+        " deterministic LOWER median via a (slope, i, j)-ordered"
+        " row_number — no engine-specific percentile interpolation"
+        " under the hash gate. Scale: one aggregation + O(days^2)"
+        " arithmetic on the aggregate; at 100 TB the scan is the"
+        " cost, the estimator is free.",
+)
+def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        F.to_date(F.col("ts").cast("timestamp")).alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(38,4)")).alias("s"),
+        F.count("*").cast("long").alias("c"),
+    )
+    d = daily.select(
+        F.row_number().over(W.partitionBy().orderBy("day")).alias("i"),
+        (F.col("s").cast("double") / F.col("c")).alias("x"),
+    )
+    a = d.select(F.col("i"), F.col("x"))
+    b = d.select(F.col("i").alias("j"), F.col("x").alias("y"))
+    pairs = a.join(F.broadcast(b), F.col("j") > F.col("i")).select(
+        "i", "j",
+        ((F.col("y") - F.col("x")) / (F.col("j") - F.col("i")))
+        .alias("slope"),
+    )
+    ranked = pairs.select(
+        "slope",
+        F.row_number().over(
+            W.partitionBy().orderBy("slope", "i", "j")
+        ).alias("rn"),
+        F.count("*").over(W.partitionBy()).alias("m"),
+    )
+    n_days = d.agg(F.count("*").cast("long").alias("n_days"))
+    return (
+        ranked.filter(F.col("rn") == (F.col("m") + 1) / 2)
+        .crossJoin(F.broadcast(n_days))
+        .groupBy("n_days")
+        .agg(
+            F.max("m").cast("long").alias("n_pairs"),
+            F.round(F.max("slope"), 6).alias("ts_slope"),
+        )
+    )
+
+
+@_register(
+    "sequential_pattern_support",
+    oracle="""
+    WITH keyed AS (
+        SELECT user_id, event_type,
+               CAST(epoch_ms(ts) AS BIGINT) * 1000000 + event_id AS k
+        FROM events
+    ),
+    per_type AS (
+        SELECT user_id, event_type,
+               MIN(k) AS min_k, MAX(k) AS max_k
+        FROM keyed GROUP BY 1, 2
+    ),
+    nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+           FROM events),
+    supported AS (
+        SELECT a.event_type AS first_type, b.event_type AS then_type,
+               CAST(COUNT(*) AS BIGINT) AS n_users_supporting
+        FROM per_type a JOIN per_type b
+          ON a.user_id = b.user_id
+         AND a.event_type <> b.event_type
+         AND a.min_k < b.max_k
+        GROUP BY 1, 2
+    )
+    SELECT first_type, then_type, n_users_supporting,
+           ROUND(CAST(n_users_supporting AS DOUBLE)
+                 / (SELECT n_users FROM nu), 6) AS support
+    FROM supported
+    """,
+    doc="Sequential pattern support (PrefixSpan-style length-2"
+        " patterns): for every ordered type pair (A then-later B),"
+        " how many users exhibit it — the market-basket-with-ORDER"
+        " mining step behind funnel discovery (funnel_signup_purchase"
+        " answers ONE known funnel; this SURFACES which orderings are"
+        " frequent). The existence test 'some A-event strictly before"
+        " some B-event' collapses per user to min_key(A) < max_key(B)"
+        " over a (ts, event_id)-packed total-order key — so the whole"
+        " mine is one (user, type) aggregation + a per-user self-join"
+        " bounded by the TYPE VOCABULARY (≤ |types|^2 rows per user,"
+        " never events^2). Support normalizes by total users (1-row"
+        " broadcast). Scale: one shuffle on user_id; the pair"
+        " explosion is domain-bounded, the canonical trick for"
+        " sequence mining at 100 TB.",
+)
+def sequential_pattern_support(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    keyed = ev.select(
+        "user_id", "event_type",
+        (
+            F.unix_millis(F.col("ts").cast("timestamp"))
+            * F.lit(1000000) + F.col("event_id")
+        ).alias("k"),
+    )
+    per_type = keyed.groupBy("user_id", "event_type").agg(
+        F.min("k").alias("min_k"), F.max("k").alias("max_k")
+    )
+    nu = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+    a = per_type.select(
+        "user_id",
+        F.col("event_type").alias("first_type"),
+        F.col("min_k"),
+    )
+    b = per_type.select(
+        F.col("user_id").alias("uid"),
+        F.col("event_type").alias("then_type"),
+        F.col("max_k"),
+    )
+    supported = (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("uid"))
+            & (F.col("first_type") != F.col("then_type"))
+            & (F.col("min_k") < F.col("max_k")),
+        )
+        .groupBy("first_type", "then_type")
+        .agg(F.count("*").cast("long").alias("n_users_supporting"))
+    )
+    return supported.crossJoin(F.broadcast(nu)).select(
+        "first_type", "then_type", "n_users_supporting",
+        F.round(
+            F.col("n_users_supporting").cast("double") / F.col("n_users"), 6
+        ).alias("support"),
+    )
+
+
+@_register(
+    "rolling_regression_slope",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(38,4))) AS s
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    d AS (
+        SELECT day, s,
+               CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i
+        FROM daily
+    ),
+    w AS (
+        SELECT day, i,
+               CAST(COUNT(*) OVER win AS BIGINT) AS n,
+               CAST(SUM(i) OVER win AS BIGINT) AS sx,
+               SUM(s) OVER win AS sy,
+               SUM(CAST(i AS DECIMAL(38,4)) * s) OVER win AS sxy,
+               CAST(SUM(i * i) OVER win AS BIGINT) AS sx2
+        FROM d
+        WINDOW win AS (ORDER BY i ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * sx2
+                    - CAST(sx AS DOUBLE) * sx), 6) AS slope7
+    FROM w WHERE n = 7
+    """,
+    doc="Rolling 7-day OLS slope of the daily revenue series — the"
+        " windowed-regression trend detector (linreg_by_group fits"
+        " one line per static group; this fits one per trailing"
+        " window, the shape monitoring dashboards want): closed-form"
+        " slope from windowed sums where EVERY windowed accumulation"
+        " is exact (day index and index^2 sums in BIGINT, value sums"
+        " and cross-products in DECIMAL(38,4)) — doubles appear only"
+        " in the final per-row formula, so frame-order summation can"
+        " never drift the hash. The window runs over the days-sized"
+        " aggregate (aggregate-then-window), partial windows (n < 7)"
+        " are excluded. Scale: one aggregation + O(days).",
+)
+def rolling_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        F.to_date(F.col("ts").cast("timestamp")).alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(38,4)")).alias("s"))
+    d = daily.select(
+        "day", "s",
+        F.row_number().over(W.partitionBy().orderBy("day"))
+        .cast("long").alias("i"),
+    )
+    win = (
+        W.partitionBy().orderBy("i").rowsBetween(-6, W.currentRow)
+    )
+    w = d.select(
+        "day", "i",
+        F.count("*").over(win).cast("long").alias("n"),
+        F.sum("i").over(win).cast("long").alias("sx"),
+        F.sum("s").over(win).alias("sy"),
+        F.sum(F.col("i").cast("decimal(38,4)") * F.col("s")).over(win)
+        .alias("sxy"),
+        F.sum(F.col("i") * F.col("i")).over(win).cast("long").alias("sx2"),
+    )
+    nd = F.col("n").cast("double")
+    return w.filter(F.col("n") == 7).select(
+        F.col("day").cast("string").alias("day"),
+        F.round(
+            (nd * F.col("sxy").cast("double")
+             - F.col("sx").cast("double") * F.col("sy").cast("double"))
+            / (nd * F.col("sx2") - F.col("sx").cast("double") * F.col("sx")),
+            6,
+        ).alias("slope7"),
+    )
