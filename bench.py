@@ -335,6 +335,10 @@ NEW_QUERIES_R07 = [
     "theil_sen_slope",
     "sequential_pattern_support",
     "rolling_regression_slope",
+    "anova_oneway_f",
+    "fleiss_kappa_multi_rater",
+    "conversion_latency_percentiles",
+    "dedup_shard_locality_audit",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

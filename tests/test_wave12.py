@@ -413,3 +413,46 @@ def test_rolling_regression_window_complete_only(spark, sf_dir):
         F.col("value").isNotNull()
     ).select(F.to_date("ts").alias("d")).distinct().count()
     assert len(rows) == max(d - 6, 0)  # only full 7-day windows
+
+
+def test_anova_f_consistency(spark, sf_dir):
+    out = Q.anova_oneway_f(spark, sf_dir).collect()[0]
+    assert out.k == 5 and out.n > 0
+    assert out.ss_between >= 0 and out.ss_within > 0
+    assert out.f_stat >= 0
+
+
+def test_fleiss_kappa_perfect_agreement(spark):
+    # identical raters => P_bar = 1, kappa = 1
+    rows = [Row(n1=v) for v in ([3] * 10 + [0] * 10)]
+    df = spark.createDataFrame(rows)
+    s = df.agg(
+        F.count("*").alias("nn"),
+        F.sum(F.col("n1") * F.col("n1")
+              + (3 - F.col("n1")) * (3 - F.col("n1"))).alias("ss"),
+        F.sum("n1").alias("c1"),
+    ).collect()[0]
+    p_bar = (s.ss - 3 * s.nn) / (s.nn * 6)
+    share = s.c1 / (3 * s.nn)
+    p_e = share * share + (1 - share) * (1 - share)
+    assert p_bar == 1.0
+    assert abs((p_bar - p_e) / (1 - p_e) - 1.0) < 1e-12
+
+
+def test_fleiss_kappa_in_range(spark, sf_dir):
+    out = Q.fleiss_kappa_multi_rater(spark, sf_dir).collect()[0]
+    assert 0.0 <= out.p_bar <= 1.0
+    assert 0.0 <= out.p_e <= 1.0
+    assert -1.0 <= out.kappa <= 1.0
+
+
+def test_conversion_latency_percentile_order(spark, sf_dir):
+    out = Q.conversion_latency_percentiles(spark, sf_dir).collect()[0]
+    assert out.n_converted > 0
+    assert 0 <= out.p50_latency_s <= out.p90_latency_s
+
+
+def test_shard_locality_counts_add_up(spark, sf_dir):
+    out = Q.dedup_shard_locality_audit(spark, sf_dir).collect()[0]
+    assert out.intra_shard + out.cross_shard == out.n_pairs
+    assert 0.0 <= out.cross_frac <= 1.0

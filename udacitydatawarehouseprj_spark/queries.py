@@ -16114,3 +16114,303 @@ def rolling_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("slope7"),
     )
+
+
+@_register(
+    "anova_oneway_f",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(value AS DECIMAL(38,4))) AS s,
+               SUM(CAST(value AS DECIMAL(38,4))
+                   * CAST(value AS DECIMAL(38,4))) AS q
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nn,
+               CAST(SUM(s) AS DOUBLE) AS ts,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM g
+    ),
+    parts AS (
+        SELECT tot.nn, tot.k,
+               CAST(CAST(ROUND(SUM(CAST(ROUND(
+                   g.n * (CAST(g.s AS DOUBLE) / g.n - tot.ts / tot.nn)
+                       * (CAST(g.s AS DOUBLE) / g.n - tot.ts / tot.nn), 6)
+                   AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE)
+                   AS ssb,
+               CAST(CAST(ROUND(SUM(CAST(ROUND(
+                   CAST(g.q AS DOUBLE)
+                   - CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE) / g.n, 6)
+                   AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE)
+                   AS ssw
+        FROM g, tot GROUP BY 1, 2
+    )
+    SELECT nn AS n, k,
+           ROUND(ssb, 4) AS ss_between,
+           ROUND(ssw, 4) AS ss_within,
+           ROUND((ssb / (k - 1)) / (ssw / (nn - k)), 6) AS f_stat
+    FROM parts
+    """,
+    doc="One-way ANOVA F over event-type groups — the k-group"
+        " generalization of welch_t_test (is ANY group mean different"
+        " — the omnibus screen you run before pairwise tests):"
+        " per-group (n, sum, sum-of-squares) as EXACT decimals in one"
+        " aggregation, then SSB = sum n_g(m_g - gm)^2 and SSW ="
+        " sum(q_g - s_g^2/n_g) with each group term rounded to an"
+        " exact decimal before the cross-group sum (5 groups — an"
+        " unordered double sum there is the ONE place the hash could"
+        " drift, so it doesn't get to be a double sum). F ="
+        " (SSB/(k-1))/(SSW/(n-k)). Scale: one map-side-combining"
+        " scan; everything after is O(k).",
+)
+def anova_oneway_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    dec = "decimal(38,4)"
+    v = F.col("value").cast(dec)
+    g = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(v).alias("s"),
+        F.sum(v * v).alias("q"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s").cast("double").alias("ts"),
+        F.count("*").cast("long").alias("k"),
+    )
+    gm = F.col("ts") / F.col("nn")
+    mg = F.col("s").cast("double") / F.col("n")
+    parts = g.crossJoin(F.broadcast(tot)).groupBy("nn", "k").agg(
+        _dsum(F.round(F.col("n") * (mg - gm) * (mg - gm), 6)).alias("ssb"),
+        _dsum(
+            F.round(
+                F.col("q").cast("double")
+                - F.col("s").cast("double") * F.col("s").cast("double")
+                / F.col("n"), 6
+            )
+        ).alias("ssw"),
+    )
+    return parts.select(
+        F.col("nn").alias("n"), "k",
+        F.round("ssb", 4).alias("ss_between"),
+        F.round("ssw", 4).alias("ss_within"),
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("nn") - F.col("k"))), 6
+        ).alias("f_stat"),
+    )
+
+
+@_register(
+    "fleiss_kappa_multi_rater",
+    oracle="""
+    WITH lab AS (
+        SELECT
+            (CASE WHEN value > 50 THEN 1 ELSE 0 END)
+            + (CASE WHEN value + (event_id % 7) - 3 > 50 THEN 1 ELSE 0 END)
+            + (CASE WHEN value + (event_id % 11) - 5 > 50 THEN 1 ELSE 0 END)
+                AS n1
+        FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+               CAST(SUM(n1 * n1 + (3 - n1) * (3 - n1)) AS BIGINT) AS ss,
+               CAST(SUM(n1) AS BIGINT) AS c1
+        FROM lab
+    )
+    SELECT nn AS n_items,
+           ROUND(CAST(ss - 3 * nn AS DOUBLE) / (CAST(nn AS DOUBLE) * 6),
+                 6) AS p_bar,
+           ROUND(
+               (CAST(c1 AS DOUBLE) / (3 * nn))
+                   * (CAST(c1 AS DOUBLE) / (3 * nn))
+               + (1.0 - CAST(c1 AS DOUBLE) / (3 * nn))
+                   * (1.0 - CAST(c1 AS DOUBLE) / (3 * nn)), 6) AS p_e,
+           ROUND(
+               (CAST(ss - 3 * nn AS DOUBLE) / (CAST(nn AS DOUBLE) * 6)
+                - ((CAST(c1 AS DOUBLE) / (3 * nn))
+                       * (CAST(c1 AS DOUBLE) / (3 * nn))
+                   + (1.0 - CAST(c1 AS DOUBLE) / (3 * nn))
+                       * (1.0 - CAST(c1 AS DOUBLE) / (3 * nn))))
+               / (1.0
+                  - ((CAST(c1 AS DOUBLE) / (3 * nn))
+                         * (CAST(c1 AS DOUBLE) / (3 * nn))
+                     + (1.0 - CAST(c1 AS DOUBLE) / (3 * nn))
+                         * (1.0 - CAST(c1 AS DOUBLE) / (3 * nn)))), 6)
+               AS kappa
+    FROM s
+    """,
+    doc="Fleiss' kappa for THREE raters (binary categories) — the"
+        " multi-rater generalization of annotator_agreement_kappa"
+        " (Cohen handles exactly two raters; labeling pipelines"
+        " routinely run 3+): per item the category tallies (n1,"
+        " 3 - n1) give P_i = (sum n_ij^2 - r)/(r(r-1)), P-bar is"
+        " their mean, and chance agreement is the squared marginal"
+        " shares. EVERYTHING except the final three divisions is"
+        " integer arithmetic (tallies, squares, sums), so the"
+        " cross-engine hash cannot drift. Raters are the same"
+        " deterministic perturbation family as the Cohen query — one"
+        " scan, one 1-row aggregate.",
+)
+def fleiss_kappa_multi_rater(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    n1 = (
+        (F.col("value") > 50).cast("int")
+        + (F.col("value") + (F.col("event_id") % 7) - 3 > 50).cast("int")
+        + (F.col("value") + (F.col("event_id") % 11) - 5 > 50).cast("int")
+    )
+    lab = ev.select(n1.alias("n1"))
+    s = lab.agg(
+        F.count("*").cast("long").alias("nn"),
+        F.sum(
+            F.col("n1") * F.col("n1")
+            + (3 - F.col("n1")) * (3 - F.col("n1"))
+        ).cast("long").alias("ss"),
+        F.sum("n1").cast("long").alias("c1"),
+    )
+    p_bar = (F.col("ss") - 3 * F.col("nn")).cast("double") / (
+        F.col("nn").cast("double") * 6
+    )
+    share1 = F.col("c1").cast("double") / (3 * F.col("nn"))
+    p_e = share1 * share1 + (1.0 - share1) * (1.0 - share1)
+    return s.select(
+        F.col("nn").alias("n_items"),
+        F.round(p_bar, 6).alias("p_bar"),
+        F.round(p_e, 6).alias("p_e"),
+        F.round((p_bar - p_e) / (1.0 - p_e), 6).alias("kappa"),
+    )
+
+
+@_register(
+    "conversion_latency_percentiles",
+    oracle="""
+    WITH k AS (
+        SELECT user_id, event_type,
+               CAST(epoch_ms(ts) AS BIGINT) AS ms
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    fv AS (SELECT user_id, MIN(ms) AS v_ms FROM k
+           WHERE event_type = 'view' GROUP BY 1),
+    fp AS (SELECT user_id, MIN(ms) AS p_ms FROM k
+           WHERE event_type = 'purchase' GROUP BY 1),
+    lat AS (
+        SELECT fv.user_id, (fp.p_ms - fv.v_ms) // 1000 AS lat_s
+        FROM fv JOIN fp ON fv.user_id = fp.user_id
+        WHERE fp.p_ms > fv.v_ms
+    ),
+    r AS (
+        SELECT lat_s,
+               ROW_NUMBER() OVER (ORDER BY lat_s, user_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM lat
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN lat_s END)
+                AS BIGINT) AS p50_latency_s,
+           CAST(MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT)
+                         THEN lat_s END) AS BIGINT) AS p90_latency_s
+    FROM r
+    """,
+    doc="Conversion-latency percentiles (first view → first purchase)"
+        " — the funnel-health metric product teams watch: per-user"
+        " first-touch timestamps from one conditional aggregation,"
+        " positive latencies only, then EXACT p50/p90 as"
+        " percentile_disc (lower-median / ceil-rank pick with a"
+        " (latency, user_id) tie-break — no engine-specific"
+        " interpolation under the hash gate). The rank is the"
+        " two-pass blocked row_number (hour-of-latency blocks), so"
+        " the percentile pick needs no single-partition sort."
+        " Integer seconds end to end. Scale: one shuffle on user_id"
+        " + the blocked rank over the converted-users relation.",
+)
+def conversion_latency_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    k = ev.select(
+        "user_id", "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+    )
+    agg = k.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ms")))
+        .alias("v_ms"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ms")))
+        .alias("p_ms"),
+    )
+    lat = agg.filter(
+        F.col("v_ms").isNotNull() & (F.col("p_ms") > F.col("v_ms"))
+    ).select(
+        "user_id",
+        ((F.col("p_ms") - F.col("v_ms")) / 1000).cast("long")
+        .alias("lat_s"),
+    )
+    r = rel.exact_distributed_rank(
+        lat,
+        (F.col("lat_s") / 3600).cast("long"),
+        [F.col("lat_s").asc(), F.col("user_id").asc()],
+        rank_col="rn",
+    )
+    n = r.agg(F.count("*").cast("long").alias("n"))
+    picked = r.crossJoin(F.broadcast(n))
+    return picked.agg(
+        F.max("n").cast("long").alias("n_converted"),
+        F.max(
+            F.when(F.col("rn") == (F.col("n") + 1) / 2, F.col("lat_s"))
+        ).cast("long").alias("p50_latency_s"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * 0.9), F.col("lat_s")
+            )
+        ).cast("long").alias("p90_latency_s"),
+    )
+
+
+@_register(
+    "dedup_shard_locality_audit",
+    oracle=f"""
+    WITH p AS ({_JACCARD_ORACLE}),
+    tagged AS (
+        SELECT doc_a, doc_b,
+               (doc_a % 8 = doc_b % 8) AS same_shard
+        FROM p
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN same_shard THEN 1 ELSE 0 END) AS BIGINT)
+               AS intra_shard,
+           CAST(SUM(CASE WHEN same_shard THEN 0 ELSE 1 END) AS BIGINT)
+               AS cross_shard,
+           ROUND(CAST(SUM(CASE WHEN same_shard THEN 0 ELSE 1 END)
+                 AS DOUBLE) / COUNT(*), 6) AS cross_frac
+    FROM tagged
+    """,
+    doc="Dedup shard-locality audit — the planning measurement for"
+        " DISTRIBUTED dedup: if the corpus were sharded doc_id % 8"
+        " (the hash-shard default), what fraction of true near-dup"
+        " pairs CROSS shard boundaries? cross_frac ≈ 1 - 1/shards"
+        " means shard-local dedup misses that share of pairs — the"
+        " number that justifies (or kills) a cheap per-shard pass"
+        " before the global LSH join. Ninth consumer of the"
+        " session-shared LSH pair relation: one boolean projection +"
+        " one 1-row aggregate over the pairs — free at any scale"
+        " once the pair build exists; the oracle replays it on the"
+        " exact-Jaccard truth.",
+)
+def dedup_shard_locality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _lsh_pairs_05(spark, sf_dir)
+    tagged = pairs.select(
+        (F.col("doc_a") % 8 == F.col("doc_b") % 8).alias("same_shard")
+    )
+    return tagged.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.col("same_shard").cast("int")).cast("long")
+        .alias("intra_shard"),
+        F.sum((~F.col("same_shard")).cast("int")).cast("long")
+        .alias("cross_shard"),
+        F.round(
+            F.sum((~F.col("same_shard")).cast("int")).cast("double")
+            / F.count("*"), 6
+        ).alias("cross_frac"),
+    )
