@@ -339,6 +339,10 @@ NEW_QUERIES_R07 = [
     "fleiss_kappa_multi_rater",
     "conversion_latency_percentiles",
     "dedup_shard_locality_audit",
+    "target_encoding_loo",
+    "mutual_information_bands",
+    "time_weighted_average",
+    "embedding_class_separability",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

@@ -456,3 +456,73 @@ def test_shard_locality_counts_add_up(spark, sf_dir):
     out = Q.dedup_shard_locality_audit(spark, sf_dir).collect()[0]
     assert out.intra_shard + out.cross_shard == out.n_pairs
     assert 0.0 <= out.cross_frac <= 1.0
+
+
+def test_target_encoding_loo_excludes_self(spark):
+    # category 'a': targets 10, 20, 30 (n=3, s=60); gm over all rows
+    rows = [Row(o_orderpriority="a", o_totalprice=float(v))
+            for v in (10, 20, 30)] + [
+        Row(o_orderpriority="b", o_totalprice=100.0)]
+    df = spark.createDataFrame(rows)
+    gm = 40.0  # (60 + 100) / 4
+    # LOO for the 10-row: (60-10 + 10*40)/(3-1+10) = 450/12
+    g = df.groupBy(F.col("o_orderpriority").alias("cat")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,4)")).alias("s"))
+    enc = df.join(F.broadcast(g),
+                  df["o_orderpriority"] == g["cat"]).select(
+        "cat",
+        ((F.col("s").cast("double") - F.col("o_totalprice") + 10.0 * gm)
+         / (F.col("n") - 1 + 10.0)).alias("e"))
+    got = sorted(r.e for r in enc.filter(F.col("cat") == "a").collect())
+    assert abs(got[-1] - 450.0 / 12.0) < 1e-9
+
+
+def test_mutual_information_nonnegative(spark, sf_dir):
+    out = Q.mutual_information_bands(spark, sf_dir).collect()[0]
+    assert out.mi_nats >= -1e-4  # rounding can dip a hair below 0
+    assert out.n > 0
+
+
+def test_time_weighted_average_hand_checked(spark):
+    import datetime as dt
+    # value 0 for 10s, then 10 for 10s: TWA of trapezoids =
+    # (0+10)/2*10 + (10+10)/2*10 = 50 + 100 = 150 over 20s = 7.5
+    rows = [
+        Row(user_id=1, event_id=1, value=0.0,
+            ts=dt.datetime(2024, 1, 1, 0, 0, 0)),
+        Row(user_id=1, event_id=2, value=10.0,
+            ts=dt.datetime(2024, 1, 1, 0, 0, 10)),
+        Row(user_id=1, event_id=3, value=10.0,
+            ts=dt.datetime(2024, 1, 1, 0, 0, 20)),
+    ]
+    df = spark.createDataFrame(rows)
+    from pyspark.sql import Window as W
+    k = df.select("user_id", "value", "event_id",
+                  F.unix_millis(F.col("ts")).alias("ms"))
+    w = W.partitionBy("user_id").orderBy("ms", "event_id")
+    seq = k.select(
+        "user_id", "value", "ms",
+        F.lead("value").over(w).alias("nv"),
+        F.lead("ms").over(w).alias("nms"),
+    ).filter(F.col("nms").isNotNull())
+    seg = seq.select(
+        "user_id",
+        ((F.col("value") + F.col("nv")) / 2.0
+         * ((F.col("nms") - F.col("ms")).cast("double") / 1000.0))
+        .alias("area"),
+        (F.col("nms") - F.col("ms")).alias("dt"))
+    r = seg.groupBy("user_id").agg(
+        (F.sum("area") / (F.sum("dt") / 1000.0)).alias("twa")
+    ).collect()[0]
+    assert abs(r.twa - 7.5) < 1e-9
+
+
+def test_embedding_separability_symmetric_complete(spark, sf_dir):
+    rows = Q.embedding_class_separability(spark, sf_dir).collect()
+    labels = {r.label_a for r in rows} | {r.label_b for r in rows}
+    k = len(labels)
+    assert len(rows) == k * (k - 1) // 2  # every unordered pair once
+    for r in rows:
+        assert r.label_a < r.label_b
+        assert r.centroid_l2 > 0

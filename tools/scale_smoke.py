@@ -203,6 +203,36 @@ SMOKE = [
     "gini_concentration",
     "json_schema_profile",
     "sequence_pattern_match",
+    # round 7
+    "table_ddl_lifecycle",
+    "sequence_pattern_compile",
+    "er_survivorship_scored",
+    "chi_square_independence",
+    "welch_t_test",
+    "spearman_rank_correlation",
+    "mann_whitney_u",
+    "gaps_islands_streaks",
+    "max_concurrent_sessions",
+    "autocorrelation_hourly",
+    "cusum_changepoint",
+    "personalized_pagerank_seeded",
+    "running_distinct_users",
+    "t_closeness_audit",
+    "randomized_response_seeded",
+    "streaming_stream_join_readback",
+    "domain_blocklist_filter",
+    "holt_exponential_smoothing",
+    "theil_sen_slope",
+    "sequential_pattern_support",
+    "rolling_regression_slope",
+    "anova_oneway_f",
+    "fleiss_kappa_multi_rater",
+    "conversion_latency_percentiles",
+    "dedup_shard_locality_audit",
+    "target_encoding_loo",
+    "mutual_information_bands",
+    "time_weighted_average",
+    "embedding_class_separability",
 ]
 
 

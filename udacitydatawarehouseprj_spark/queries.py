@@ -16414,3 +16414,325 @@ def dedup_shard_locality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*"), 6
         ).alias("cross_frac"),
     )
+
+
+@_register(
+    "target_encoding_loo",
+    oracle="""
+    WITH g AS (
+        SELECT o_orderpriority AS cat,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS s
+        FROM orders GROUP BY 1
+    ),
+    gl AS (
+        SELECT CAST(SUM(s) AS DOUBLE) / SUM(n) AS gm FROM g
+    ),
+    enc AS (
+        SELECT o.o_orderpriority AS cat,
+               (CAST(g.s AS DOUBLE) - o.o_totalprice
+                + 10.0 * gl.gm) / (g.n - 1 + 10.0) AS e
+        FROM orders o
+        JOIN g ON g.cat = o.o_orderpriority
+        CROSS JOIN gl
+    )
+    SELECT cat,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(e), 6) AS enc_min,
+           ROUND(MAX(e), 6) AS enc_max,
+           CAST(CAST(ROUND(SUM(CAST(ROUND(e, 6) AS DECIMAL(18,6))), 4)
+                AS DECIMAL(18,4)) AS DOUBLE) AS enc_sum
+    FROM enc GROUP BY 1
+    """,
+    doc="Leave-one-out target encoding with prior smoothing — the"
+        " categorical-feature workhorse of tabular ML (encode"
+        " order priority by the mean total price of OTHER orders in"
+        " the category, blended with the global prior at weight 10):"
+        " LOO removes the self-leakage that makes naive target"
+        " encoding overfit, smoothing keeps rare categories near the"
+        " prior. One aggregation builds per-category (n, sum) as"
+        " exact decimals; the per-row encoding is then a broadcast-"
+        "back join + pure arithmetic — the aggregate-then-enrich"
+        " shape, no second scan group. The audit output (per-category"
+        " min/max/decimal-rounded sum of encodings) pins every row's"
+        " encoding under the hash gate without hashing 150k rows."
+        " Scale: one groupBy + one broadcast join.",
+)
+def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    g = orders.groupBy(F.col("o_orderpriority").alias("cat")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,4)")).alias("s"),
+    )
+    glob = g.agg(
+        (F.sum("s").cast("double") / F.sum("n")).alias("gm")
+    )
+    enc = (
+        orders.join(
+            F.broadcast(g), orders["o_orderpriority"] == g["cat"]
+        )
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "cat",
+            (
+                (F.col("s").cast("double") - F.col("o_totalprice")
+                 + 10.0 * F.col("gm"))
+                / (F.col("n") - 1 + 10.0)
+            ).alias("e"),
+        )
+    )
+    return enc.groupBy("cat").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.min("e"), 6).alias("enc_min"),
+        F.round(F.max("e"), 6).alias("enc_max"),
+        _dsum(F.round(F.col("e"), 6)).alias("enc_sum"),
+    )
+
+
+@_register(
+    "mutual_information_bands",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type,
+               CASE WHEN value < 20 THEN 'low'
+                    WHEN value < 60 THEN 'mid' ELSE 'high' END AS band,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, band, o,
+               SUM(o) OVER (PARTITION BY event_type) AS rx,
+               SUM(o) OVER (PARTITION BY band) AS cy,
+               SUM(o) OVER () AS n
+        FROM cells
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           CAST(CAST(ROUND(SUM(CAST(ROUND(
+               (CAST(o AS DOUBLE) / n)
+               * ln((CAST(o AS DOUBLE) * n)
+                    / (CAST(rx AS DOUBLE) * cy)), 6)
+               AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE)
+               AS mi_nats
+    FROM tot
+    """,
+    doc="Mutual information between event type and value band — the"
+        " feature-relevance measure that catches NONLINEAR dependence"
+        " chi-square only scores indirectly (MI = 0 iff independent;"
+        " directly comparable across feature pairs, the filter-method"
+        " feature-selection ranking): I(X;Y) = sum p_xy ln(p_xy /"
+        " p_x p_y) over the same 15-cell contingency machinery as"
+        " chi_square_independence (windows over the aggregate, never"
+        " the fact table), with each cell term decimal-rounded before"
+        " the cross-cell sum. Empty cells contribute exactly 0 and"
+        " are naturally absent from the groupBy. Scale: one map-side-"
+        "combining aggregation, then O(cells).",
+)
+def mutual_information_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cells = ev.groupBy(
+        "event_type",
+        F.when(F.col("value") < 20, "low")
+        .when(F.col("value") < 60, "mid")
+        .otherwise("high").alias("band"),
+    ).agg(F.count("*").cast("long").alias("o"))
+    tot = cells.select(
+        "o",
+        F.sum("o").over(W.partitionBy("event_type")).alias("rx"),
+        F.sum("o").over(W.partitionBy("band")).alias("cy"),
+        F.sum("o").over(W.partitionBy()).alias("n"),
+    )
+    term = (F.col("o").cast("double") / F.col("n")) * F.log(
+        (F.col("o").cast("double") * F.col("n"))
+        / (F.col("rx").cast("double") * F.col("cy"))
+    )
+    return tot.agg(
+        F.max("n").cast("long").alias("n"),
+        _dsum(F.round(term, 6)).alias("mi_nats"),
+    )
+
+
+@_register(
+    "time_weighted_average",
+    oracle="""
+    WITH k AS (
+        SELECT user_id, value,
+               CAST(epoch_ms(ts) AS BIGINT) AS ms,
+               event_id
+        FROM events WHERE value IS NOT NULL
+    ),
+    seq AS (
+        SELECT user_id, value, ms,
+               LEAD(value) OVER w AS nv,
+               LEAD(ms) OVER w AS nms
+        FROM k
+        WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+    ),
+    seg AS (
+        SELECT user_id,
+               (value + nv) / 2.0 * (CAST(nms - ms AS DOUBLE) / 1000.0)
+                   AS area,
+               CAST(nms - ms AS BIGINT) AS dt_ms
+        FROM seq WHERE nms IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           ROUND(
+               CAST(CAST(ROUND(SUM(CAST(ROUND(area, 6)
+                    AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE)
+               / (CAST(SUM(dt_ms) AS DOUBLE) / 1000.0), 6) AS twa
+    FROM seg GROUP BY 1
+    HAVING SUM(dt_ms) > 0
+    """,
+    doc="Time-weighted average of an IRREGULARLY-sampled series —"
+        " trapezoidal integration per user (the correct mean for"
+        " sensor/price/gauge data where a plain AVG over-weights"
+        " bursts; the classic IoT/financial aggregation): consecutive"
+        " events pair via LEAD over the per-user (ts, event_id)"
+        " order, each segment contributes (v_i + v_{i+1})/2 x dt, and"
+        " TWA = total area / total duration. Segment areas are"
+        " decimal-rounded before summing; durations stay integer ms."
+        " Windows partition BY USER — bounded partitions, no global"
+        " sort. Scale: one shuffle on user_id, O(events) arithmetic.",
+)
+def time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    k = ev.select(
+        "user_id", "value", "event_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+    )
+    w = W.partitionBy("user_id").orderBy("ms", "event_id")
+    seq = k.select(
+        "user_id", "value", "ms",
+        F.lead("value").over(w).alias("nv"),
+        F.lead("ms").over(w).alias("nms"),
+    ).filter(F.col("nms").isNotNull())
+    seg = seq.select(
+        "user_id",
+        (
+            (F.col("value") + F.col("nv")) / 2.0
+            * ((F.col("nms") - F.col("ms")).cast("double") / 1000.0)
+        ).alias("area"),
+        (F.col("nms") - F.col("ms")).cast("long").alias("dt_ms"),
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_segments"),
+            _dsum(F.round(F.col("area"), 6)).alias("_area"),
+            F.sum("dt_ms").cast("long").alias("_dt"),
+        )
+        .filter(F.col("_dt") > 0)
+        .select(
+            "user_id", "n_segments",
+            F.round(
+                F.col("_area") / (F.col("_dt").cast("double") / 1000.0), 6
+            ).alias("twa"),
+        )
+    )
+
+
+@_register(
+    "embedding_class_separability",
+    oracle="""
+    WITH ex AS (
+        SELECT label, i AS pos,
+               CAST(ROUND(CAST(embedding[i] AS DOUBLE), 6)
+                    AS DECIMAL(18,6)) AS v
+        FROM embeddings,
+             UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cent AS (
+        SELECT label, pos,
+               CAST(SUM(v) AS DOUBLE) / COUNT(*) AS c
+        FROM ex GROUP BY 1, 2
+    ),
+    sizes AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+        FROM embeddings GROUP BY 1
+    ),
+    dists AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               sqrt(SUM((a.c - b.c) * (a.c - b.c))) AS l2
+        FROM cent a JOIN cent b
+          ON a.pos = b.pos AND a.label < b.label
+        GROUP BY 1, 2
+    )
+    SELECT d.label_a, d.label_b,
+           sa.n AS n_a, sb.n AS n_b,
+           ROUND(d.l2, 6) AS centroid_l2
+    FROM dists d
+    JOIN sizes sa ON sa.label = d.label_a
+    JOIN sizes sb ON sb.label = d.label_b
+    """,
+    doc="Embedding class-separability audit — pairwise L2 distances"
+        " between per-label centroids (the embedding-quality check"
+        " before trusting kNN labels or semantic dedup cells:"
+        " collapsed centroids mean the embedding doesn't separate the"
+        " classes): vectors explode to (label, dim, value) with each"
+        " component rounded to an exact decimal BEFORE the centroid"
+        " sum (the unordered float accumulation is the one hash"
+        " hazard), centroids are decimal-sum/count, and the k x k"
+        " distance matrix is a self-join on the k x dim centroid"
+        " relation — everything after the one explode-aggregate is"
+        " O(k^2 dim). Scale: the explode shuffles (label, dim) keyed"
+        " partial sums — dim-bounded, the standard distributed"
+        " centroid shape.",
+)
+def embedding_class_separability(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "raw")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("raw").cast("double"), 6).cast("decimal(18,6)")
+        .alias("v"),
+    )
+    cent = ex.groupBy("label", "pos").agg(
+        (F.sum("v").cast("double") / F.count("*")).alias("c")
+    )
+    sizes = emb.groupBy("label").agg(F.count("*").cast("long").alias("n"))
+    a = cent.select(
+        F.col("label").alias("label_a"), "pos", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("c").alias("cb"),
+    )
+    dists = (
+        a.join(
+            b,
+            (F.col("pos") == F.col("pos_b"))
+            & (F.col("label_a") < F.col("label_b")),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sqrt(
+                F.sum(
+                    (F.col("ca") - F.col("cb"))
+                    * (F.col("ca") - F.col("cb"))
+                )
+            ).alias("l2")
+        )
+    )
+    sa = sizes.select(
+        F.col("label").alias("label_a"), F.col("n").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("label").alias("label_b"), F.col("n").alias("n_b")
+    )
+    return (
+        dists.join(F.broadcast(sa), "label_a")
+        .join(F.broadcast(sb), "label_b")
+        .select(
+            "label_a", "label_b", "n_a", "n_b",
+            F.round("l2", 6).alias("centroid_l2"),
+        )
+    )
