@@ -343,6 +343,9 @@ NEW_QUERIES_R07 = [
     "mutual_information_bands",
     "time_weighted_average",
     "embedding_class_separability",
+    "cluster_medoid_selection",
+    "weighted_jaccard_allpairs",
+    "embedding_standardize_check",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

@@ -526,3 +526,39 @@ def test_embedding_separability_symmetric_complete(spark, sf_dir):
     for r in rows:
         assert r.label_a < r.label_b
         assert r.centroid_l2 > 0
+
+
+def test_cluster_medoid_is_member_and_central(spark, sf_dir):
+    meds = {r.cluster_id: (r.medoid_doc_id, r.n_members)
+            for r in Q.cluster_medoid_selection(spark, sf_dir).collect()}
+    comp = {r.doc_id: r.cluster_id
+            for r in Q.dedup_near_dup_clusters(spark, sf_dir).collect()}
+    pairs = Q._lsh_pairs_05(spark, sf_dir).collect()
+    score = {}
+    for p in pairs:
+        ji = round(p.jaccard * 1_000_000)
+        score[p.doc_a] = score.get(p.doc_a, 0) + ji
+        score[p.doc_b] = score.get(p.doc_b, 0) + ji
+    for cid, (medoid, n) in meds.items():
+        assert comp[medoid] == cid  # medoid is a member
+        members = [d for d, c in comp.items() if c == cid]
+        assert len(members) == n
+        best = max(members, key=lambda d: (score.get(d, 0), -d))
+        assert medoid == best
+
+
+def test_weighted_jaccard_bounds_and_vs_set(spark, sf_dir):
+    rows = Q.weighted_jaccard_allpairs(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.2 <= r.wjaccard <= 1.0
+        assert r.doc_a < r.doc_b
+
+
+def test_embedding_standardize_identity(spark, sf_dir):
+    rows = Q.embedding_standardize_check(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # per-dim: sum z ~ 0, sum z^2 ~ n-1 (rounded to 2 decimals)
+        assert abs(r.z_sum) < 0.01
+        assert abs(r.z2_sum - (r.n - 1)) < 0.5

@@ -233,6 +233,9 @@ SMOKE = [
     "mutual_information_bands",
     "time_weighted_average",
     "embedding_class_separability",
+    "cluster_medoid_selection",
+    "weighted_jaccard_allpairs",
+    "embedding_standardize_check",
 ]
 
 

@@ -16736,3 +16736,268 @@ def embedding_class_separability(
             F.round("l2", 6).alias("centroid_l2"),
         )
     )
+
+
+@_register(
+    "cluster_medoid_selection",
+    oracle=f"""
+    WITH RECURSIVE p AS ({_JACCARD_ORACLE}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM p
+        UNION
+        SELECT doc_b, doc_a FROM p
+    ),
+    nodes AS (SELECT DISTINCT a AS n FROM edges),
+    reach(s, t) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a
+    ),
+    comp AS (SELECT s AS doc_id, MIN(t) AS cluster_id FROM reach GROUP BY s),
+    scores AS (
+        SELECT d, CAST(SUM(ji) AS BIGINT) AS score FROM (
+            SELECT doc_a AS d,
+                   CAST(ROUND(jaccard * 1000000) AS BIGINT) AS ji FROM p
+            UNION ALL
+            SELECT doc_b, CAST(ROUND(jaccard * 1000000) AS BIGINT) FROM p
+        ) GROUP BY 1
+    ),
+    m AS (
+        SELECT c.cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               arg_max(c.doc_id,
+                       s.score * 33554432 + (33554431 - c.doc_id))
+                   AS medoid
+        FROM comp c JOIN scores s ON s.d = c.doc_id
+        GROUP BY 1
+    )
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id, n_members,
+           CAST(medoid AS BIGINT) AS medoid_doc_id
+    FROM m WHERE n_members >= 2
+    """,
+    doc="Medoid (centrality-based) representative per near-dup"
+        " cluster — the third survivorship policy beside first-id"
+        " (dedup_near_dup_clusters keeper) and quality-score"
+        " (dedup_keep_best_quality): the member maximizing total"
+        " within-cluster similarity is the most REPRESENTATIVE"
+        " surviving document, the right keeper when quality scores"
+        " are unavailable and min-id is arbitrary. Scores are sums"
+        " of micro-scaled integer Jaccards (the rounded pair values"
+        " x 1e6 — so the argmax is exact integer arithmetic packed"
+        " with the id tie-break, no float comparison anywhere), and"
+        " every pair is intra-cluster by construction (clusters ARE"
+        " the pair graph's components), so scoring is one UNION-ALL"
+        " aggregation over the pair relation — no per-cluster"
+        " quadratic rescan. Tenth consumer of the session-shared LSH"
+        " pair build. Scale: O(pairs) + one aggregation per node.",
+)
+def cluster_medoid_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = S.track_cache(_lsh_pairs_05(spark, sf_dir))
+    comp = dedup.connected_components(pairs)
+    ji = F.round(F.col("jaccard") * 1000000).cast("long")
+    scores = (
+        pairs.select(F.col("doc_a").alias("d"), ji.alias("ji"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("d"), ji.alias("ji"))
+        )
+        .groupBy("d")
+        .agg(F.sum("ji").cast("long").alias("score"))
+    )
+    packed = (
+        F.col("score") * F.lit(33554432)
+        + (F.lit(33554431) - F.col("doc_id"))
+    )
+    m = (
+        comp.join(scores, comp["doc_id"] == scores["d"])
+        .select("cluster_id", "doc_id", packed.alias("pk"))
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.expr("max_by(doc_id, pk)").cast("long")
+            .alias("medoid_doc_id"),
+        )
+    )
+    return m.filter(F.col("n_members") >= 2).select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "n_members", "medoid_doc_id",
+    )
+
+
+@_register(
+    "weighted_jaccard_allpairs",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS term
+            FROM documents
+        ) GROUP BY 1, 2
+    ),
+    df AS (
+        SELECT term FROM tf GROUP BY term HAVING COUNT(*) <= 100
+    ),
+    capped AS (SELECT tf.* FROM tf JOIN df USING (term)),
+    tot AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tot
+            FROM capped GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(SUM(LEAST(a.tf, b.tf)) AS BIGINT) AS i
+        FROM capped a JOIN capped b USING (term)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(i AS DOUBLE)
+                 / CAST(x.tot + y.tot - i AS DOUBLE), 6) AS wjaccard
+    FROM inter
+    JOIN tot x ON x.doc_id = doc_a
+    JOIN tot y ON y.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / CAST(x.tot + y.tot - i AS DOUBLE) >= 0.2
+    """,
+    doc="WEIGHTED Jaccard all-pairs over term multisets — the"
+        " bag-of-words similarity that set Jaccard (dedup_ngram_"
+        "jaccard) throws away: J_w = sum min(tf_a, tf_b) / sum"
+        " max(tf_a, tf_b), which distinguishes a doc repeating one"
+        " phrase 50 times from one using it once. The max-side never"
+        " materializes: sum max = tot_a + tot_b - sum min, so only"
+        " terms SHARED by a pair join (inverted-index join with the"
+        " same df<=100 skew cap as sparse_tfidf_allpairs — the"
+        " hottest term key is bounded), and EVERYTHING up to the"
+        " final division is integer term counts — exact at any"
+        " parallelism. Scale: one explode + capped postings"
+        " self-join; identical shape to the TF-IDF pair engine.",
+)
+def weighted_jaccard_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    terms = S.spread(docs, ("doc_id",)).select(
+        "doc_id", F.explode(dedup.tokens_expr("text")).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    df_ok = tf.groupBy("term").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= 100
+    ).select("term")
+    capped = S.track_cache(tf.join(F.broadcast(df_ok), "term"))
+    tot = capped.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("tot")
+    )
+    a = capped.select(
+        F.col("doc_id").alias("doc_a"), "term", F.col("tf").alias("tfa")
+    )
+    b = capped.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("term").alias("term_b"),
+        F.col("tf").alias("tfb"),
+    )
+    inter = (
+        a.join(b, (F.col("term") == F.col("term_b"))
+               & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.least("tfa", "tfb")).cast("long").alias("i"))
+    )
+    tx = tot.select(F.col("doc_id").alias("doc_a"), F.col("tot").alias("ta"))
+    ty = tot.select(F.col("doc_id").alias("doc_b"), F.col("tot").alias("tb"))
+    wj = (
+        inter.join(F.broadcast(tx), "doc_a")
+        .join(F.broadcast(ty), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (F.col("i").cast("double")
+             / (F.col("ta") + F.col("tb") - F.col("i")).cast("double"))
+            .alias("w"),
+        )
+    )
+    return wj.filter(F.col("w") >= 0.2).select(
+        "doc_a", "doc_b", F.round("w", 6).alias("wjaccard")
+    )
+
+
+@_register(
+    "embedding_standardize_check",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id, i AS pos,
+               ROUND(CAST(embedding[i] AS DOUBLE), 6) AS v
+        FROM embeddings,
+             UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    stats AS (
+        SELECT pos,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(v AS DECIMAL(18,6))
+                        * CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS q
+        FROM ex GROUP BY 1
+    ),
+    mu AS (
+        SELECT pos, n, s / n AS m,
+               (q - s * s / n) / (n - 1) AS var
+        FROM stats
+    ),
+    z AS (
+        SELECT e.pos,
+               (e.v - mu.m) / sqrt(mu.var) AS zv
+        FROM ex e JOIN mu ON mu.pos = e.pos
+    )
+    SELECT pos,
+           CAST(CAST(ROUND(SUM(CAST(ROUND(zv, 6) AS DECIMAL(18,6))), 4)
+                AS DECIMAL(18,4)) AS DOUBLE) AS z_sum,
+           CAST(CAST(ROUND(SUM(CAST(ROUND(zv * zv, 6)
+                AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS DOUBLE)
+               AS z2_sum,
+           CAST(MAX(0) + (SELECT MAX(n) FROM stats) AS BIGINT) AS n
+    FROM z GROUP BY 1
+    """,
+    doc="Per-dimension embedding standardization (z-scoring) with its"
+        " own verification — the whitening-lite preprocessing before"
+        " cosine/kNN when dimensions have wildly different scales"
+        " (complements PCA/JL/int8 in the representation family):"
+        " per-dim mean and sample variance from EXACT decimal sums of"
+        " 6-rounded components, the transform applied per (vector,"
+        " dim), and the audit re-aggregates the TRANSFORMED values —"
+        " per-dim sum of z (≈ 0) and sum of z^2 (≈ n-1), the"
+        " closed-form identity that catches any drift in the"
+        " transform plumbing, with every re-aggregation term"
+        " decimal-rounded so the unordered double sum cannot move"
+        " the hash. Scale: one explode + (dim)-keyed aggregation +"
+        " broadcast-back of the dim-sized stats relation.",
+)
+def embedding_standardize_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = S.track_cache(
+        emb.select(
+            "vec_id", F.posexplode("embedding").alias("pos0", "raw")
+        ).select(
+            "vec_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.round(F.col("raw").cast("double"), 6).alias("v"),
+        )
+    )
+    dec = "decimal(18,6)"
+    stats = ex.groupBy("pos").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("v").cast(dec)).cast("double").alias("s"),
+        F.sum(F.col("v").cast(dec) * F.col("v").cast(dec))
+        .cast("double").alias("q"),
+    )
+    mu = stats.select(
+        "pos", "n",
+        (F.col("s") / F.col("n")).alias("m"),
+        ((F.col("q") - F.col("s") * F.col("s") / F.col("n"))
+         / (F.col("n") - 1)).alias("var"),
+    )
+    z = ex.join(F.broadcast(mu), "pos").select(
+        "pos", "n",
+        ((F.col("v") - F.col("m")) / F.sqrt(F.col("var"))).alias("zv"),
+    )
+    return z.groupBy("pos").agg(
+        _dsum(F.round(F.col("zv"), 6)).alias("z_sum"),
+        F.round(
+            F.sum(F.round(F.col("zv") * F.col("zv"), 6).cast(dec)), 2
+        ).cast("decimal(18,2)").cast("double").alias("z2_sum"),
+        F.max("n").cast("long").alias("n"),
+    )
