@@ -346,6 +346,9 @@ NEW_QUERIES_R07 = [
     "cluster_medoid_selection",
     "weighted_jaccard_allpairs",
     "embedding_standardize_check",
+    "degree_assortativity",
+    "forecast_baseline_mase",
+    "interval_integrity_audit",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

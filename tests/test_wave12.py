@@ -562,3 +562,29 @@ def test_embedding_standardize_identity(spark, sf_dir):
         # per-dim: sum z ~ 0, sum z^2 ~ n-1 (rounded to 2 decimals)
         assert abs(r.z_sum) < 0.01
         assert abs(r.z2_sum - (r.n - 1)) < 0.5
+
+
+def test_degree_assortativity_in_range(spark, sf_dir):
+    out = Q.degree_assortativity(spark, sf_dir).collect()[0]
+    assert -1.0 <= out.assortativity <= 1.0
+    assert out.n_directed_edges % 2 == 0  # both orientations counted
+
+
+def test_mase_counts(spark, sf_dir):
+    out = Q.forecast_baseline_mase(spark, sf_dir).collect()[0]
+    # n naive errors = days-1; seasonal = days-7
+    assert out.n_naive_errors == out.n_seasonal_errors + 6
+    assert out.mae_naive > 0 and out.mae_seasonal7 > 0
+    assert out.mase > 0
+
+
+def test_interval_audit_partition(spark, sf_dir):
+    out = Q.interval_integrity_audit(spark, sf_dir).collect()[0]
+    # every non-first interval is exactly one of overlap/gap/contiguous
+    ev = Q._t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull())
+    n_users = ev.select("user_id").distinct().count()
+    assert (out.n_overlaps + out.n_gaps + out.n_contiguous
+            == out.n_intervals - n_users)
+    assert out.n_overlaps > 0  # synthesized durations overlap
+    assert out.overlap_ms_total > 0

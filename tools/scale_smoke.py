@@ -236,6 +236,9 @@ SMOKE = [
     "cluster_medoid_selection",
     "weighted_jaccard_allpairs",
     "embedding_standardize_check",
+    "degree_assortativity",
+    "forecast_baseline_mase",
+    "interval_integrity_audit",
 ]
 
 

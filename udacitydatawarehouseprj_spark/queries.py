@@ -17001,3 +17001,248 @@ def embedding_standardize_check(
         ).cast("decimal(18,2)").cast("double").alias("z2_sum"),
         F.max("n").cast("long").alias("n"),
     )
+
+
+@_register(
+    "degree_assortativity",
+    oracle=f"""
+    WITH p AS ({_JACCARD_ORACLE}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM p
+        UNION SELECT doc_b, doc_a FROM p
+    ),
+    deg AS (SELECT a AS n, CAST(COUNT(*) AS BIGINT) AS d
+            FROM edges GROUP BY 1),
+    de AS (
+        SELECT da.d AS x, db.d AS y
+        FROM edges e
+        JOIN deg da ON da.n = e.a
+        JOIN deg db ON db.n = e.b
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sx2,
+               CAST(SUM(y * y) AS BIGINT) AS sy2
+        FROM de
+    )
+    SELECT m AS n_directed_edges,
+           ROUND((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(m AS DOUBLE) * sx2
+                         - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(m AS DOUBLE) * sy2
+                           - CAST(sy AS DOUBLE) * sy)), 6)
+               AS assortativity
+    FROM s
+    """,
+    doc="Degree assortativity of the near-dup similarity graph —"
+        " Pearson correlation of endpoint degrees over the directed"
+        " edge list (Newman 2002's mixing coefficient in its"
+        " degree-correlation form): positive means hubs link to hubs"
+        " (boilerplate mega-clusters chaining together — the shape"
+        " that makes CC components explode), negative means"
+        " hub-and-spoke. One degree aggregation + one edge-to-degree"
+        " join + exact integer sums, double only in the final"
+        " formula — deterministic at any parallelism. Eleventh"
+        " consumer of the shared LSH pair relation. Scale: O(|E|)"
+        " joins on node keys.",
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _lsh_pairs_05(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).union(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    )
+    deg = edges.groupBy(F.col("a").alias("n")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("x"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("y"))
+    de = edges.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    s = de.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("sy2"),
+    )
+    md = F.col("m").cast("double")
+    return s.select(
+        F.col("m").alias("n_directed_edges"),
+        F.round(
+            (md * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            / F.sqrt(
+                (md * F.col("sx2")
+                 - F.col("sx").cast("double") * F.col("sx"))
+                * (md * F.col("sy2")
+                   - F.col("sy").cast("double") * F.col("sy"))
+            ), 6
+        ).alias("assortativity"),
+    )
+
+
+@_register(
+    "forecast_baseline_mase",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(38,4))) AS s,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    d AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY day) AS i,
+               CAST(s AS DOUBLE) / c AS x
+        FROM daily
+    ),
+    e AS (
+        SELECT i, x,
+               ABS(x - LAG(x, 1) OVER (ORDER BY i)) AS e1,
+               ABS(x - LAG(x, 7) OVER (ORDER BY i)) AS e7
+        FROM d
+    ),
+    s AS (
+        SELECT
+            CAST(COUNT(e1) AS BIGINT) AS n1,
+            CAST(COUNT(e7) AS BIGINT) AS n7,
+            CAST(CAST(ROUND(SUM(CAST(ROUND(e1, 6) AS DECIMAL(18,6))), 4)
+                 AS DECIMAL(18,4)) AS DOUBLE) AS se1,
+            CAST(CAST(ROUND(SUM(CAST(ROUND(e7, 6) AS DECIMAL(18,6))), 4)
+                 AS DECIMAL(18,4)) AS DOUBLE) AS se7
+        FROM e
+    )
+    SELECT n1 AS n_naive_errors, n7 AS n_seasonal_errors,
+           ROUND(se1 / n1, 6) AS mae_naive,
+           ROUND(se7 / n7, 6) AS mae_seasonal7,
+           ROUND((se7 / n7) / (se1 / n1), 6) AS mase
+    FROM s
+    """,
+    doc="Forecast-baseline MASE — the scale-free accuracy yardstick"
+        " (Hyndman & Koehler 2006) every forecasting effort must"
+        " beat: mean absolute error of the weekly seasonal-naive"
+        " forecast (x[t-7]) scaled by the one-step naive MAE"
+        " (x[t-1]); MASE < 1 means weekly seasonality genuinely"
+        " predicts, > 1 means yesterday is the better guess —"
+        " evaluated over the daily mean series, which collapses from"
+        " the fact table FIRST (aggregate-then-window, LAGs over"
+        " O(days)). Error terms are decimal-rounded before summing."
+        " Complements holt_exponential_smoothing (the model) with"
+        " the baseline the model must beat. Scale: one scan +"
+        " O(days).",
+)
+def forecast_baseline_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        F.to_date(F.col("ts").cast("timestamp")).alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(38,4)")).alias("s"),
+        F.count("*").cast("long").alias("c"),
+    )
+    d = daily.select(
+        F.row_number().over(W.partitionBy().orderBy("day")).alias("i"),
+        (F.col("s").cast("double") / F.col("c")).alias("x"),
+    )
+    w = W.partitionBy().orderBy("i")
+    e = d.select(
+        F.abs(F.col("x") - F.lag("x", 1).over(w)).alias("e1"),
+        F.abs(F.col("x") - F.lag("x", 7).over(w)).alias("e7"),
+    )
+    s = e.agg(
+        F.count("e1").cast("long").alias("n1"),
+        F.count("e7").cast("long").alias("n7"),
+        _dsum(F.round(F.col("e1"), 6)).alias("se1"),
+        _dsum(F.round(F.col("e7"), 6)).alias("se7"),
+    )
+    return s.select(
+        F.col("n1").alias("n_naive_errors"),
+        F.col("n7").alias("n_seasonal_errors"),
+        F.round(F.col("se1") / F.col("n1"), 6).alias("mae_naive"),
+        F.round(F.col("se7") / F.col("n7"), 6).alias("mae_seasonal7"),
+        F.round(
+            (F.col("se7") / F.col("n7")) / (F.col("se1") / F.col("n1")), 6
+        ).alias("mase"),
+    )
+
+
+@_register(
+    "interval_integrity_audit",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, event_id,
+               CAST(epoch_ms(ts) AS BIGINT) AS st,
+               CAST(epoch_ms(ts) AS BIGINT)
+                   + CAST(ROUND(value * 60000) AS BIGINT) AS en
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    seq AS (
+        SELECT user_id, st, en,
+               LAG(en) OVER (PARTITION BY user_id
+                             ORDER BY st, event_id) AS prev_en
+        FROM iv
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(CASE WHEN prev_en IS NOT NULL AND st < prev_en
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_overlaps,
+           CAST(SUM(CASE WHEN prev_en IS NOT NULL AND st > prev_en
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+           CAST(SUM(CASE WHEN st = prev_en
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_contiguous,
+           CAST(SUM(CASE WHEN prev_en IS NOT NULL AND st < prev_en
+                         THEN prev_en - st ELSE 0 END) AS BIGINT)
+               AS overlap_ms_total
+    FROM seq
+    """,
+    doc="Interval-integrity audit — the data-quality gate for any"
+        " validity-interval dimension (SCD2 version chains, session"
+        " windows, contract periods): per key, consecutive intervals"
+        " in (start, id) order are classified as OVERLAPPING (start"
+        " before previous end — double-counted validity, the bug"
+        " MERGE-based SCD2 loaders introduce), GAPPED (uncovered"
+        " time), or CONTIGUOUS (the well-formed case), with total"
+        " overlapped milliseconds as the severity measure. Intervals"
+        " here are purchase events extended by value-minutes"
+        " durations — overlapping by construction, so every branch"
+        " is exercised. Pure integer ms arithmetic; one per-key LAG"
+        " window (bounded partitions) + one scalar aggregate."
+        " Scale: one shuffle on user_id.",
+)
+def interval_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    iv = ev.select(
+        "user_id", "event_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("st"),
+        (
+            F.unix_millis(F.col("ts").cast("timestamp"))
+            + F.round(F.col("value") * 60000).cast("long")
+        ).alias("en"),
+    )
+    w = W.partitionBy("user_id").orderBy("st", "event_id")
+    seq = iv.select(
+        "user_id", "st", "en", F.lag("en").over(w).alias("prev_en")
+    )
+    has_prev = F.col("prev_en").isNotNull()
+    return seq.agg(
+        F.count("*").cast("long").alias("n_intervals"),
+        F.sum((has_prev & (F.col("st") < F.col("prev_en"))).cast("int"))
+        .cast("long").alias("n_overlaps"),
+        F.sum((has_prev & (F.col("st") > F.col("prev_en"))).cast("int"))
+        .cast("long").alias("n_gaps"),
+        F.sum((F.col("st") == F.col("prev_en")).cast("int"))
+        .cast("long").alias("n_contiguous"),
+        F.sum(
+            F.when(
+                has_prev & (F.col("st") < F.col("prev_en")),
+                F.col("prev_en") - F.col("st"),
+            ).otherwise(0)
+        ).cast("long").alias("overlap_ms_total"),
+    )
