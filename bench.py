@@ -349,6 +349,9 @@ NEW_QUERIES_R07 = [
     "degree_assortativity",
     "forecast_baseline_mase",
     "interval_integrity_audit",
+    "sliding_window_distinct_users",
+    "jackknife_ratio_variance",
+    "funnel_three_step_ordered",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

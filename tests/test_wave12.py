@@ -588,3 +588,35 @@ def test_interval_audit_partition(spark, sf_dir):
             == out.n_intervals - n_users)
     assert out.n_overlaps > 0  # synthesized durations overlap
     assert out.overlap_ms_total > 0
+
+
+def test_sliding_mau_vs_brute_force(spark, sf_dir):
+    got = {r.day: r.mau7
+           for r in Q.sliding_window_distinct_users(spark, sf_dir).collect()}
+    ud = Q._t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")).distinct().collect()
+    import collections
+    import datetime as dt
+    by_day = collections.defaultdict(set)
+    for r in ud:
+        by_day[r.day].add(r.user_id)
+    for day, mau in got.items():
+        d = dt.date.fromisoformat(day)
+        users = set()
+        for i in range(7):
+            users |= by_day.get(d - dt.timedelta(days=i), set())
+        assert mau == len(users)
+
+
+def test_jackknife_variance_positive_and_ratio_sane(spark, sf_dir):
+    out = Q.jackknife_ratio_variance(spark, sf_dir).collect()[0]
+    # at tiny sf fewer than 50 user-hash buckets are populated
+    assert 1 < out.n_buckets <= 50
+    assert out.jackknife_var >= 0
+    assert 0 < out.ratio < 500  # revenue per event within value range
+
+
+def test_funnel_three_step_monotone(spark, sf_dir):
+    out = Q.funnel_three_step_ordered(spark, sf_dir).collect()[0]
+    assert (out.n_users >= out.step1_signup
+            >= out.step2_view_after >= out.step3_purchase_after > 0)

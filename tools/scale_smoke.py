@@ -239,6 +239,9 @@ SMOKE = [
     "degree_assortativity",
     "forecast_baseline_mase",
     "interval_integrity_audit",
+    "sliding_window_distinct_users",
+    "jackknife_ratio_variance",
+    "funnel_three_step_ordered",
 ]
 
 

@@ -17246,3 +17246,221 @@ def interval_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).cast("long").alias("overlap_ms_total"),
     )
+
+
+@_register(
+    "sliding_window_distinct_users",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    grid AS (
+        SELECT d.day, ud.user_id
+        FROM days d JOIN ud
+          ON ud.day BETWEEN d.day - 6 AND d.day
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau7
+    FROM grid GROUP BY 1
+    """,
+    doc="SLIDING 7-day distinct users (L7 / weekly-active) — the"
+        " windowed COUNT(DISTINCT) that neither Spark windows nor the"
+        " cumulative first-occurrence trick (running_distinct_users)"
+        " can express, because a user can enter and LEAVE the window:"
+        " the correct distributed form materializes (user, active-day)"
+        " pairs ONCE (the distinct prunes the fact table to at most"
+        " users x days rows), then joins each report day to its"
+        " trailing 7-day slice — a bounded fan-out of ≤ 7 per pair,"
+        " NOT a per-day rescan of the fact table — and distinct-counts"
+        " per day. The range join broadcasts the days grid (calendar-"
+        "sized). Scale: one distinct shuffle + a 7x bounded expansion;"
+        " at 100 TB the expansion key is (user, day), never raw"
+        " events.",
+)
+def sliding_window_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date(F.col("ts").cast("timestamp")).alias("day")
+    ).distinct()
+    days = ud.select("day").distinct()
+    grid = ud.join(
+        F.broadcast(days.select(F.col("day").alias("rday"))),
+        (F.col("day") <= F.col("rday"))
+        & (F.col("day") >= F.date_sub(F.col("rday"), 6)),
+    )
+    return grid.groupBy(F.col("rday")).agg(
+        F.countDistinct("user_id").cast("long").alias("mau7")
+    ).select(F.col("rday").cast("string").alias("day"), "mau7")
+
+
+@_register(
+    "jackknife_ratio_variance",
+    oracle="""
+    WITH b AS (
+        SELECT user_id % 50 AS bucket,
+               SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(value AS DECIMAL(38,4))
+                        ELSE CAST(0 AS DECIMAL(38,4)) END) AS num,
+               CAST(COUNT(*) AS BIGINT) AS den
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(num) AS DOUBLE) AS tn,
+               CAST(SUM(den) AS BIGINT) AS td,
+               CAST(COUNT(*) AS BIGINT) AS nb
+        FROM b
+    ),
+    loo AS (
+        SELECT b.bucket, tot.nb,
+               (tot.tn - CAST(b.num AS DOUBLE))
+                   / CAST(tot.td - b.den AS DOUBLE) AS r_i,
+               tot.tn / tot.td AS r_full
+        FROM b, tot
+    ),
+    s AS (
+        SELECT nb, MAX(r_full) AS r_full,
+               CAST(CAST(ROUND(SUM(CAST(ROUND(r_i, 6)
+                    AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE)
+                   AS sum_ri,
+               CAST(CAST(ROUND(SUM(CAST(ROUND(r_i * r_i, 6)
+                    AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE)
+                   AS sum_ri2
+        FROM loo GROUP BY 1
+    )
+    SELECT nb AS n_buckets,
+           ROUND(r_full, 6) AS ratio,
+           ROUND((nb - 1.0) / nb
+                 * (sum_ri2 - sum_ri * sum_ri / nb), 6)
+               AS jackknife_var
+    FROM s
+    """,
+    doc="Delete-one-bucket jackknife variance for a RATIO metric"
+        " (revenue per event) — the estimator real experimentation"
+        " platforms use because ratio metrics violate the i.i.d."
+        " assumption behind the plain two-proportion z-test (users"
+        " contribute correlated rows; bucketing by user hash"
+        " preserves the correlation structure): 50 user-hash buckets,"
+        " leave-one-out ratio replicates r_i from the bucket"
+        " aggregates (NO 50x rescan — the totals minus each bucket),"
+        " and var_jk = (n-1)/n * sum (r_i - r_bar)^2 via the"
+        " sum/sum-of-squares identity with decimal-rounded replicate"
+        " terms. Scale: ONE aggregation over the fact table to 50"
+        " bucket rows; everything after is O(buckets).",
+)
+def jackknife_ratio_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    dec = "decimal(38,4)"
+    b = ev.groupBy((F.col("user_id") % 50).alias("bucket")).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast(dec),
+            ).otherwise(F.lit(0).cast(dec))
+        ).alias("num"),
+        F.count("*").cast("long").alias("den"),
+    )
+    tot = b.agg(
+        F.sum("num").cast("double").alias("tn"),
+        F.sum("den").cast("long").alias("td"),
+        F.count("*").cast("long").alias("nb"),
+    )
+    loo = b.crossJoin(F.broadcast(tot)).select(
+        "nb",
+        (
+            (F.col("tn") - F.col("num").cast("double"))
+            / (F.col("td") - F.col("den")).cast("double")
+        ).alias("r_i"),
+        (F.col("tn") / F.col("td")).alias("r_full"),
+    )
+    s = loo.groupBy("nb").agg(
+        F.max("r_full").alias("r_full"),
+        _dsum(F.round(F.col("r_i"), 6)).alias("sum_ri"),
+        _dsum(F.round(F.col("r_i") * F.col("r_i"), 6)).alias("sum_ri2"),
+    )
+    return s.select(
+        F.col("nb").alias("n_buckets"),
+        F.round("r_full", 6).alias("ratio"),
+        F.round(
+            (F.col("nb") - 1.0) / F.col("nb")
+            * (F.col("sum_ri2")
+               - F.col("sum_ri") * F.col("sum_ri") / F.col("nb")), 6
+        ).alias("jackknife_var"),
+    )
+
+
+@_register(
+    "funnel_three_step_ordered",
+    oracle="""
+    WITH keyed AS (
+        SELECT user_id, event_type,
+               CAST(epoch_ms(ts) AS BIGINT) * 1000000 + event_id AS k
+        FROM events
+    ),
+    t1 AS (SELECT user_id, MIN(k) AS k1 FROM keyed
+           WHERE event_type = 'signup' GROUP BY 1),
+    t2 AS (SELECT k.user_id, MIN(k.k) AS k2
+           FROM keyed k JOIN t1 ON k.user_id = t1.user_id
+           WHERE k.event_type = 'view' AND k.k > t1.k1 GROUP BY 1),
+    t3 AS (SELECT k.user_id, MIN(k.k) AS k3
+           FROM keyed k JOIN t2 ON k.user_id = t2.user_id
+           WHERE k.event_type = 'purchase' AND k.k > t2.k2 GROUP BY 1),
+    nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n
+           FROM events)
+    SELECT (SELECT n FROM nu) AS n_users,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM t1) AS step1_signup,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM t2) AS step2_view_after,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM t3)
+               AS step3_purchase_after
+    """,
+    doc="Three-step STRICTLY-ORDERED funnel (signup -> later view ->"
+        " later purchase) — the general k-step form of"
+        " funnel_signup_purchase: each stage is 'first qualifying"
+        " event AFTER the previous stage's first event', computed as"
+        " a chain of min-key aggregations over the packed (ts,"
+        " event_id) total order — k-1 per-user joins on bounded"
+        " per-user aggregates, never a sequence scan, and the"
+        " strictly-after semantics (k >, not >=) is what a naive"
+        " EXISTS-per-type formulation gets wrong (it counts views"
+        " BEFORE the signup). Scale: each stage is one groupBy +"
+        " one user-keyed join — the same shuffle key throughout, so"
+        " AQE coalesces the chain into co-partitioned stages.",
+)
+def funnel_three_step_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    keyed = ev.select(
+        "user_id", "event_type",
+        (
+            F.unix_millis(F.col("ts").cast("timestamp"))
+            * F.lit(1000000) + F.col("event_id")
+        ).alias("k"),
+    )
+    t1 = keyed.filter(F.col("event_type") == "signup").groupBy(
+        "user_id"
+    ).agg(F.min("k").alias("k1"))
+    t2 = (
+        keyed.filter(F.col("event_type") == "view")
+        .join(t1, "user_id")
+        .filter(F.col("k") > F.col("k1"))
+        .groupBy("user_id")
+        .agg(F.min("k").alias("k2"))
+    )
+    t3 = (
+        keyed.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("k") > F.col("k2"))
+        .groupBy("user_id")
+        .agg(F.min("k").alias("k3"))
+    )
+    nu = ev.agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    c1 = t1.agg(F.count("*").cast("long").alias("step1_signup"))
+    c2 = t2.agg(F.count("*").cast("long").alias("step2_view_after"))
+    c3 = t3.agg(F.count("*").cast("long").alias("step3_purchase_after"))
+    return (
+        nu.crossJoin(F.broadcast(c1))
+        .crossJoin(F.broadcast(c2))
+        .crossJoin(F.broadcast(c3))
+    )
