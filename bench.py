@@ -352,6 +352,9 @@ NEW_QUERIES_R07 = [
     "sliding_window_distinct_users",
     "jackknife_ratio_variance",
     "funnel_three_step_ordered",
+    "heaps_law_fit",
+    "ivm_delta_aggregate",
+    "seasonality_strength",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

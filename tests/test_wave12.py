@@ -620,3 +620,38 @@ def test_funnel_three_step_monotone(spark, sf_dir):
     out = Q.funnel_three_step_ordered(spark, sf_dir).collect()[0]
     assert (out.n_users >= out.step1_signup
             >= out.step2_view_after >= out.step3_purchase_after > 0)
+
+
+def test_heaps_curve_monotone_and_beta_sane(spark, sf_dir):
+    rows = sorted(Q.heaps_law_fit(spark, sf_dir).collect(),
+                  key=lambda r: r.batch)
+    assert len(rows) == 10
+    toks = [r.cum_tokens for r in rows]
+    vocab = [r.cum_vocab for r in rows]
+    assert toks == sorted(toks) and vocab == sorted(vocab)
+    assert vocab[-1] <= toks[-1]
+    betas = {r.heaps_beta for r in rows}
+    assert len(betas) == 1
+    assert 0.0 < rows[0].heaps_beta < 1.5
+
+
+def test_ivm_maintain_equals_recompute(spark, sf_dir):
+    got = {r.l_returnflag: (r.n_rows, r.sum_qty)
+           for r in Q.ivm_delta_aggregate(spark, sf_dir).collect()}
+    li = Q._t(spark, sf_dir, "lineitem")
+    final = li.filter(
+        ((F.col("l_linenumber") <= 4) & ~(F.col("l_quantity") < 5))
+        | (F.col("l_linenumber") > 4))
+    want = {r.l_returnflag: (r.n, float(r.q))
+            for r in final.groupBy("l_returnflag").agg(
+                F.count("*").alias("n"),
+                F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")), 4)
+                .cast("double").alias("q")).collect()}
+    assert got == want
+
+
+def test_seasonality_strength_bounds(spark, sf_dir):
+    out = Q.seasonality_strength(spark, sf_dir).collect()[0]
+    assert out.n_days_used > 0
+    assert 0.0 <= out.seasonal_strength <= 1.0
+    assert out.var_residual <= out.var_detrended + 1e-9

@@ -242,6 +242,9 @@ SMOKE = [
     "sliding_window_distinct_users",
     "jackknife_ratio_variance",
     "funnel_three_step_ordered",
+    "heaps_law_fit",
+    "ivm_delta_aggregate",
+    "seasonality_strength",
 ]
 
 

@@ -17464,3 +17464,316 @@ def funnel_three_step_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(c2))
         .crossJoin(F.broadcast(c3))
     )
+
+
+@_register(
+    "heaps_law_fit",
+    oracle="""
+    WITH tk AS (
+        SELECT doc_id % 10 AS batch,
+               string_split_regex(lower(text), '\\s+') AS t
+        FROM documents
+    ),
+    toks AS (
+        SELECT batch,
+               unnest(list_transform(
+                   range(1, greatest(len(t) - 2, 0) + 1),
+                   i -> array_to_string(t[i:i+2], ' '))) AS term
+        FROM tk
+    ),
+    per_batch AS (
+        SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_tokens
+        FROM toks GROUP BY 1
+    ),
+    first_seen AS (
+        SELECT term, MIN(batch) AS batch FROM toks GROUP BY 1
+    ),
+    new_vocab AS (
+        SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_new
+        FROM first_seen GROUP BY 1
+    ),
+    cum AS (
+        SELECT p.batch,
+               CAST(SUM(p.n_tokens) OVER (ORDER BY p.batch
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+               CAST(SUM(COALESCE(v.n_new, 0)) OVER (ORDER BY p.batch
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+        FROM per_batch p LEFT JOIN new_vocab v ON v.batch = p.batch
+    ),
+    pts AS (
+        SELECT batch, cum_tokens, cum_vocab,
+               ROUND(ln(CAST(cum_tokens AS DOUBLE)), 6) AS lx,
+               ROUND(ln(CAST(cum_vocab AS DOUBLE)), 6) AS ly
+        FROM cum
+    ),
+    fit AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(lx AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(ly AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(ROUND(lx * ly, 6) AS DECIMAL(18,6)))
+                    AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(ROUND(lx * lx, 6) AS DECIMAL(18,6)))
+                    AS DOUBLE) AS sx2
+        FROM pts
+    )
+    SELECT CAST(p.batch AS BIGINT) AS batch, p.cum_tokens, p.cum_vocab,
+           ROUND((f.n * f.sxy - f.sx * f.sy)
+                 / (f.n * f.sx2 - f.sx * f.sx), 6) AS heaps_beta
+    FROM pts p, fit f
+    """,
+    doc="Heaps'-law vocabulary-growth fit — the corpus-composition"
+        " diagnostic behind tokenizer sizing and dedup effectiveness"
+        " (vocab ~ K * tokens^beta over word-3-gram SHINGLE types — the"
+        " synthetic corpus has a closed unigram vocabulary, so the"
+        " shingle space is where growth lives; beta far above ~0.5 flags"
+        " unbounded junk vocabulary, beta collapsing toward 0 flags"
+        " heavy duplication): documents stream in as 10 deterministic"
+        " batches, per-batch token counts and FIRST-OCCURRENCE vocab"
+        " counts (the min-batch identity — the same trick as"
+        " running_distinct_users, on terms) cumulate over the 10-row"
+        " batch relation, and beta is the log-log OLS slope from"
+        " rounded-log decimal sums. Output: the growth curve plus the"
+        " fitted exponent on every row. Scale: one explode + two"
+        " aggregations (term-keyed, batch-keyed); the fit is O(10).",
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    tk = S.spread(docs, ("doc_id",)).select(
+        (F.col("doc_id") % 10).alias("batch"),
+        dedup.tokens_expr("text").alias("_toks"),
+    )
+    sh = F.when(
+        F.size("_toks") >= 3,
+        F.expr(
+            "transform(sequence(1, size(_toks) - 2),"
+            " i -> array_join(slice(_toks, i, 3), ' '))"
+        ),
+    ).otherwise(F.array())
+    toks = tk.select("batch", F.explode(sh).alias("term"))
+    per_batch = toks.groupBy("batch").agg(
+        F.count("*").cast("long").alias("n_tokens")
+    )
+    new_vocab = (
+        toks.groupBy("term").agg(F.min("batch").alias("batch"))
+        .groupBy("batch").agg(F.count("*").cast("long").alias("n_new"))
+    )
+    w = W.partitionBy().orderBy("batch").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = (
+        per_batch.join(new_vocab, "batch", "left")
+        .select(
+            "batch",
+            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+            F.sum(F.coalesce("n_new", F.lit(0))).over(w).cast("long")
+            .alias("cum_vocab"),
+        )
+    )
+    pts = cum.select(
+        "batch", "cum_tokens", "cum_vocab",
+        F.round(F.log(F.col("cum_tokens").cast("double")), 6).alias("lx"),
+        F.round(F.log(F.col("cum_vocab").cast("double")), 6).alias("ly"),
+    )
+    dec = "decimal(18,6)"
+    fit = pts.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("lx").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("ly").cast(dec)).cast("double").alias("sy"),
+        F.sum(F.round(F.col("lx") * F.col("ly"), 6).cast(dec))
+        .cast("double").alias("sxy"),
+        F.sum(F.round(F.col("lx") * F.col("lx"), 6).cast(dec))
+        .cast("double").alias("sx2"),
+    )
+    return pts.crossJoin(F.broadcast(fit)).select(
+        F.col("batch").cast("long").alias("batch"),
+        "cum_tokens", "cum_vocab",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")), 6
+        ).alias("heaps_beta"),
+    )
+
+
+@_register(
+    "ivm_delta_aggregate",
+    oracle="""
+    WITH final_state AS (
+        SELECT * FROM lineitem
+        WHERE (l_linenumber <= 4 AND NOT l_quantity < 5)
+           OR l_linenumber > 4
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,6))), 4)
+                AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty
+    FROM final_state GROUP BY 1
+    """,
+    doc="Incremental view maintenance under inserts AND deletes — the"
+        " signed-delta aggregate update that keeps a rollup fresh"
+        " without recomputing (incremental_rollup_maintain handles"
+        " append-only; real CDC feeds also retract): base state ="
+        " lineitem with linenumber <= 4 aggregated per returnflag;"
+        " the delta feed inserts the linenumber > 4 rows and DELETES"
+        " the low-quantity base rows, each delta carrying sign ±1 so"
+        " one aggregation produces per-group (Σ sign, Σ sign*qty);"
+        " maintained = base ⊕ delta via a full-outer merge with"
+        " coalesced sums. The ORACLE states the final relation"
+        " directly — recompute vs maintain must agree exactly, which"
+        " is the IVM correctness contract (COUNT and decimal SUM are"
+        " self-maintainable; MIN/MAX under deletes are not — the"
+        " documented boundary). Scale: base is maintained state (no"
+        " rescan at update time); the delta aggregation is"
+        " batch-sized.",
+)
+def ivm_delta_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    dec = "decimal(18,6)"
+    base = li.filter(F.col("l_linenumber") <= 4).groupBy(
+        "l_returnflag"
+    ).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast(dec)).alias("sum_qty"),
+    )
+    inserts = li.filter(F.col("l_linenumber") > 4).select(
+        "l_returnflag", "l_quantity", F.lit(1).alias("sign")
+    )
+    deletes = li.filter(
+        (F.col("l_linenumber") <= 4) & (F.col("l_quantity") < 5)
+    ).select("l_returnflag", "l_quantity", F.lit(-1).alias("sign"))
+    delta = inserts.unionByName(deletes).groupBy("l_returnflag").agg(
+        F.sum("sign").cast("long").alias("d_rows"),
+        F.sum(F.col("sign") * F.col("l_quantity").cast(dec))
+        .alias("d_qty"),
+    )
+    merged = base.join(delta, "l_returnflag", "full_outer").select(
+        "l_returnflag",
+        (F.coalesce("n_rows", F.lit(0))
+         + F.coalesce("d_rows", F.lit(0))).cast("long").alias("n_rows"),
+        (F.coalesce(F.col("sum_qty"), F.lit(0).cast(dec))
+         + F.coalesce(F.col("d_qty"), F.lit(0).cast(dec)))
+        .alias("q"),
+    )
+    return merged.select(
+        "l_returnflag", "n_rows",
+        F.round(F.col("q"), 4).cast("decimal(18,4)").cast("double")
+        .alias("sum_qty"),
+    )
+
+
+@_register(
+    "seasonality_strength",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               SUM(CAST(value AS DECIMAL(38,4))) AS s,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    d AS (
+        SELECT day, CAST(s AS DOUBLE) / c AS x,
+               ROW_NUMBER() OVER (ORDER BY day) AS i,
+               COUNT(*) OVER () AS nd,
+               dayofweek(day) AS dow
+        FROM daily
+    ),
+    tr AS (
+        SELECT day, x, i, nd, dow,
+               AVG(x) OVER (ORDER BY i ROWS BETWEEN 3 PRECEDING
+                            AND 3 FOLLOWING) AS trend,
+               COUNT(*) OVER (ORDER BY i ROWS BETWEEN 3 PRECEDING
+                              AND 3 FOLLOWING) AS wn
+        FROM d
+    ),
+    det AS (
+        SELECT dow, x - trend AS dt FROM tr WHERE wn = 7
+    ),
+    seas AS (
+        SELECT dow, AVG(dt) AS sdow FROM det GROUP BY 1
+    ),
+    parts AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(d.dt, 6) AS DECIMAL(18,6)))
+                    AS DOUBLE) AS sd,
+               CAST(SUM(CAST(ROUND(d.dt * d.dt, 6) AS DECIMAL(18,6)))
+                    AS DOUBLE) AS sd2,
+               CAST(SUM(CAST(ROUND(d.dt - s.sdow, 6) AS DECIMAL(18,6)))
+                    AS DOUBLE) AS sr,
+               CAST(SUM(CAST(ROUND((d.dt - s.sdow) * (d.dt - s.sdow), 6)
+                    AS DECIMAL(18,6))) AS DOUBLE) AS sr2
+        FROM det d JOIN seas s ON s.dow = d.dow
+    )
+    SELECT n AS n_days_used,
+           ROUND((sd2 - sd * sd / n) / n, 6) AS var_detrended,
+           ROUND((sr2 - sr * sr / n) / n, 6) AS var_residual,
+           ROUND(GREATEST(0.0,
+                 1.0 - ((sr2 - sr * sr / n) / n)
+                     / ((sd2 - sd * sd / n) / n)), 6)
+               AS seasonal_strength
+    FROM parts
+    """,
+    doc="Weekly seasonality STRENGTH (the STL-style F_s = max(0,"
+        " 1 - var(remainder)/var(detrended)) of Wang-Smith-Hyndman)"
+        " — the scalar that says whether day-of-week structure is"
+        " worth modeling at all, upstream of holt/MASE/anomaly"
+        " thresholds: trend = centered 7-day moving average (full"
+        " windows only), seasonal component = per-DOW mean of the"
+        " detrended series, and both variances come from decimal-"
+        "rounded term sums over the days-sized relation. dayofweek"
+        " uses the engine-agnostic 1=Sunday convention both engines"
+        " share. Scale: one scan + O(days) windows over the daily"
+        " aggregate.",
+)
+def seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        F.to_date(F.col("ts").cast("timestamp")).alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(38,4)")).alias("s"),
+        F.count("*").cast("long").alias("c"),
+    )
+    d = daily.select(
+        "day",
+        (F.col("s").cast("double") / F.col("c")).alias("x"),
+        F.row_number().over(W.partitionBy().orderBy("day")).alias("i"),
+        F.dayofweek("day").alias("dow"),
+    )
+    wtr = W.partitionBy().orderBy("i").rowsBetween(-3, 3)
+    tr = d.select(
+        "dow", "x",
+        F.avg("x").over(wtr).alias("trend"),
+        F.count("*").over(wtr).alias("wn"),
+    )
+    det = tr.filter(F.col("wn") == 7).select(
+        "dow", (F.col("x") - F.col("trend")).alias("dt")
+    )
+    seas = det.groupBy("dow").agg(F.avg("dt").alias("sdow"))
+    dec = "decimal(18,6)"
+    joined = det.join(F.broadcast(seas), "dow")
+    parts = joined.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.round(F.col("dt"), 6).cast(dec)).cast("double")
+        .alias("sd"),
+        F.sum(F.round(F.col("dt") * F.col("dt"), 6).cast(dec))
+        .cast("double").alias("sd2"),
+        F.sum(F.round(F.col("dt") - F.col("sdow"), 6).cast(dec))
+        .cast("double").alias("sr"),
+        F.sum(
+            F.round(
+                (F.col("dt") - F.col("sdow"))
+                * (F.col("dt") - F.col("sdow")), 6
+            ).cast(dec)
+        ).cast("double").alias("sr2"),
+    )
+    vd = (F.col("sd2") - F.col("sd") * F.col("sd") / F.col("n")) / F.col("n")
+    vr = (F.col("sr2") - F.col("sr") * F.col("sr") / F.col("n")) / F.col("n")
+    return parts.select(
+        F.col("n").alias("n_days_used"),
+        F.round(vd, 6).alias("var_detrended"),
+        F.round(vr, 6).alias("var_residual"),
+        F.round(F.greatest(F.lit(0.0), 1.0 - vr / vd), 6)
+        .alias("seasonal_strength"),
+    )
