@@ -355,6 +355,9 @@ NEW_QUERIES_R07 = [
     "heaps_law_fit",
     "ivm_delta_aggregate",
     "seasonality_strength",
+    "table_checksum_portable",
+    "weighted_median_exact",
+    "diff_in_diff_estimator",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

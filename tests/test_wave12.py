@@ -655,3 +655,54 @@ def test_seasonality_strength_bounds(spark, sf_dir):
     assert out.n_days_used > 0
     assert 0.0 <= out.seasonal_strength <= 1.0
     assert out.var_residual <= out.var_detrended + 1e-9
+
+
+def test_table_checksum_detects_mutation(spark, sf_dir):
+    base = Q.table_checksum_portable(spark, sf_dir).collect()[0]
+    orders = Q._t(spark, sf_dir, "orders")
+    p = 999999937
+    h = (
+        F.col("o_orderkey").cast("long") * 2654435761
+        + F.col("o_custkey").cast("long") * 40503
+        + F.round(F.col("o_totalprice") * 100).cast("long") * 69621
+        + F.length("o_orderstatus").cast("long") * 16807
+        + F.length("o_orderpriority").cast("long")
+    ) % p
+    # mutate ONE row's price by a cent: digest must move
+    mut = orders.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") == 7, F.col("o_totalprice") + 0.01)
+        .otherwise(F.col("o_totalprice")),
+    ).select(h.alias("h"))
+    got = mut.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        (F.sum("h") % p).cast("long").alias("s"),
+        (F.sum(F.col("h") * F.col("h") % p) % p).cast("long").alias("q"),
+    ).collect()[0]
+    assert got.n_rows == base.n_rows
+    assert (got.s, got.q) != (base.checksum_sum, base.checksum_sq)
+
+
+def test_weighted_median_hand_checked(spark):
+    # values 1..4 with weights 1,1,5,1: total 8, half 4 ->
+    # cumulative hits 4 at value 3 (cw=2 at v2, 7 at v3)
+    rows = [Row(event_type="x", value=float(v), user_id=0, event_id=i,
+                w=w) for i, (v, w) in enumerate([(1, 1), (2, 1), (3, 5),
+                                                 (4, 1)])]
+    df = spark.createDataFrame(rows)
+    from pyspark.sql import Window as W
+    wcum = (W.partitionBy("event_type").orderBy("value", "event_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    r = df.select(
+        "event_type", "value",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(W.partitionBy("event_type")).alias("tw"))
+    pick = r.filter(F.col("cw") * 2 >= F.col("tw")).orderBy("cw").limit(1)
+    assert pick.collect()[0].value == 3.0
+
+
+def test_did_estimator_identity(spark, sf_dir):
+    out = Q.diff_in_diff_estimator(spark, sf_dir).collect()[0]
+    assert abs(out.did_estimate
+               - (out.treat_delta - out.control_delta)) < 2e-6
+    assert out.n_total > 0

@@ -245,6 +245,9 @@ SMOKE = [
     "heaps_law_fit",
     "ivm_delta_aggregate",
     "seasonality_strength",
+    "table_checksum_portable",
+    "weighted_median_exact",
+    "diff_in_diff_estimator",
 ]
 
 

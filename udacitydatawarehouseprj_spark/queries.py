@@ -17777,3 +17777,229 @@ def seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.greatest(F.lit(0.0), 1.0 - vr / vd), 6)
         .alias("seasonal_strength"),
     )
+
+
+@_register(
+    "table_checksum_portable",
+    oracle="""
+    WITH rows_h AS (
+        SELECT ((CAST(o_orderkey AS BIGINT) * 2654435761
+                 + CAST(o_custkey AS BIGINT) * 40503
+                 + CAST(ROUND(o_totalprice * 100) AS BIGINT) * 69621
+                 + length(o_orderstatus) * 16807
+                 + length(o_orderpriority)) % 999999937) AS h
+        FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(h) % 999999937 AS BIGINT) AS checksum_sum,
+           CAST(SUM(h * h % 999999937) % 999999937 AS BIGINT)
+               AS checksum_sq
+    FROM rows_h
+    """,
+    doc="ORDER-INDEPENDENT portable table checksum — the cross-system"
+        " data-integrity handshake (did the copy/migration/CDC replay"
+        " land every row, unchanged?): each row folds its key columns"
+        " into a portable integer hash (multiplicative constants mod"
+        " a prime — engine-agnostic by construction, unlike xxhash64"
+        " whose seed/impl is engine-specific), and the table digest"
+        " is the SUM (and sum-of-squares, which catches swapped"
+        " column values that a plain sum's commutativity would miss)"
+        " of row hashes mod p — commutative, so ANY partitioning,"
+        " ordering, or parallelism produces the identical digest;"
+        " that commutativity is exactly what makes it computable as"
+        " one map-side-combining aggregation at 100 TB. Two tables"
+        " agree iff (n, sum, sumsq) agree — a 24-byte comparison"
+        " replacing a row-level diff.",
+)
+def table_checksum_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    p = 999999937
+    h = (
+        F.col("o_orderkey").cast("long") * 2654435761
+        + F.col("o_custkey").cast("long") * 40503
+        + F.round(F.col("o_totalprice") * 100).cast("long") * 69621
+        + F.length("o_orderstatus").cast("long") * 16807
+        + F.length("o_orderpriority").cast("long")
+    ) % p
+    rows_h = orders.select(h.alias("h"))
+    return rows_h.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        (F.sum("h") % p).cast("long").alias("checksum_sum"),
+        (F.sum(F.col("h") * F.col("h") % p) % p).cast("long")
+        .alias("checksum_sq"),
+    )
+
+
+@_register(
+    "weighted_median_exact",
+    oracle="""
+    WITH wv AS (
+        SELECT event_type, value,
+               CAST(1 + user_id % 3 AS BIGINT) AS w,
+               event_id
+        FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+        SELECT event_type, value, w,
+               SUM(w) OVER (PARTITION BY event_type
+                            ORDER BY value, event_id
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(w) OVER (PARTITION BY event_type) AS tw
+        FROM wv
+    ),
+    pick AS (
+        SELECT event_type, value, tw,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY cw) AS rn
+        FROM r WHERE cw * 2 >= tw
+    )
+    SELECT event_type,
+           CAST(tw AS BIGINT) AS total_weight,
+           ROUND(value, 6) AS weighted_median
+    FROM pick WHERE rn = 1
+    """,
+    doc="EXACT weighted median per group — the robust center for"
+        " importance-weighted data (sample weights, inverse-"
+        "propensity, upsampled sources) where percentile_approx"
+        " cannot honor weights and a plain median ignores them: the"
+        " lowest value whose cumulative weight reaches half the"
+        " group total, with the (value, event_id) total order"
+        " pinning ties. The cumulative weight is a per-GROUP window"
+        " (bounded partitions — event types, never a global sort);"
+        " groups with 100 TB of rows would swap the inner window for"
+        " the blocked_prefix_sum machinery per group, same"
+        " semantics. Weights are synthesized 1..3 from the user key"
+        " so every branch (boundary hit, mid-run pick) occurs."
+        " Integer weights, one rounded output value.",
+)
+def weighted_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    wv = ev.select(
+        "event_type", "value", "event_id",
+        (1 + F.col("user_id") % 3).cast("long").alias("w"),
+    )
+    wcum = (
+        W.partitionBy("event_type")
+        .orderBy("value", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    r = wv.select(
+        "event_type", "value",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(W.partitionBy("event_type")).alias("tw"),
+    )
+    pick = r.filter(F.col("cw") * 2 >= F.col("tw")).withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy("cw")
+        ),
+    )
+    return pick.filter(F.col("rn") == 1).select(
+        "event_type",
+        F.col("tw").cast("long").alias("total_weight"),
+        F.round("value", 6).alias("weighted_median"),
+    )
+
+
+@_register(
+    "diff_in_diff_estimator",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(MIN(CAST(ts AS DATE)) AS DATE) AS d0,
+               CAST(MAX(CAST(ts AS DATE)) AS DATE) AS d1
+        FROM events
+    ),
+    lab AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'T' ELSE 'C' END AS grp,
+               CASE WHEN CAST(ts AS DATE)
+                         <= bounds.d0 + CAST((bounds.d1 - bounds.d0) / 2
+                                             AS INTEGER)
+                    THEN 'pre' ELSE 'post' END AS period,
+               CAST(value AS DECIMAL(38,4)) AS v
+        FROM events, bounds WHERE value IS NOT NULL
+    ),
+    cell AS (
+        SELECT grp, period,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS DOUBLE) AS s
+        FROM lab GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT
+            MAX(CASE WHEN grp = 'T' AND period = 'pre'
+                     THEN s / n END) AS t_pre,
+            MAX(CASE WHEN grp = 'T' AND period = 'post'
+                     THEN s / n END) AS t_post,
+            MAX(CASE WHEN grp = 'C' AND period = 'pre'
+                     THEN s / n END) AS c_pre,
+            MAX(CASE WHEN grp = 'C' AND period = 'post'
+                     THEN s / n END) AS c_post,
+            CAST(SUM(n) AS BIGINT) AS n_total
+        FROM cell
+    )
+    SELECT n_total,
+           ROUND(t_post - t_pre, 6) AS treat_delta,
+           ROUND(c_post - c_pre, 6) AS control_delta,
+           ROUND((t_post - t_pre) - (c_post - c_pre), 6) AS did_estimate
+    FROM m
+    """,
+    doc="Difference-in-differences estimator — the quasi-experimental"
+        " workhorse when randomization is impossible (feature rollouts"
+        " by cohort, policy changes): treatment = even user hash,"
+        " periods split at the calendar midpoint (both derived"
+        " deterministically from the data, the watermark-scalar"
+        " pattern), and DiD = (T_post - T_pre) - (C_post - C_pre)"
+        " cancels both group-level and time-level confounds under"
+        " parallel trends. One conditional aggregation to the 2x2"
+        " cell table (exact decimal sums), closed-form arithmetic"
+        " after. Complements ab_test_two_proportion (randomized"
+        " binary) and welch_t_test (randomized continuous) with the"
+        " OBSERVATIONAL design. Scale: one scan, O(1) after.",
+)
+def diff_in_diff_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bounds = _t(spark, sf_dir, "events").agg(
+        F.min(F.to_date(F.col("ts").cast("timestamp"))).alias("d0"),
+        F.max(F.to_date(F.col("ts").cast("timestamp"))).alias("d1"),
+    )
+    lab = ev.crossJoin(F.broadcast(bounds)).select(
+        F.when(F.col("user_id") % 2 == 0, "T").otherwise("C").alias("grp"),
+        F.when(
+            F.to_date(F.col("ts").cast("timestamp"))
+            <= F.expr(
+                "date_add(d0, CAST(datediff(d1, d0) / 2 AS INT))"
+            ),
+            "pre",
+        ).otherwise("post").alias("period"),
+        F.col("value").cast("decimal(38,4)").alias("v"),
+    )
+    cell = lab.groupBy("grp", "period").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("double").alias("s"),
+    )
+    def _m(g, p):
+        return F.max(
+            F.when(
+                (F.col("grp") == g) & (F.col("period") == p),
+                F.col("s") / F.col("n"),
+            )
+        )
+    m = cell.agg(
+        _m("T", "pre").alias("t_pre"),
+        _m("T", "post").alias("t_post"),
+        _m("C", "pre").alias("c_pre"),
+        _m("C", "post").alias("c_post"),
+        F.sum("n").cast("long").alias("n_total"),
+    )
+    return m.select(
+        "n_total",
+        F.round(F.col("t_post") - F.col("t_pre"), 6).alias("treat_delta"),
+        F.round(F.col("c_post") - F.col("c_pre"), 6)
+        .alias("control_delta"),
+        F.round(
+            (F.col("t_post") - F.col("t_pre"))
+            - (F.col("c_post") - F.col("c_pre")), 6
+        ).alias("did_estimate"),
+    )
