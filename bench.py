@@ -358,6 +358,8 @@ NEW_QUERIES_R07 = [
     "table_checksum_portable",
     "weighted_median_exact",
     "diff_in_diff_estimator",
+    "negative_sampling_unigram",
+    "ablation_nested_subsets",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

@@ -706,3 +706,31 @@ def test_did_estimator_identity(spark, sf_dir):
     assert abs(out.did_estimate
                - (out.treat_delta - out.control_delta)) < 2e-6
     assert out.n_total > 0
+
+
+def test_negative_sampling_tracks_target(spark, sf_dir):
+    rows = Q.negative_sampling_unigram(spark, sf_dir).collect()
+    total = sum(r.n_sampled for r in rows)
+    n_docs = Q._t(spark, sf_dir, "documents").count()
+    assert total == 3 * n_docs  # every (doc, j) draw lands exactly once
+    # sampled shares track target fractions within sampling noise
+    for r in rows:
+        got = r.n_sampled / total
+        assert abs(got - r.target_frac) < 0.05
+
+
+def test_ablation_subsets_strictly_nested(spark, sf_dir):
+    rows = sorted(Q.ablation_nested_subsets(spark, sf_dir).collect(),
+                  key=lambda r: r.pct)
+    docs = [r.n_docs for r in rows]
+    chars = [r.n_chars for r in rows]
+    assert docs == sorted(docs) and chars == sorted(chars)
+    total = Q._t(spark, sf_dir, "documents").count()
+    assert rows[-1].n_docs == total  # pct=100 is the full corpus
+    # nesting: recompute membership and verify subset property directly
+    h = Q._t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((F.col("doc_id") * 2654435761) % 999999937 % 100).alias("b"))
+    s10 = {r.doc_id for r in h.filter(F.col("b") < 10).collect()}
+    s25 = {r.doc_id for r in h.filter(F.col("b") < 25).collect()}
+    assert s10 <= s25

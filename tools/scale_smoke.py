@@ -248,6 +248,8 @@ SMOKE = [
     "table_checksum_portable",
     "weighted_median_exact",
     "diff_in_diff_estimator",
+    "negative_sampling_unigram",
+    "ablation_nested_subsets",
 ]
 
 

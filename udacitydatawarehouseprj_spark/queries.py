@@ -18003,3 +18003,179 @@ def diff_in_diff_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("c_post") - F.col("c_pre")), 6
         ).alias("did_estimate"),
     )
+
+
+@_register(
+    "negative_sampling_unigram",
+    oracle="""
+    WITH tf AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT unnest(string_split_regex(lower(text), '\\s+')) AS term
+            FROM documents
+        ) GROUP BY 1
+    ),
+    w AS (
+        SELECT term, c,
+               CAST(ROUND(power(CAST(c AS DOUBLE), 0.75) * 1000000)
+                    AS BIGINT) AS wi
+        FROM tf
+    ),
+    cum AS (
+        SELECT term, c, wi,
+               SUM(wi) OVER (ORDER BY term
+                             ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(wi) OVER () AS tw
+        FROM w
+    ),
+    draws AS (
+        SELECT doc_id, j,
+               ((doc_id * 2654435761 + j * 40503) % 999999937) * 48271
+                   % 999999937 AS r
+        FROM documents, UNNEST([1, 2, 3]) AS t(j)
+    ),
+    picked AS (
+        SELECT d.doc_id, d.j, MIN(c.cw) AS cw_pick
+        FROM draws d JOIN cum c
+          ON c.cw * 999999937 > d.r * c.tw
+        GROUP BY 1, 2
+    ),
+    named AS (
+        SELECT p.doc_id, c.term
+        FROM picked p JOIN cum c ON c.cw = p.cw_pick
+    ),
+    dist AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS n_sampled
+        FROM named GROUP BY 1
+    )
+    SELECT c.term, COALESCE(d.n_sampled, 0) AS n_sampled,
+           ROUND(CAST(c.wi AS DOUBLE) / c.tw, 6) AS target_frac
+    FROM cum c LEFT JOIN dist d ON d.term = c.term
+    """,
+    doc="Unigram^0.75 negative sampling (the word2vec/contrastive-"
+        "training noise distribution, Mikolov et al. 2013): term"
+        " weights c^0.75 (micro-scaled to exact integers) cumulate"
+        " into an inverse-CDF table over the vocabulary, and each"
+        " (doc, j) draw from the portable seeded hash chain picks the"
+        " first term whose cumulative weight clears u — the"
+        " arithmetic is ALL integer cross-multiplication (cw * p >"
+        " r * tw avoids any float division), so both engines pick"
+        " bit-identical samples and the full sampled distribution"
+        " sits under the hash gate next to its target fractions."
+        " The CDF table is vocabulary-sized (broadcast); draws"
+        " never shuffle — at 100 TB this is a map-side join against"
+        " a dictionary, the textbook distributed sampler shape.",
+)
+def negative_sampling_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    p = 999999937
+    tf = (
+        S.spread(docs, ("doc_id",))
+        .select(F.explode(dedup.tokens_expr("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w = tf.select(
+        "term", "c",
+        F.round(F.pow(F.col("c").cast("double"), 0.75) * 1000000)
+        .cast("long").alias("wi"),
+    )
+    cum = w.select(
+        "term", "c", "wi",
+        F.sum("wi").over(
+            W.partitionBy().orderBy("term")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("cw"),
+        F.sum("wi").over(W.partitionBy()).alias("tw"),
+    )
+    cum = S.track_cache(cum)
+    draws = docs.select("doc_id").crossJoin(
+        F.broadcast(
+            docs.sparkSession.range(1, 4).select(F.col("id").alias("j"))
+        )
+    ).select(
+        "doc_id", "j",
+        (
+            ((F.col("doc_id") * 2654435761 + F.col("j") * 40503) % p)
+            * 48271 % p
+        ).alias("r"),
+    )
+    # the cross-multiplication cw*p vs r*tw exceeds int64 once corpus
+    # term counts grow (tw ~ 1e11 at sf1); decimal(38,0) keeps the
+    # comparison exact (DuckDB auto-promotes to HUGEINT — same values)
+    d38 = "decimal(38,0)"
+    picked = (
+        draws.join(
+            F.broadcast(cum),
+            F.col("cw").cast(d38) * p
+            > F.col("r").cast(d38) * F.col("tw").cast(d38),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.min("cw").alias("cw_pick"))
+    )
+    named = picked.join(
+        F.broadcast(cum.select(F.col("cw").alias("cw_pick"), "term")),
+        "cw_pick",
+    )
+    dist = named.groupBy("term").agg(
+        F.count("*").cast("long").alias("n_sampled")
+    )
+    return (
+        cum.join(dist, "term", "left")
+        .select(
+            "term",
+            F.coalesce("n_sampled", F.lit(0)).cast("long")
+            .alias("n_sampled"),
+            F.round(F.col("wi").cast("double") / F.col("tw"), 6)
+            .alias("target_frac"),
+        )
+    )
+
+
+@_register(
+    "ablation_nested_subsets",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, n_chars,
+               (doc_id * 2654435761 % 999999937) % 100 AS bucket
+        FROM documents
+    ),
+    fr AS (SELECT UNNEST([10, 25, 50, 75, 100]) AS pct)
+    SELECT CAST(fr.pct AS BIGINT) AS pct,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(h.n_chars) AS BIGINT) AS n_chars
+    FROM fr JOIN h ON h.bucket * 100 < fr.pct * 100
+    GROUP BY 1
+    """,
+    doc="NESTED data-ablation subsets (10/25/50/75/100%) — the"
+        " scaling-law manifest: each smaller fraction is a strict"
+        " SUBSET of every larger one because membership is a single"
+        " hash-bucket threshold per document (bucket < pct), which is"
+        " the property that makes ablation runs comparable (a random"
+        " re-draw per fraction confounds data identity with data"
+        " quantity). The portable hash keys the bucket, so both"
+        " engines and every re-run agree on membership; output is"
+        " per-fraction document and character mass, the numbers a"
+        " token-budget planner needs. Scale: ONE scan joined to a"
+        " 5-row fraction grid — membership fan-out is a bounded 5x"
+        " on ids only, the fact data never replicates.",
+)
+def ablation_nested_subsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id", "n_chars",
+        ((F.col("doc_id") * 2654435761) % 999999937 % 100).alias("bucket"),
+    )
+    fr = spark.createDataFrame(
+        [(10,), (25,), (50,), (75,), (100,)], "pct long"
+    )
+    return (
+        h.crossJoin(F.broadcast(fr))
+        .filter(F.col("bucket") * 100 < F.col("pct") * 100)
+        .groupBy("pct")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )
