@@ -796,3 +796,38 @@ def test_hard_negative_pair_stream_never_shuffles(spark, sf_dir):
     # pair production + label filters: broadcast joins only
     assert "BroadcastNestedLoopJoin" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_sliding_mau_grid_is_broadcast(spark, sf_dir):
+    """The 7-day window fan-out joins (user, day) pairs to the
+    calendar-sized days grid — that grid must broadcast; a shuffled
+    range join here would move the pair relation once per report
+    day."""
+    plan = plan_of(spark, sf_dir, "sliding_window_distinct_users")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_negative_sampling_cdf_join_broadcast(spark, sf_dir):
+    """The inverse-CDF pick joins every draw against the
+    vocabulary-sized cumulative table — map-side broadcast, never a
+    shuffle of the draw stream."""
+    plan = plan_of(spark, sf_dir, "negative_sampling_unigram")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_chi_square_windows_over_aggregate_only(spark, sf_dir):
+    """The contingency windows must sit ABOVE the HashAggregate that
+    collapses the fact table to 15 cells — a window keyed on the raw
+    scan would be the classic aggregate-then-window violation."""
+    plan = plan_of(spark, sf_dir, "chi_square_independence")
+    assert "HashAggregate" in plan and "Window" in plan
+    # the window input is the 15-cell aggregate: the plan tree renders
+    # consumers above producers, so the first Window line must come
+    # AFTER a HashAggregate line has already appeared among its inputs
+    tree = plan.splitlines()
+    first_win = next(i for i, ln in enumerate(tree) if "Window" in ln)
+    assert any("HashAggregate" in ln for ln in tree[first_win:])
+    assert "SortMergeJoin" not in plan
