@@ -360,6 +360,9 @@ NEW_QUERIES_R07 = [
     "diff_in_diff_estimator",
     "negative_sampling_unigram",
     "ablation_nested_subsets",
+    "simpsons_paradox_audit",
+    "late_dimension_backfill",
+    "scd3_previous_value",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

@@ -734,3 +734,32 @@ def test_ablation_subsets_strictly_nested(spark, sf_dir):
     s10 = {r.doc_id for r in h.filter(F.col("b") < 10).collect()}
     s25 = {r.doc_id for r in h.filter(F.col("b") < 25).collect()}
     assert s10 <= s25
+
+
+def test_simpsons_verdicts_integer_exact(spark, sf_dir):
+    rows = Q.simpsons_paradox_audit(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.reversed == (r.a_wins_segment != r.a_wins_overall)
+        assert 0.0 <= r.rate_a <= 1.0 and 0.0 <= r.rate_b <= 1.0
+
+
+def test_late_backfill_conserves_revenue(spark, sf_dir):
+    rows = Q.late_dimension_backfill(spark, sf_dir).collect()
+    orders = Q._t(spark, sf_dir, "orders")
+    total = orders.count()
+    assert sum(r.n_orders for r in rows) == total  # no fact dropped
+    # every fact whose customer is in the late third was healed; the
+    # synthetic customer table covers all custkeys so no orphans here
+    assert all(r.segment != "__orphan__" for r in rows)
+    assert sum(r.n_backfilled for r in rows) > 0
+
+
+def test_scd3_previous_only_on_changed(spark, sf_dir):
+    rows = Q.scd3_previous_value(spark, sf_dir).collect()
+    for r in rows:
+        if r.changed:
+            assert r.previous_bal is not None
+            assert abs(r.current_bal - r.previous_bal - 100.0) < 0.01
+        else:
+            assert r.previous_bal is None

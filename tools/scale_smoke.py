@@ -250,6 +250,9 @@ SMOKE = [
     "diff_in_diff_estimator",
     "negative_sampling_unigram",
     "ablation_nested_subsets",
+    "simpsons_paradox_audit",
+    "late_dimension_backfill",
+    "scd3_previous_value",
 ]
 
 

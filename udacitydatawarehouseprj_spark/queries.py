@@ -18179,3 +18179,240 @@ def ablation_nested_subsets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("n_chars"),
         )
     )
+
+
+@_register(
+    "simpsons_paradox_audit",
+    oracle="""
+    WITH lab AS (
+        SELECT event_type,
+               CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp,
+               CASE WHEN COALESCE(value, 0) >= 50 THEN 1 ELSE 0 END
+                   AS hit
+        FROM events
+    ),
+    seg AS (
+        SELECT event_type, grp,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(hit) AS BIGINT) AS h
+        FROM lab GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT event_type,
+               MAX(CASE WHEN grp = 'A' THEN n END) AS na,
+               MAX(CASE WHEN grp = 'A' THEN h END) AS ha,
+               MAX(CASE WHEN grp = 'B' THEN n END) AS nb,
+               MAX(CASE WHEN grp = 'B' THEN h END) AS hb
+        FROM seg GROUP BY 1
+    ),
+    agg AS (
+        SELECT CAST(SUM(na) AS BIGINT) AS tna,
+               CAST(SUM(ha) AS BIGINT) AS tha,
+               CAST(SUM(nb) AS BIGINT) AS tnb,
+               CAST(SUM(hb) AS BIGINT) AS thb
+        FROM wide
+    )
+    SELECT w.event_type,
+           ROUND(CAST(w.ha AS DOUBLE) / w.na, 6) AS rate_a,
+           ROUND(CAST(w.hb AS DOUBLE) / w.nb, 6) AS rate_b,
+           (CAST(w.ha AS DOUBLE) * w.nb
+            > CAST(w.hb AS DOUBLE) * w.na) AS a_wins_segment,
+           (CAST(a.tha AS DOUBLE) * a.tnb
+            > CAST(a.thb AS DOUBLE) * a.tna) AS a_wins_overall,
+           ((CAST(w.ha AS DOUBLE) * w.nb > CAST(w.hb AS DOUBLE) * w.na)
+            <> (CAST(a.tha AS DOUBLE) * a.tnb
+                > CAST(a.thb AS DOUBLE) * a.tna)) AS reversed
+    FROM wide w, agg a
+    """,
+    doc="Simpson's-paradox audit — the aggregation-safety check every"
+        " metrics platform needs: per segment (event type), does"
+        " group A's hit rate beat B's, and does the POOLED comparison"
+        " agree? A 'reversed' row is a segment whose conclusion flips"
+        " under aggregation — the signal that a pooled dashboard"
+        " number is confounded by segment mix and must be reported"
+        " stratified. All comparisons are integer cross-"
+        "multiplications (h_a * n_b > h_b * n_a — no rate division"
+        " enters a boolean), so the verdict is exact on both engines;"
+        " rates are emitted rounded for the humans. One conditional"
+        " aggregation + O(segments).",
+)
+def simpsons_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    lab = ev.select(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("grp"),
+        (F.coalesce(F.col("value"), F.lit(0.0)) >= 50).cast("int")
+        .alias("hit"),
+    )
+    seg = lab.groupBy("event_type", "grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("hit").cast("long").alias("h"),
+    )
+    wide = seg.groupBy("event_type").agg(
+        F.max(F.when(F.col("grp") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("grp") == "A", F.col("h"))).alias("ha"),
+        F.max(F.when(F.col("grp") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("grp") == "B", F.col("h"))).alias("hb"),
+    )
+    agg = wide.agg(
+        F.sum("na").cast("long").alias("tna"),
+        F.sum("ha").cast("long").alias("tha"),
+        F.sum("nb").cast("long").alias("tnb"),
+        F.sum("hb").cast("long").alias("thb"),
+    )
+    seg_wins = (
+        F.col("ha").cast("double") * F.col("nb")
+        > F.col("hb").cast("double") * F.col("na")
+    )
+    all_wins = (
+        F.col("tha").cast("double") * F.col("tnb")
+        > F.col("thb").cast("double") * F.col("tna")
+    )
+    return wide.crossJoin(F.broadcast(agg)).select(
+        "event_type",
+        F.round(F.col("ha").cast("double") / F.col("na"), 6)
+        .alias("rate_a"),
+        F.round(F.col("hb").cast("double") / F.col("nb"), 6)
+        .alias("rate_b"),
+        seg_wins.alias("a_wins_segment"),
+        all_wins.alias("a_wins_overall"),
+        (seg_wins != all_wins).alias("reversed"),
+    )
+
+
+@_register(
+    "late_dimension_backfill",
+    oracle="""
+    WITH facts AS (
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ),
+    early_dim AS (
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE c_custkey % 3 <> 0
+    ),
+    late_dim AS (
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE c_custkey % 3 = 0
+    ),
+    pass1 AS (
+        SELECT f.o_orderkey, f.o_totalprice, d.c_mktsegment
+        FROM facts f LEFT JOIN early_dim d ON d.c_custkey = f.o_custkey
+    ),
+    backfilled AS (
+        SELECT p.o_orderkey, p.o_totalprice,
+               COALESCE(p.c_mktsegment, l.c_mktsegment) AS seg,
+               (p.c_mktsegment IS NULL
+                AND l.c_mktsegment IS NOT NULL) AS was_backfilled
+        FROM pass1 p
+        LEFT JOIN (SELECT f2.o_orderkey, l2.c_mktsegment
+                   FROM facts f2 JOIN late_dim l2
+                     ON l2.c_custkey = f2.o_custkey) l
+          ON l.o_orderkey = p.o_orderkey
+    )
+    SELECT COALESCE(seg, '__orphan__') AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN was_backfilled THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_backfilled,
+           CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 4)
+                AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+    FROM backfilled GROUP BY 1
+    """,
+    doc="Late-arriving-dimension backfill — the warehouse headache the"
+        " reference's drop-and-reload sidesteps and every incremental"
+        " pipeline must solve: facts whose dimension row hasn't landed"
+        " yet enrich as NULL in pass 1 (LEFT join preserves them — an"
+        " inner join would silently DROP revenue), then a second pass"
+        " coalesces in the late-landing dimension rows, tagging which"
+        " facts were healed; anything still unmatched reports under"
+        " the explicit '__orphan__' segment so unhealed revenue stays"
+        " visible instead of vanishing. Revenue sums are exact"
+        " decimals per segment. Scale: two broadcast dim joins on the"
+        " fact relation — the pass-2 join only carries (orderkey,"
+        " late segment) pairs, never a fact rescan in the maintained-"
+        "state formulation.",
+)
+def late_dimension_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    facts = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    early = cust.filter(F.col("c_custkey") % 3 != 0).select(
+        "c_custkey", "c_mktsegment"
+    )
+    late = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", F.col("c_mktsegment").alias("late_seg")
+    )
+    pass1 = facts.join(
+        F.broadcast(early), facts["o_custkey"] == early["c_custkey"], "left"
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment")
+    heal = facts.join(
+        F.broadcast(late), facts["o_custkey"] == late["c_custkey"]
+    ).select(F.col("o_orderkey").alias("hk"), "late_seg")
+    backfilled = pass1.join(
+        heal, pass1["o_orderkey"] == heal["hk"], "left"
+    ).select(
+        "o_totalprice",
+        F.coalesce("c_mktsegment", "late_seg").alias("seg"),
+        (
+            F.col("c_mktsegment").isNull() & F.col("late_seg").isNotNull()
+        ).alias("was_backfilled"),
+    )
+    return backfilled.groupBy(
+        F.coalesce("seg", F.lit("__orphan__")).alias("segment")
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.col("was_backfilled").cast("int")).cast("long")
+        .alias("n_backfilled"),
+        _dsum(F.col("o_totalprice")).alias("revenue"),
+    )
+
+
+@_register(
+    "scd3_previous_value",
+    oracle="""
+    WITH updated AS (
+        SELECT c_custkey,
+               CAST(CAST(c_acctbal AS DECIMAL(15,2))
+                    + CAST(100.00 AS DECIMAL(5,2)) AS DOUBLE)
+                   AS new_bal
+        FROM customer WHERE c_custkey % 10 = 3
+    )
+    SELECT c.c_custkey,
+           ROUND(COALESCE(u.new_bal, c.c_acctbal), 2) AS current_bal,
+           ROUND(CASE WHEN u.c_custkey IS NOT NULL
+                      THEN c.c_acctbal END, 2) AS previous_bal,
+           (u.c_custkey IS NOT NULL) AS changed
+    FROM customer c LEFT JOIN updated u ON u.c_custkey = c.c_custkey
+    """,
+    doc="SCD Type 3 — previous-value columns, completing the slowly-"
+        "changing-dimension family (Type 1 overwrite ="
+        " merge_upsert_customers, Type 2 version rows ="
+        " scd2_dim_customers + the PIT join; Type 3 keeps LIMITED"
+        " history as a prior-value column, the right trade when only"
+        " 'before the last change' matters and version explosion is"
+        " unacceptable): the same +100 balance update feed as the"
+        " SCD2 query applies as one LEFT join — unchanged rows carry"
+        " NULL previous_bal (never a stale copy, the classic Type-3"
+        " loader bug), changed rows carry old-in-previous /"
+        " new-in-current. One broadcast join against the update"
+        " batch; the dimension never rescans.",
+)
+def scd3_previous_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    updated = cust.filter(F.col("c_custkey") % 10 == 3).select(
+        F.col("c_custkey").alias("uk"),
+        (
+            F.col("c_acctbal").cast("decimal(15,2)")
+            + F.lit(100.00).cast("decimal(5,2)")
+        ).cast("double").alias("new_bal"),
+    )
+    return cust.join(
+        F.broadcast(updated), cust["c_custkey"] == updated["uk"], "left"
+    ).select(
+        "c_custkey",
+        F.round(F.coalesce("new_bal", "c_acctbal"), 2)
+        .alias("current_bal"),
+        F.round(
+            F.when(F.col("uk").isNotNull(), F.col("c_acctbal")), 2
+        ).alias("previous_bal"),
+        F.col("uk").isNotNull().alias("changed"),
+    )
