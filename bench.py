@@ -363,6 +363,8 @@ NEW_QUERIES_R07 = [
     "simpsons_paradox_audit",
     "late_dimension_backfill",
     "scd3_previous_value",
+    "cuped_variance_reduction",
+    "message_passing_two_hop",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

@@ -763,3 +763,32 @@ def test_scd3_previous_only_on_changed(spark, sf_dir):
             assert abs(r.current_bal - r.previous_bal - 100.0) < 0.01
         else:
             assert r.previous_bal is None
+
+
+def test_cuped_reduction_bounds(spark, sf_dir):
+    out = Q.cuped_variance_reduction(spark, sf_dir).collect()[0]
+    assert out.n_users > 0
+    assert out.var_y > 0
+    assert 0 <= out.var_y_cuped <= out.var_y + 1e-9
+    assert 0.0 <= out.reduction_pct <= 100.0
+
+
+def test_message_passing_two_hop_hand_checked(spark, sf_dir):
+    rows = {r.doc_id: r
+            for r in Q.message_passing_two_hop(spark, sf_dir).collect()}
+    pairs = Q._lsh_pairs_05(spark, sf_dir).collect()
+    chars = {r.doc_id: r.n_chars
+             for r in Q._t(spark, sf_dir, "documents").collect()}
+    import collections
+    nbrs = collections.defaultdict(set)
+    for p in pairs:
+        nbrs[p.doc_a].add(p.doc_b)
+        nbrs[p.doc_b].add(p.doc_a)
+    for d, r in rows.items():
+        assert r.degree == len(nbrs[d])
+        h1_want = round(sum(chars[n] for n in nbrs[d]) / len(nbrs[d]), 6)
+        assert abs(r.h1 - h1_want) < 1e-6
+        h2_want = round(
+            sum(rows[n].h1 for n in nbrs[d] if n in rows)
+            / len(nbrs[d]), 6)
+        assert abs(r.h2 - h2_want) < 1e-5

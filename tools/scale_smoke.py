@@ -253,6 +253,8 @@ SMOKE = [
     "simpsons_paradox_audit",
     "late_dimension_backfill",
     "scd3_previous_value",
+    "cuped_variance_reduction",
+    "message_passing_two_hop",
 ]
 
 

@@ -18416,3 +18416,199 @@ def scd3_previous_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("previous_bal"),
         F.col("uk").isNotNull().alias("changed"),
     )
+
+
+@_register(
+    "cuped_variance_reduction",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(MIN(CAST(ts AS DATE)) AS DATE) AS d0,
+               CAST(MAX(CAST(ts AS DATE)) AS DATE) AS d1
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id,
+               SUM(CASE WHEN CAST(ts AS DATE)
+                             <= bounds.d0
+                                + CAST((bounds.d1 - bounds.d0) / 2
+                                       AS INTEGER)
+                        THEN CAST(value AS DECIMAL(38,4))
+                        ELSE CAST(0 AS DECIMAL(38,4)) END) AS x,
+               SUM(CASE WHEN CAST(ts AS DATE)
+                             > bounds.d0
+                               + CAST((bounds.d1 - bounds.d0) / 2
+                                      AS INTEGER)
+                        THEN CAST(value AS DECIMAL(38,4))
+                        ELSE CAST(0 AS DECIMAL(38,4)) END) AS y
+        FROM events, bounds WHERE value IS NOT NULL
+        GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE)
+                    * CAST(y AS DOUBLE), 4) AS DECIMAL(28,4)))
+                    AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE)
+                    * CAST(x AS DOUBLE), 4) AS DECIMAL(28,4)))
+                    AS DOUBLE) AS sx2,
+               CAST(SUM(CAST(ROUND(CAST(y AS DOUBLE)
+                    * CAST(y AS DOUBLE), 4) AS DECIMAL(28,4)))
+                    AS DOUBLE) AS sy2
+        FROM per_user
+    ),
+    m AS (
+        SELECT n,
+               (sxy - sx * sy / n) / (n - 1) AS cov_xy,
+               (sx2 - sx * sx / n) / (n - 1) AS var_x,
+               (sy2 - sy * sy / n) / (n - 1) AS var_y
+        FROM s
+    )
+    SELECT n AS n_users,
+           ROUND(var_y, 4) AS var_y,
+           ROUND(var_y - cov_xy * cov_xy / var_x, 4) AS var_y_cuped,
+           ROUND(100.0 * (cov_xy * cov_xy / var_x) / var_y, 6)
+               AS reduction_pct,
+           ROUND(cov_xy / var_x, 6) AS theta
+    FROM m
+    """,
+    doc="CUPED variance reduction (Deng et al., WSDM 2013) — the"
+        " pre-experiment-covariate adjustment every mature A/B"
+        " platform applies before the t-test: per user, pre-period"
+        " spend X and post-period spend Y (calendar midpoint split,"
+        " the DiD fixture), theta = cov(X,Y)/var(X), and the adjusted"
+        " metric Y - theta(X - mean X) has variance var(Y) -"
+        " cov^2/var(X) — reported as the achieved reduction"
+        " percentage, i.e. how much experiment runtime the covariate"
+        " buys. Per-user sums are exact decimals; cross-products are"
+        " decimal-rounded before the unordered sum. Scale: one"
+        " aggregation to user grain, one 1-row moment aggregate —"
+        " the same two-pass shape at any size.",
+)
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bounds = _t(spark, sf_dir, "events").agg(
+        F.min(F.to_date(F.col("ts").cast("timestamp"))).alias("d0"),
+        F.max(F.to_date(F.col("ts").cast("timestamp"))).alias("d1"),
+    )
+    dec = "decimal(38,4)"
+    mid = F.expr("date_add(d0, CAST(datediff(d1, d0) / 2 AS INT))")
+    day = F.to_date(F.col("ts").cast("timestamp"))
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(day <= mid, F.col("value").cast(dec))
+                .otherwise(F.lit(0).cast(dec))
+            ).alias("x"),
+            F.sum(
+                F.when(day > mid, F.col("value").cast(dec))
+                .otherwise(F.lit(0).cast(dec))
+            ).alias("y"),
+        )
+    )
+    d28 = "decimal(28,4)"
+    xd = F.col("x").cast("double")
+    yd = F.col("y").cast("double")
+    s = per_user.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.round(xd * yd, 4).cast(d28)).cast("double").alias("sxy"),
+        F.sum(F.round(xd * xd, 4).cast(d28)).cast("double").alias("sx2"),
+        F.sum(F.round(yd * yd, 4).cast(d28)).cast("double").alias("sy2"),
+    )
+    n = F.col("n")
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
+    vx = (F.col("sx2") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    vy = (F.col("sy2") - F.col("sy") * F.col("sy") / n) / (n - 1)
+    return s.select(
+        F.col("n").alias("n_users"),
+        F.round(vy, 4).alias("var_y"),
+        F.round(vy - cov * cov / vx, 4).alias("var_y_cuped"),
+        F.round(F.lit(100.0) * (cov * cov / vx) / vy, 6)
+        .alias("reduction_pct"),
+        F.round(cov / vx, 6).alias("theta"),
+    )
+
+
+@_register(
+    "message_passing_two_hop",
+    oracle=f"""
+    WITH p AS ({_JACCARD_ORACLE}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM p
+        UNION SELECT doc_b, doc_a FROM p
+    ),
+    feat AS (SELECT doc_id, n_chars FROM documents),
+    h1 AS (
+        SELECT e.a AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS degree,
+               ROUND(CAST(SUM(f.n_chars) AS DOUBLE) / COUNT(*), 6) AS h1
+        FROM edges e JOIN feat f ON f.doc_id = e.b
+        GROUP BY 1
+    ),
+    h2 AS (
+        SELECT e.a AS doc_id,
+               ROUND(CAST(SUM(CAST(n.h1 AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS h2
+        FROM edges e JOIN h1 n ON n.doc_id = e.b
+        GROUP BY 1
+    )
+    SELECT h1.doc_id, h1.degree, h1.h1, h2.h2
+    FROM h1 JOIN h2 ON h2.doc_id = h1.doc_id
+    """,
+    doc="Two-hop neighborhood aggregation — one GNN message-passing"
+        " layer pair expressed relationally (GraphSAGE-mean without"
+        " the learned weights): h1(v) = mean of neighbors' n_chars,"
+        " h2(v) = mean of neighbors' h1 — information from two hops"
+        " away reaches v through two join+aggregate rounds, which IS"
+        " the distributed GNN systems' execution shape (DGL/GraphX"
+        " aggregate-scatter), so this pins the engine pattern a"
+        " feature-propagation workload runs at 100 TB: each layer is"
+        " one |E| equi-join + one destination-keyed mean, nothing"
+        " quadratic. h1 values round to exact decimals before the"
+        " second-hop sum (unordered double accumulation is the hash"
+        " hazard). Twelfth consumer of the shared LSH pair relation.",
+)
+def message_passing_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _lsh_pairs_05(spark, sf_dir)
+    edges = S.track_cache(
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .union(
+            pairs.select(
+                F.col("doc_b").alias("a"), F.col("doc_a").alias("b")
+            )
+        )
+    )
+    feat = docs.select("doc_id", "n_chars")
+    h1 = (
+        edges.join(feat, edges["b"] == feat["doc_id"])
+        .groupBy("a")
+        .agg(
+            F.count("*").cast("long").alias("degree"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count("*"), 6
+            ).alias("h1"),
+        )
+        .withColumnRenamed("a", "doc_id")
+    )
+    h1 = S.track_cache(h1)
+    h1n = h1.select(
+        F.col("doc_id").alias("nbr"), F.col("h1").alias("nh1")
+    )
+    h2 = (
+        edges.join(h1n, edges["b"] == h1n["nbr"])
+        .groupBy("a")
+        .agg(
+            F.round(
+                F.sum(F.col("nh1").cast("decimal(18,6)")).cast("double")
+                / F.count("*"), 6
+            ).alias("h2")
+        )
+        .withColumnRenamed("a", "doc_id")
+    )
+    return h1.join(h2, "doc_id").select("doc_id", "degree", "h1", "h2")
