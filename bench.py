@@ -365,6 +365,8 @@ NEW_QUERIES_R07 = [
     "scd3_previous_value",
     "cuped_variance_reduction",
     "message_passing_two_hop",
+    "bom_quantity_rollup",
+    "bitemporal_snapshot_read",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

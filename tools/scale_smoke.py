@@ -255,6 +255,8 @@ SMOKE = [
     "scd3_previous_value",
     "cuped_variance_reduction",
     "message_passing_two_hop",
+    "bom_quantity_rollup",
+    "bitemporal_snapshot_read",
 ]
 
 

@@ -18612,3 +18612,169 @@ def message_passing_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("a", "doc_id")
     )
     return h1.join(h2, "doc_id").select("doc_id", "degree", "h1", "h2")
+
+
+@_register(
+    "bom_quantity_rollup",
+    oracle="""
+    WITH RECURSIVE e AS (
+        SELECT p_partkey AS child,
+               p_partkey // 10 AS parent,
+               CAST(1 + p_partkey % 3 AS BIGINT) AS qty
+        FROM part WHERE p_partkey >= 10
+    ),
+    walk(child, anc, qty) AS (
+        SELECT child, parent, qty FROM e
+        UNION ALL
+        SELECT w.child, e2.parent, w.qty * e2.qty
+        FROM walk w JOIN e e2 ON e2.child = w.anc
+    )
+    SELECT CAST(anc AS BIGINT) AS assembly,
+           CAST(COUNT(*) AS BIGINT) AS n_components,
+           CAST(SUM(qty) AS BIGINT) AS total_quantity
+    FROM walk WHERE anc < 100
+    GROUP BY 1
+    """,
+    doc="Bill-of-materials quantity rollup — the weighted transitive"
+        " closure (total component count per assembly = sum over"
+        " descendant paths of the PRODUCT of per-edge multiplicities)"
+        " that plain reachability (recursive_cte_reachability) cannot"
+        " express: the hierarchy is the decimal-prefix forest"
+        " (part // 10, depth ≤ log10(maxkey)), per-edge quantity ="
+        " 1 + key % 3, and a WITH RECURSIVE walk carries the running"
+        " product — ALL-INTEGER arithmetic, so both engines agree"
+        " exactly. Output restricted to top-level assemblies (< 100)"
+        " so result size is bounded by the forest's crown, not its"
+        " leaves. Scale: recursion depth is the hierarchy depth"
+        " (bounded), each round one |E| join — manufacturing BOMs"
+        " and org-chart rollups share exactly this shape.",
+)
+def bom_quantity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    S.configure(spark)
+    part = _t(spark, sf_dir, "part")
+    part.select("p_partkey").createOrReplaceTempView("bom_parts_v")
+    return spark.sql(
+        """
+        WITH RECURSIVE e AS (
+            SELECT p_partkey AS child,
+                   CAST(p_partkey / 10 AS BIGINT) AS parent,
+                   CAST(1 + p_partkey % 3 AS BIGINT) AS qty
+            FROM bom_parts_v WHERE p_partkey >= 10
+        ),
+        walk(child, anc, qty) AS (
+            SELECT child, parent, qty FROM e
+            UNION ALL
+            SELECT w.child, e2.parent, w.qty * e2.qty
+            FROM walk w JOIN e e2 ON e2.child = w.anc
+        )
+        SELECT CAST(anc AS BIGINT) AS assembly,
+               CAST(COUNT(*) AS BIGINT) AS n_components,
+               CAST(SUM(qty) AS BIGINT) AS total_quantity
+        FROM walk WHERE anc < 100
+        GROUP BY anc
+        """
+    )
+
+
+@_register(
+    "bitemporal_snapshot_read",
+    oracle="""
+    WITH versions AS (
+        SELECT c_custkey, 1 AS valid_from, 1 AS tx_from,
+               CAST(c_acctbal AS DECIMAL(15,2)) AS bal
+        FROM customer WHERE c_custkey % 10 = 3
+        UNION ALL
+        SELECT c_custkey, 2, 2,
+               CAST(c_acctbal AS DECIMAL(15,2))
+                   + CAST(100.00 AS DECIMAL(5,2))
+        FROM customer WHERE c_custkey % 10 = 3
+        UNION ALL
+        SELECT c_custkey, 1, 3,
+               CAST(c_acctbal AS DECIMAL(15,2))
+                   - CAST(50.00 AS DECIMAL(5,2))
+        FROM customer WHERE c_custkey % 10 = 3
+    ),
+    grid AS (
+        SELECT * FROM (VALUES (2, 1), (3, 1), (3, 2))
+            AS t(tx_asof, valid_asof)
+    ),
+    visible AS (
+        SELECT g.tx_asof, g.valid_asof, v.c_custkey, v.bal,
+               ROW_NUMBER() OVER (
+                   PARTITION BY g.tx_asof, g.valid_asof, v.c_custkey
+                   ORDER BY v.tx_from DESC) AS rn
+        FROM grid g JOIN versions v
+          ON v.tx_from <= g.tx_asof AND v.valid_from = g.valid_asof
+    )
+    SELECT CAST(tx_asof AS BIGINT) AS tx_asof,
+           CAST(valid_asof AS BIGINT) AS valid_asof,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(CAST(ROUND(SUM(bal), 2) AS DECIMAL(18,2)) AS DOUBLE)
+               AS total_balance
+    FROM visible WHERE rn = 1 GROUP BY 1, 2
+    """,
+    doc="BITEMPORAL snapshot reads — valid time x transaction time,"
+        " the full Kimball/SQL:2011 temporal model that SCD2 alone"
+        " (valid time only) cannot answer: version rows carry BOTH"
+        " 'when was it true' (valid_from) and 'when did we learn it'"
+        " (tx_from); a retroactive CORRECTION at tx 3 rewrites the"
+        " valid-period-1 balance, so 'period 1 as known at tx 2'"
+        " (the original) and 'as known at tx 3' (the correction)"
+        " return DIFFERENT totals — the audit-trail property"
+        " regulators ask for ('what did the books say last quarter"
+        " about January?'). Per (snapshot, key): latest tx_from ≤"
+        " asof wins via a per-key window over the tiny snapshot grid"
+        " join. Exact decimal balances. Scale: versions relation is"
+        " change-sized; each snapshot is one broadcast-grid join +"
+        " per-key argmax.",
+)
+def bitemporal_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 10 == 3
+    )
+    dec = "decimal(15,2)"
+    bal = F.col("c_acctbal").cast(dec)
+    versions = (
+        cust.select(
+            "c_custkey", F.lit(1).alias("valid_from"),
+            F.lit(1).alias("tx_from"), bal.alias("bal"),
+        )
+        .unionByName(
+            cust.select(
+                "c_custkey", F.lit(2).alias("valid_from"),
+                F.lit(2).alias("tx_from"),
+                (bal + F.lit(100.00).cast("decimal(5,2)")).alias("bal"),
+            )
+        )
+        .unionByName(
+            cust.select(
+                "c_custkey", F.lit(1).alias("valid_from"),
+                F.lit(3).alias("tx_from"),
+                (bal - F.lit(50.00).cast("decimal(5,2)")).alias("bal"),
+            )
+        )
+    )
+    grid = spark.createDataFrame(
+        [(2, 1), (3, 1), (3, 2)], "tx_asof int, valid_asof int"
+    )
+    visible = versions.join(
+        F.broadcast(grid),
+        (F.col("tx_from") <= F.col("tx_asof"))
+        & (F.col("valid_from") == F.col("valid_asof")),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("tx_asof", "valid_asof", "c_custkey")
+            .orderBy(F.col("tx_from").desc())
+        ),
+    ).filter(F.col("rn") == 1)
+    return visible.groupBy(
+        F.col("tx_asof").cast("long").alias("tx_asof"),
+        F.col("valid_asof").cast("long").alias("valid_asof"),
+    ).agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.round(F.sum("bal"), 2).cast("decimal(18,2)").cast("double")
+        .alias("total_balance"),
+    )
