@@ -367,6 +367,9 @@ NEW_QUERIES_R07 = [
     "message_passing_two_hop",
     "bom_quantity_rollup",
     "bitemporal_snapshot_read",
+    "control_chart_xbar",
+    "minhash_overlap_estimate",
+    "covariate_balance_smd",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

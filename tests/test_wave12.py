@@ -830,3 +830,32 @@ def test_bitemporal_correction_changes_history(spark, sf_dir):
     assert abs((rows[(2, 1)] - rows[(3, 1)]) - 50.0 * n) < 0.01
     # valid period 2 as of tx 3 is the +100 update
     assert abs((rows[(3, 2)] - rows[(2, 1)]) - 100.0 * n) < 0.01
+
+
+def test_control_chart_limits_bracket_center(spark, sf_dir):
+    rows = Q.control_chart_xbar(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.lcl < r.ucl
+        assert r.out_of_control == (
+            r.day_mean > r.ucl or r.day_mean < r.lcl)
+
+
+def test_minhash_overlap_estimate_error_bound(spark, sf_dir):
+    rows = Q.minhash_overlap_estimate(spark, sf_dir).collect()
+    assert rows
+    # 16 perms: sd of the estimator is sqrt(j(1-j)/16) <= 0.125;
+    # allow 4 sd — a violation means the permutation family is broken
+    for r in rows:
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert abs(r.est_jaccard - r.exact_jaccard) <= 0.5
+
+
+def test_covariate_balance_hash_split_is_balanced(spark, sf_dir):
+    rows = {r.covariate: r
+            for r in Q.covariate_balance_smd(spark, sf_dir).collect()}
+    assert set(rows) == {"value", "hour_of_day"}
+    # a user-hash split of i.i.d. events must be balanced
+    for r in rows.values():
+        assert r.balanced
+        assert r.smd < 0.1

@@ -257,6 +257,9 @@ SMOKE = [
     "message_passing_two_hop",
     "bom_quantity_rollup",
     "bitemporal_snapshot_read",
+    "control_chart_xbar",
+    "minhash_overlap_estimate",
+    "covariate_balance_smd",
 ]
 
 

@@ -18778,3 +18778,344 @@ def bitemporal_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("bal"), 2).cast("decimal(18,2)").cast("double")
         .alias("total_balance"),
     )
+
+
+@_register(
+    "control_chart_xbar",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(value AS DECIMAL(38,4)) AS val
+        FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(val) AS DOUBLE) AS s,
+               CAST(SUM(val * val) AS DOUBLE) AS q
+        FROM v
+    ),
+    d AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS nt,
+               CAST(SUM(val) AS DOUBLE) AS st
+        FROM v GROUP BY 1
+    )
+    SELECT CAST(d.day AS VARCHAR) AS day, d.nt AS n_obs,
+           ROUND(d.st / d.nt, 6) AS day_mean,
+           ROUND(g.s / g.n
+                 + 3.0 * sqrt((g.q - g.s * g.s / g.n) / (g.n - 1))
+                       / sqrt(CAST(d.nt AS DOUBLE)), 6) AS ucl,
+           ROUND(g.s / g.n
+                 - 3.0 * sqrt((g.q - g.s * g.s / g.n) / (g.n - 1))
+                       / sqrt(CAST(d.nt AS DOUBLE)), 6) AS lcl,
+           (d.st / d.nt > g.s / g.n
+                + 3.0 * sqrt((g.q - g.s * g.s / g.n) / (g.n - 1))
+                      / sqrt(CAST(d.nt AS DOUBLE))
+            OR d.st / d.nt < g.s / g.n
+                - 3.0 * sqrt((g.q - g.s * g.s / g.n) / (g.n - 1))
+                      / sqrt(CAST(d.nt AS DOUBLE))) AS out_of_control
+    FROM d, g
+    """,
+    doc="X-bar control chart (Shewhart SPC) over daily mean event"
+        " value — the process-monitoring primitive ops dashboards"
+        " run on pipeline metrics: per day, the subgroup mean against"
+        " 3-sigma limits centered on the grand mean, with sigma from"
+        " the pooled sample std and limits widened by 1/sqrt(n_t) for"
+        " unequal subgroup sizes; out-of-control days are flagged"
+        " (complementary to cusum_changepoint — CUSUM finds slow"
+        " drifts, the control chart catches single-day excursions)."
+        " All sums are exact decimals; one pass for the global"
+        " moments, one for the day grain, one broadcast join."
+        " Scale: two aggregations + O(days).",
+)
+def control_chart_xbar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    dec = "decimal(38,4)"
+    v = ev.select(
+        F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+        F.col("value").cast(dec).alias("val"),
+    )
+    g = v.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("val").cast("double").alias("s"),
+        F.sum(F.col("val") * F.col("val")).cast("double").alias("q"),
+    )
+    d = v.groupBy("day").agg(
+        F.count("*").cast("long").alias("nt"),
+        F.sum("val").cast("double").alias("st"),
+    )
+    j = d.crossJoin(F.broadcast(g))
+    center = F.col("s") / F.col("n")
+    sigma = F.sqrt(
+        (F.col("q") - F.col("s") * F.col("s") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    half = F.lit(3.0) * sigma / F.sqrt(F.col("nt").cast("double"))
+    mean_t = F.col("st") / F.col("nt")
+    return j.select(
+        F.col("day").cast("string").alias("day"),
+        F.col("nt").alias("n_obs"),
+        F.round(mean_t, 6).alias("day_mean"),
+        F.round(center + half, 6).alias("ucl"),
+        F.round(center - half, 6).alias("lcl"),
+        ((mean_t > center + half) | (mean_t < center - half))
+        .alias("out_of_control"),
+    )
+
+
+@_register(
+    "minhash_overlap_estimate",
+    oracle="""
+    WITH terms AS (
+        SELECT DISTINCT source,
+               unnest(string_split_regex(lower(text), '\\s+')) AS term
+        FROM documents
+    ),
+    hashed AS (
+        SELECT source, term,
+               CAST((
+                   list_aggregate(
+                       list_transform(range(1, length(term) + 1),
+                           i -> CAST(unicode(term[i]) AS BIGINT)
+                                * (31 + i % 7)),
+                       'sum') % 999999937
+               ) AS BIGINT) AS g
+        FROM terms
+    ),
+    sigs AS (
+        SELECT source, j,
+               MIN((g * (48271 + j * 1009) + j * 12345) % 999999937)
+                   AS mh
+        FROM hashed, UNNEST(range(0, 16)) AS t(j)
+        GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_match
+        FROM sigs a JOIN sigs b
+          ON a.j = b.j AND a.source < b.source
+        GROUP BY 1, 2
+    ),
+    sets AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM (SELECT DISTINCT source, term FROM terms) a
+        JOIN (SELECT DISTINCT source, term FROM terms) b
+          ON a.term = b.term AND a.source < b.source
+        GROUP BY 1, 2
+    ),
+    sz AS (
+        SELECT source, CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms
+        FROM terms GROUP BY 1
+    )
+    SELECT e.source_a, e.source_b,
+           ROUND(CAST(e.n_match AS DOUBLE) / 16, 6) AS est_jaccard,
+           ROUND(CAST(s.n_inter AS DOUBLE)
+                 / (x.n_terms + y.n_terms - s.n_inter), 6)
+               AS exact_jaccard
+    FROM est e
+    JOIN sets s ON s.source_a = e.source_a AND s.source_b = e.source_b
+    JOIN sz x ON x.source = e.source_a
+    JOIN sz y ON y.source = e.source_b
+    """,
+    doc="MinHash set-overlap ESTIMATE vs exact, per source pair — the"
+        " sketch-handshake for cross-corpus overlap at scale (two"
+        " organizations compare 16 integers per corpus instead of"
+        " shipping term sets; the estimate's error is the price, and"
+        " this query MEASURES it against the exact Jaccard in the"
+        " same row): term hashes fold characters through a portable"
+        " integer chain (position-weighted codepoint sum mod p — no"
+        " engine-native hash), 16 affine permutations take mins per"
+        " source, and matching mins / 16 estimates Jaccard."
+        " EVERYTHING is integer arithmetic, so the sketch itself is"
+        " under the hash gate — rare for a sketch, possible because"
+        " the randomness is a fixed portable permutation family."
+        " Scale: signature build is one scan + (source, perm)"
+        " aggregation; the comparison is 16 rows per source pair.",
+)
+def minhash_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    p = 999999937
+    terms = (
+        S.spread(docs, ("doc_id",))
+        .select(
+            "source", F.explode(dedup.tokens_expr("text")).alias("term")
+        )
+        .distinct()
+    )
+    g = F.expr(
+        "aggregate(transform(sequence(1, length(term)),"
+        " i -> CAST(ascii(substr(term, i, 1)) AS BIGINT) * (31 + i % 7)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x) % 999999937"
+    )
+    hashed = S.track_cache(terms.withColumn("g", g))
+    perms = spark.range(0, 16).select(F.col("id").alias("j"))
+    sigs = (
+        hashed.crossJoin(F.broadcast(perms))
+        .groupBy("source", "j")
+        .agg(
+            F.min(
+                (F.col("g") * (48271 + F.col("j") * 1009)
+                 + F.col("j") * 12345) % p
+            ).alias("mh")
+        )
+    )
+    a = sigs.select(
+        F.col("source").alias("source_a"), "j", F.col("mh").alias("ma")
+    )
+    b = sigs.select(
+        F.col("source").alias("source_b"),
+        F.col("j").alias("jb"),
+        F.col("mh").alias("mb"),
+    )
+    est = (
+        a.join(
+            b,
+            (F.col("j") == F.col("jb"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum((F.col("ma") == F.col("mb")).cast("int"))
+            .cast("long").alias("n_match")
+        )
+    )
+    ta = hashed.select(F.col("source").alias("source_a"), "term")
+    tb = hashed.select(F.col("source").alias("source_b"),
+                       F.col("term").alias("term_b"))
+    inter = (
+        ta.join(
+            tb,
+            (F.col("term") == F.col("term_b"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    sz = hashed.groupBy("source").agg(
+        F.countDistinct("term").cast("long").alias("n_terms")
+    )
+    sx = sz.select(F.col("source").alias("source_a"),
+                   F.col("n_terms").alias("na"))
+    sy = sz.select(F.col("source").alias("source_b"),
+                   F.col("n_terms").alias("nb"))
+    return (
+        est.join(inter, ["source_a", "source_b"])
+        .join(F.broadcast(sx), "source_a")
+        .join(F.broadcast(sy), "source_b")
+        .select(
+            "source_a", "source_b",
+            F.round(F.col("n_match").cast("double") / 16, 6)
+            .alias("est_jaccard"),
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")), 6
+            ).alias("exact_jaccard"),
+        )
+    )
+
+
+@_register(
+    "covariate_balance_smd",
+    oracle="""
+    WITH lab AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp,
+               CAST(value AS DECIMAL(38,4)) AS v,
+               CAST(date_part('hour', ts) AS DECIMAL(38,4)) AS h
+        FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS DOUBLE) AS sv,
+               CAST(SUM(v * v) AS DOUBLE) AS qv,
+               CAST(SUM(h) AS DOUBLE) AS sh,
+               CAST(SUM(h * h) AS DOUBLE) AS qh
+        FROM lab GROUP BY 1
+    ),
+    wide AS (
+        SELECT
+            MAX(CASE WHEN grp = 'A' THEN n END) AS na,
+            MAX(CASE WHEN grp = 'A' THEN sv END) AS sva,
+            MAX(CASE WHEN grp = 'A' THEN qv END) AS qva,
+            MAX(CASE WHEN grp = 'A' THEN sh END) AS sha,
+            MAX(CASE WHEN grp = 'A' THEN qh END) AS qha,
+            MAX(CASE WHEN grp = 'B' THEN n END) AS nb,
+            MAX(CASE WHEN grp = 'B' THEN sv END) AS svb,
+            MAX(CASE WHEN grp = 'B' THEN qv END) AS qvb,
+            MAX(CASE WHEN grp = 'B' THEN sh END) AS shb,
+            MAX(CASE WHEN grp = 'B' THEN qh END) AS qhb
+        FROM s
+    ),
+    m AS (
+        SELECT 'value' AS covariate,
+               sva / na AS ma, svb / nb AS mb,
+               (qva - sva * sva / na) / (na - 1) AS va,
+               (qvb - svb * svb / nb) / (nb - 1) AS vb
+        FROM wide
+        UNION ALL
+        SELECT 'hour_of_day',
+               sha / na, shb / nb,
+               (qha - sha * sha / na) / (na - 1),
+               (qhb - shb * shb / nb) / (nb - 1)
+        FROM wide
+    )
+    SELECT covariate,
+           ROUND(ABS(ma - mb) / sqrt((va + vb) / 2), 6) AS smd,
+           (ABS(ma - mb) / sqrt((va + vb) / 2) < 0.1) AS balanced
+    FROM m
+    """,
+    doc="Covariate balance check via standardized mean difference —"
+        " the pre-analysis gate for any experiment or observational"
+        " comparison (ab_test / welch / DiD all ASSUME the groups"
+        " are exchangeable; SMD = |m_A - m_B| / sqrt((v_A + v_B)/2)"
+        " quantifies how far that holds per covariate, with the"
+        " conventional 0.1 threshold): both covariates (event value,"
+        " hour-of-day) come from ONE conditional-aggregation pass"
+        " as exact decimal sums, unpivoted to a per-covariate row."
+        " An unbalanced row means the downstream test needs"
+        " stratification or CUPED-style adjustment — this query is"
+        " the router. Scale: one scan, O(1) after.",
+)
+def covariate_balance_smd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    dec = "decimal(38,4)"
+    lab = ev.select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("grp"),
+        F.col("value").cast(dec).alias("v"),
+        F.hour("ts").cast(dec).alias("h"),
+    )
+    s = lab.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("double").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).cast("double").alias("qv"),
+        F.sum("h").cast("double").alias("sh"),
+        F.sum(F.col("h") * F.col("h")).cast("double").alias("qh"),
+    )
+    def pick(g, c):
+        return F.max(F.when(F.col("grp") == g, F.col(c)))
+    wide = s.agg(
+        pick("A", "n").alias("na"), pick("A", "sv").alias("sva"),
+        pick("A", "qv").alias("qva"), pick("A", "sh").alias("sha"),
+        pick("A", "qh").alias("qha"),
+        pick("B", "n").alias("nb"), pick("B", "sv").alias("svb"),
+        pick("B", "qv").alias("qvb"), pick("B", "sh").alias("shb"),
+        pick("B", "qh").alias("qhb"),
+    )
+    def row(name, sa, qa, sb, qb):
+        ma = F.col(sa) / F.col("na")
+        mb = F.col(sb) / F.col("nb")
+        va = (F.col(qa) - F.col(sa) * F.col(sa) / F.col("na")) / (
+            F.col("na") - 1
+        )
+        vb = (F.col(qb) - F.col(sb) * F.col(sb) / F.col("nb")) / (
+            F.col("nb") - 1
+        )
+        smd = F.abs(ma - mb) / F.sqrt((va + vb) / 2)
+        return wide.select(
+            F.lit(name).alias("covariate"),
+            F.round(smd, 6).alias("smd"),
+            (smd < 0.1).alias("balanced"),
+        )
+    return row("value", "sva", "qva", "svb", "qvb").unionByName(
+        row("hour_of_day", "sha", "qha", "shb", "qhb")
+    )
