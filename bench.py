@@ -370,6 +370,8 @@ NEW_QUERIES_R07 = [
     "control_chart_xbar",
     "minhash_overlap_estimate",
     "covariate_balance_smd",
+    "probabilistic_forecast_eval",
+    "luhn_checksum_audit",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

@@ -859,3 +859,37 @@ def test_covariate_balance_hash_split_is_balanced(spark, sf_dir):
     for r in rows.values():
         assert r.balanced
         assert r.smd < 0.1
+
+
+def test_brier_decomposition_identity(spark, sf_dir):
+    out = Q.probabilistic_forecast_eval(spark, sf_dir).collect()[0]
+    assert out.n > 0
+    assert 0.0 <= out.ece <= 1.0
+    # uninformative scorer: resolution near zero, uncertainty = p(1-p)
+    assert out.resolution < 0.01
+    assert 0.0 <= out.uncertainty <= 0.25
+    assert out.reliability >= 0.0
+
+
+def test_luhn_hand_checked(spark):
+    # 79927398713 is THE canonical valid Luhn example; flipping the
+    # last digit invalidates it
+    df = spark.createDataFrame([("79927398713",), ("79927398714",)],
+                               "a string")
+    ok = F.expr(
+        "aggregate(transform(sequence(1, length(a)),"
+        " i -> CASE WHEN i % 2 = 0 THEN"
+        "   CASE WHEN 2 * CAST(substr(reverse(a), i, 1) AS INT) > 9"
+        "     THEN 2 * CAST(substr(reverse(a), i, 1) AS INT) - 9"
+        "     ELSE 2 * CAST(substr(reverse(a), i, 1) AS INT) END"
+        "  ELSE CAST(substr(reverse(a), i, 1) AS INT) END),"
+        " 0, (acc, x) -> acc + x) % 10 = 0"
+    )
+    got = {r.a: r.ok for r in df.select("a", ok.alias("ok")).collect()}
+    assert got == {"79927398713": True, "79927398714": False}
+
+
+def test_luhn_audit_near_chance_rate(spark, sf_dir):
+    out = Q.luhn_checksum_audit(spark, sf_dir).collect()[0]
+    assert out.n_accounts > 0
+    assert 0.05 < out.valid_frac < 0.15  # ~10% by chance

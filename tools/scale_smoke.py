@@ -260,6 +260,8 @@ SMOKE = [
     "control_chart_xbar",
     "minhash_overlap_estimate",
     "covariate_balance_smd",
+    "probabilistic_forecast_eval",
+    "luhn_checksum_audit",
 ]
 
 

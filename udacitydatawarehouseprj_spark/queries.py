@@ -19119,3 +19119,199 @@ def covariate_balance_smd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row("value", "sva", "qva", "svb", "qvb").unionByName(
         row("hour_of_day", "sha", "qha", "shb", "qhb")
     )
+
+
+@_register(
+    "probabilistic_forecast_eval",
+    oracle="""
+    WITH s AS (
+        SELECT CAST((((event_id % 999999937) * 48271 + 12345)
+                     % 999999937) * 48271 % 999999937 AS DOUBLE)
+                   / 999999937.0 AS score,
+               CASE WHEN value > 50 THEN 1 ELSE 0 END AS y
+        FROM events WHERE value IS NOT NULL
+    ),
+    b AS (
+        SELECT LEAST(CAST(FLOOR(score * 10) AS BIGINT), 9) AS k,
+               score, y
+        FROM s
+    ),
+    bins AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(score, 6) AS DECIMAL(18,6)))
+                    AS DOUBLE) / COUNT(*) AS conf,
+               CAST(SUM(y) AS DOUBLE) / COUNT(*) AS acc
+        FROM b GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nn,
+               CAST(SUM(CAST(ROUND(acc * n, 6) AS DECIMAL(18,6)))
+                    AS DOUBLE) / SUM(n) AS ybar
+        FROM bins
+    )
+    SELECT tot.nn AS n,
+           ROUND(CAST(SUM(CAST(ROUND(
+               bins.n * ABS(bins.acc - bins.conf), 6)
+               AS DECIMAL(18,6))) AS DOUBLE) / tot.nn, 6) AS ece,
+           ROUND(CAST(SUM(CAST(ROUND(
+               bins.n * (bins.conf - bins.acc)
+                      * (bins.conf - bins.acc), 6)
+               AS DECIMAL(18,6))) AS DOUBLE) / tot.nn, 6)
+               AS reliability,
+           ROUND(CAST(SUM(CAST(ROUND(
+               bins.n * (bins.acc - tot.ybar)
+                      * (bins.acc - tot.ybar), 6)
+               AS DECIMAL(18,6))) AS DOUBLE) / tot.nn, 6) AS resolution,
+           ROUND(tot.ybar * (1.0 - tot.ybar), 6) AS uncertainty
+    FROM bins, tot GROUP BY tot.nn, tot.ybar
+    """,
+    doc="Probabilistic-forecast evaluation — Expected Calibration"
+        " Error plus the Murphy decomposition of the binned Brier"
+        " score (reliability - resolution + uncertainty), the metrics"
+        " that separate 'knows the right probability' from 'ranks"
+        " well' (AUC-style metrics in classifier_eval_suite cannot"
+        " see miscalibration): same seeded score/label fixture as"
+        " calibration_curve_deciles, decile bins, every cross-bin"
+        " accumulation decimal-rounded pre-sum. An uninformative"
+        " scorer shows resolution ≈ 0 with reliability ≈ ECE^2-ish"
+        " mass — exactly what the fixture exhibits, making the"
+        " decomposition's meaning visible in the record. Scale: one"
+        " scan to 10 bins, O(bins) after.",
+)
+def probabilistic_forecast_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = ev.select(
+        (
+            (
+                ((F.col("event_id") % 999999937) * 48271 + 12345)
+                % 999999937
+            ) * 48271 % 999999937
+        ).cast("double").alias("h"),
+        F.when(F.col("value") > 50, 1).otherwise(0).alias("y"),
+    ).select((F.col("h") / 999999937.0).alias("score"), "y")
+    b = s.select(
+        F.least(F.floor(F.col("score") * 10).cast("long"), F.lit(9))
+        .alias("k"),
+        "score", "y",
+    )
+    dec = "decimal(18,6)"
+    bins = b.groupBy("k").agg(
+        F.count("*").cast("long").alias("n"),
+        (
+            F.sum(F.round(F.col("score"), 6).cast(dec)).cast("double")
+            / F.count("*")
+        ).alias("conf"),
+        (F.sum("y").cast("double") / F.count("*")).alias("acc"),
+    )
+    tot = bins.agg(
+        F.sum("n").cast("long").alias("nn"),
+        (
+            F.sum(F.round(F.col("acc") * F.col("n"), 6).cast(dec))
+            .cast("double") / F.sum("n")
+        ).alias("ybar"),
+    )
+    j = bins.crossJoin(F.broadcast(tot))
+    return j.groupBy("nn", "ybar").agg(
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("n") * F.abs(F.col("acc") - F.col("conf")), 6
+                ).cast(dec)
+            ).cast("double") / F.max("nn"), 6
+        ).alias("ece"),
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("n") * (F.col("conf") - F.col("acc"))
+                    * (F.col("conf") - F.col("acc")), 6
+                ).cast(dec)
+            ).cast("double") / F.max("nn"), 6
+        ).alias("reliability"),
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("n") * (F.col("acc") - F.col("ybar"))
+                    * (F.col("acc") - F.col("ybar")), 6
+                ).cast(dec)
+            ).cast("double") / F.max("nn"), 6
+        ).alias("resolution"),
+        F.round(F.max("ybar") * (1.0 - F.max("ybar")), 6)
+        .alias("uncertainty"),
+    ).select(
+        F.col("nn").alias("n"), "ece", "reliability", "resolution",
+        "uncertainty",
+    )
+
+
+@_register(
+    "luhn_checksum_audit",
+    oracle="""
+    WITH acct AS (
+        SELECT lpad(CAST((o_custkey * 100003 + o_orderkey) % 1000000000000
+                         AS VARCHAR), 12, '0') AS a
+        FROM orders
+    ),
+    v AS (
+        SELECT a,
+               (list_aggregate(list_transform(
+                    range(1, length(a) + 1),
+                    i -> CASE WHEN i % 2 = 0 THEN
+                              CASE WHEN 2 * CAST(reverse(a)[i] AS INTEGER)
+                                        > 9
+                                   THEN 2 * CAST(reverse(a)[i] AS INTEGER)
+                                        - 9
+                                   ELSE 2 * CAST(reverse(a)[i] AS INTEGER)
+                              END
+                         ELSE CAST(reverse(a)[i] AS INTEGER) END),
+                    'sum') % 10 = 0) AS ok
+        FROM acct
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_accounts,
+           CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_valid,
+           ROUND(CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS valid_frac
+    FROM v
+    """,
+    doc="Luhn (mod-10) checksum audit — the classic identifier-"
+        "validation step every ingestion pipeline runs on card/IMEI/"
+        "account-number-shaped columns before trusting them: the"
+        " check digit algorithm (double every second digit from the"
+        " right, subtract 9 above 9, total divisible by 10) folds"
+        " per row through a pure higher-order-function expression —"
+        " no UDF, whole-stage codegen all the way — over synthesized"
+        " 12-digit account strings (~10% pass by chance, the"
+        " baseline an auditor compares real data against: a valid"
+        " column shows ~100%, a corrupted load shows ~10%). Scale:"
+        " one scan, one scalar aggregate; per-row cost is 12 integer"
+        " ops.",
+)
+def luhn_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    acct = orders.select(
+        F.lpad(
+            ((F.col("o_custkey") * 100003 + F.col("o_orderkey"))
+             % F.lit(1000000000000)).cast("string"),
+            12, "0",
+        ).alias("a")
+    )
+    ok = F.expr(
+        "aggregate(transform(sequence(1, length(a)),"
+        " i -> CASE WHEN i % 2 = 0 THEN"
+        "   CASE WHEN 2 * CAST(substr(reverse(a), i, 1) AS INT) > 9"
+        "     THEN 2 * CAST(substr(reverse(a), i, 1) AS INT) - 9"
+        "     ELSE 2 * CAST(substr(reverse(a), i, 1) AS INT) END"
+        "  ELSE CAST(substr(reverse(a), i, 1) AS INT) END),"
+        " 0, (acc, x) -> acc + x) % 10 = 0"
+    )
+    v = acct.select(ok.alias("ok"))
+    return v.agg(
+        F.count("*").cast("long").alias("n_accounts"),
+        F.sum(F.col("ok").cast("int")).cast("long").alias("n_valid"),
+        F.round(
+            F.sum(F.col("ok").cast("int")).cast("double") / F.count("*"),
+            6,
+        ).alias("valid_frac"),
+    )
