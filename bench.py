@@ -372,6 +372,9 @@ NEW_QUERIES_R07 = [
     "covariate_balance_smd",
     "probabilistic_forecast_eval",
     "luhn_checksum_audit",
+    "market_basket_lift",
+    "ltv_cohort_curve",
+    "token_diversity_by_source",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

@@ -893,3 +893,39 @@ def test_luhn_audit_near_chance_rate(spark, sf_dir):
     out = Q.luhn_checksum_audit(spark, sf_dir).collect()[0]
     assert out.n_accounts > 0
     assert 0.05 < out.valid_frac < 0.15  # ~10% by chance
+
+
+def test_market_basket_lift_identities(spark, sf_dir):
+    rows = Q.market_basket_lift(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.brand_a < r.brand_b
+        assert r.s_ab >= 5
+        assert 0.0 < r.support <= 1.0
+        assert 0.0 < r.confidence_a_b <= 1.0
+        # lift = confidence / P(B): recompute and cross-check shape
+        assert r.lift > 0.0
+
+
+def test_ltv_curve_monotone_per_cohort(spark, sf_dir):
+    import collections
+    rows = Q.ltv_cohort_curve(spark, sf_dir).collect()
+    by_cohort = collections.defaultdict(list)
+    for r in rows:
+        assert 0 <= r.age_days <= 14
+        by_cohort[r.cohort_day].append((r.age_days, r.ltv_per_user))
+    for series in by_cohort.values():
+        series.sort()
+        vals = [v for _, v in series]
+        assert vals == sorted(vals)  # cumulative revenue never drops
+
+
+def test_token_diversity_bounds(spark, sf_dir):
+    rows = Q.token_diversity_by_source(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.vocab <= r.n_tokens
+        assert 0.0 <= r.shannon_h
+        import math
+        assert r.shannon_h <= math.log(r.vocab) + 1e-6
+        assert 0.0 <= r.evenness <= 1.0 + 1e-9

@@ -262,6 +262,9 @@ SMOKE = [
     "covariate_balance_smd",
     "probabilistic_forecast_eval",
     "luhn_checksum_audit",
+    "market_basket_lift",
+    "ltv_cohort_curve",
+    "token_diversity_by_source",
 ]
 
 

@@ -19315,3 +19315,264 @@ def luhn_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("valid_frac"),
     )
+
+
+@_register(
+    "market_basket_lift",
+    oracle="""
+    WITH basket AS (
+        SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    nb AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM basket),
+    sup AS (
+        SELECT brand, CAST(COUNT(*) AS BIGINT) AS s FROM basket
+        GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b,
+               CAST(COUNT(*) AS BIGINT) AS s_ab
+        FROM basket a JOIN basket b
+          ON a.ok = b.ok AND a.brand < b.brand
+        GROUP BY 1, 2
+    )
+    SELECT p.brand_a, p.brand_b, p.s_ab,
+           ROUND(CAST(p.s_ab AS DOUBLE) / nb.n, 6) AS support,
+           ROUND(CAST(p.s_ab AS DOUBLE) / sa.s, 6) AS confidence_a_b,
+           ROUND(CAST(p.s_ab AS DOUBLE) * nb.n
+                 / (CAST(sa.s AS DOUBLE) * sb.s), 6) AS lift
+    FROM pairs p
+    JOIN sup sa ON sa.brand = p.brand_a
+    JOIN sup sb ON sb.brand = p.brand_b
+    CROSS JOIN nb
+    WHERE p.s_ab >= 5
+    """,
+    doc="Market-basket association rules over order baskets —"
+        " support/confidence/lift for brand pairs co-purchased in one"
+        " order (the classic affinity analysis; cooccurrence_event_"
+        "pairs counts per-user event pairs, THIS is the per-"
+        "transaction item version with the lift normalization that"
+        " separates 'popular together' from 'popular separately'):"
+        " baskets are DISTINCT (order, brand) rows, so the within-"
+        "order pair join is bounded by brands-per-order (≤ 25"
+        " brands), never lineitems^2; a minimum-support floor prunes"
+        " noise pairs before the output. All counts integer, ratios"
+        " rounded at the end. Scale: one distinct + one basket self-"
+        "join on the order key + broadcast marginals — the a-priori"
+        " first pass at any data size.",
+)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    basket = S.track_cache(
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .select(F.col("l_orderkey").alias("ok"),
+                F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    nb = basket.agg(
+        F.countDistinct("ok").cast("long").alias("n")
+    )
+    sup = basket.groupBy("brand").agg(
+        F.count("*").cast("long").alias("s")
+    )
+    a = basket.select("ok", F.col("brand").alias("brand_a"))
+    b = basket.select(
+        F.col("ok").alias("ok_b"), F.col("brand").alias("brand_b")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("ok") == F.col("ok_b"))
+            & (F.col("brand_a") < F.col("brand_b")),
+        )
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").cast("long").alias("s_ab"))
+        .filter(F.col("s_ab") >= 5)
+    )
+    sa = sup.select(F.col("brand").alias("brand_a"),
+                    F.col("s").alias("sa"))
+    sb = sup.select(F.col("brand").alias("brand_b"),
+                    F.col("s").alias("sb"))
+    return (
+        pairs.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "brand_a", "brand_b", "s_ab",
+            F.round(F.col("s_ab").cast("double") / F.col("n"), 6)
+            .alias("support"),
+            F.round(F.col("s_ab").cast("double") / F.col("sa"), 6)
+            .alias("confidence_a_b"),
+            F.round(
+                F.col("s_ab").cast("double") * F.col("n")
+                / (F.col("sa").cast("double") * F.col("sb")), 6
+            ).alias("lift"),
+        )
+    )
+
+
+@_register(
+    "ltv_cohort_curve",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY 1
+    ),
+    cohort_sizes AS (
+        SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_n
+        FROM first_seen GROUP BY 1
+    ),
+    rev AS (
+        SELECT f.cohort_day,
+               CAST(ts AS DATE) - f.cohort_day AS age_days,
+               CAST(e.value AS DECIMAL(38,4)) AS v
+        FROM events e JOIN first_seen f ON f.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+    ),
+    daily AS (
+        SELECT cohort_day, age_days, SUM(v) AS rev
+        FROM rev GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT cohort_day, age_days,
+               SUM(rev) OVER (PARTITION BY cohort_day ORDER BY age_days
+                              ROWS UNBOUNDED PRECEDING) AS cum_rev
+        FROM daily
+    )
+    SELECT CAST(c.cohort_day AS VARCHAR) AS cohort_day,
+           CAST(c.age_days AS BIGINT) AS age_days,
+           s.cohort_n,
+           ROUND(CAST(c.cum_rev AS DOUBLE) / s.cohort_n, 6)
+               AS ltv_per_user
+    FROM cum c JOIN cohort_sizes s ON s.cohort_day = c.cohort_day
+    WHERE c.age_days <= 14
+    """,
+    doc="Cohort LTV curves — cumulative purchase revenue per user by"
+        " cohort age (the growth-economics read behind payback-period"
+        " and CAC decisions; retention_cohorts counts who RETURNS,"
+        " this measures what they're WORTH): users cohort by first-"
+        "seen day, purchase revenue buckets by (cohort, age) as exact"
+        " decimals, and the running sum per cohort divides by cohort"
+        " size — a window over the cohorts x ages aggregate"
+        " (aggregate-then-window), clipped to a 14-day age horizon"
+        " to bound the output. Scale: one user-grain aggregation +"
+        " one user-keyed join + O(cohorts x ages).",
+)
+def ltv_cohort_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.to_date(F.col("ts").cast("timestamp"))
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(day).alias("cohort_day")
+    )
+    sizes = first_seen.groupBy("cohort_day").agg(
+        F.count("*").cast("long").alias("cohort_n")
+    )
+    rev = (
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+        )
+        .join(first_seen, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(day, F.col("cohort_day")).alias("age_days"),
+            F.col("value").cast("decimal(38,4)").alias("v"),
+        )
+    )
+    daily = rev.groupBy("cohort_day", "age_days").agg(
+        F.sum("v").alias("rev")
+    )
+    cum = daily.select(
+        "cohort_day", "age_days",
+        F.sum("rev").over(
+            W.partitionBy("cohort_day").orderBy("age_days")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("cum_rev"),
+    )
+    return (
+        cum.filter(F.col("age_days") <= 14)
+        .join(F.broadcast(sizes), "cohort_day")
+        .select(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            F.col("age_days").cast("long").alias("age_days"),
+            "cohort_n",
+            F.round(
+                F.col("cum_rev").cast("double") / F.col("cohort_n"), 6
+            ).alias("ltv_per_user"),
+        )
+    )
+
+
+@_register(
+    "token_diversity_by_source",
+    oracle="""
+    WITH tf AS (
+        SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT source,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS term
+            FROM documents
+        ) GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM tf GROUP BY 1
+    )
+    SELECT t.source, tot.n AS n_tokens, tot.v AS vocab,
+           ROUND(CAST(SUM(CAST(ROUND(
+               -1.0 * (CAST(t.c AS DOUBLE) / tot.n)
+                    * ln(CAST(t.c AS DOUBLE) / tot.n), 6)
+               AS DECIMAL(18,6))) AS DOUBLE), 6) AS shannon_h,
+           ROUND(CAST(SUM(CAST(ROUND(
+               -1.0 * (CAST(t.c AS DOUBLE) / tot.n)
+                    * ln(CAST(t.c AS DOUBLE) / tot.n), 6)
+               AS DECIMAL(18,6))) AS DOUBLE)
+               / ln(CAST(tot.v AS DOUBLE)), 6) AS evenness
+    FROM tf t JOIN tot ON tot.source = t.source
+    GROUP BY 1, 2, 3
+    """,
+    doc="Token-distribution diversity per source — Shannon entropy of"
+        " the unigram distribution plus Pielou evenness (H / ln V),"
+        " the corpus-mix diagnostic at the TOKEN level"
+        " (text_char_entropy works per document over characters; this"
+        " compares SOURCES: a source whose evenness collapses is"
+        " boilerplate-dominated and will also light up the dedup"
+        " family): per-(source, term) counts in one aggregation,"
+        " entropy terms decimal-rounded before the per-source sum."
+        " Scale: one explode + one (source, term) aggregation —"
+        " vocabulary-bounded output.",
+)
+def token_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        S.spread(docs, ("doc_id",))
+        .select(
+            "source", F.explode(dedup.tokens_expr("text")).alias("term")
+        )
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    tot = tf.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("v"),
+    )
+    j = tf.join(F.broadcast(tot), "source")
+    p_t = F.col("c").cast("double") / F.col("n")
+    term = F.round(F.lit(-1.0) * p_t * F.log(p_t), 6)
+    return j.groupBy("source", "n", "v").agg(
+        F.round(
+            F.sum(term.cast("decimal(18,6)")).cast("double"), 6
+        ).alias("shannon_h"),
+        F.round(
+            F.sum(term.cast("decimal(18,6)")).cast("double")
+            / F.log(F.col("v").cast("double")), 6
+        ).alias("evenness"),
+    ).select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        F.col("v").alias("vocab"),
+        "shannon_h", "evenness",
+    )
