@@ -375,6 +375,8 @@ NEW_QUERIES_R07 = [
     "market_basket_lift",
     "ltv_cohort_curve",
     "token_diversity_by_source",
+    "duplicate_transaction_flags",
+    "term_trend_log_odds",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

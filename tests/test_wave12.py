@@ -929,3 +929,44 @@ def test_token_diversity_bounds(spark, sf_dir):
         import math
         assert r.shannon_h <= math.log(r.vocab) + 1e-6
         assert 0.0 <= r.evenness <= 1.0 + 1e-9
+
+
+def test_duplicate_txn_hand_checked(spark):
+    import datetime as dt
+    from pyspark.sql import Window as W
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        # same user+amount 10 min apart -> dup; 2h apart -> not
+        Row(user_id=1, value=9.99, event_id=1, ts=t0),
+        Row(user_id=1, value=9.99, event_id=2,
+            ts=t0 + dt.timedelta(minutes=10)),
+        Row(user_id=1, value=9.99, event_id=3,
+            ts=t0 + dt.timedelta(hours=3)),
+        # different amount -> separate partition, no dup
+        Row(user_id=1, value=5.00, event_id=4,
+            ts=t0 + dt.timedelta(minutes=1)),
+    ]
+    df = spark.createDataFrame(rows)
+    txn = df.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.unix_millis("ts").alias("ms"), "event_id")
+    w = W.partitionBy("user_id", "cents").orderBy("ms", "event_id")
+    seq = txn.select(
+        "cents", "ms", F.lag("ms").over(w).alias("prev_ms"))
+    dup = seq.filter(
+        F.col("prev_ms").isNotNull()
+        & (F.col("ms") - F.col("prev_ms") <= 1800000)).count()
+    assert dup == 1
+
+
+def test_term_trend_antisymmetric_and_bounded(spark, sf_dir):
+    rows = Q.term_trend_log_odds(spark, sf_dir).collect()
+    assert rows
+    n1 = sum(r.c1 for r in rows)
+    n2 = sum(r.c2 for r in rows)
+    assert n1 > 0 and n2 > 0
+    # balanced halves of a uniform corpus: no term should be wildly
+    # significant; z values stay in a sane band
+    for r in rows:
+        assert abs(r.z_log_odds) < 10

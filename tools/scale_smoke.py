@@ -265,6 +265,8 @@ SMOKE = [
     "market_basket_lift",
     "ltv_cohort_curve",
     "token_diversity_by_source",
+    "duplicate_transaction_flags",
+    "term_trend_log_odds",
 ]
 
 

@@ -19576,3 +19576,154 @@ def token_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("vocab"),
         "shannon_h", "evenness",
     )
+
+
+@_register(
+    "duplicate_transaction_flags",
+    oracle="""
+    WITH txn AS (
+        SELECT user_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               CAST(epoch_ms(ts) AS BIGINT) AS ms,
+               event_id
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    seq AS (
+        SELECT user_id, cents, ms,
+               LAG(ms) OVER (PARTITION BY user_id, cents
+                             ORDER BY ms, event_id) AS prev_ms
+        FROM txn
+    ),
+    flagged AS (
+        SELECT user_id, cents,
+               (prev_ms IS NOT NULL
+                AND ms - prev_ms <= 1800000) AS is_dup
+        FROM seq
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_txn,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_flagged,
+           CAST(COUNT(DISTINCT CASE WHEN is_dup THEN user_id END)
+                AS BIGINT) AS n_users_affected,
+           CAST(SUM(CASE WHEN is_dup THEN cents ELSE 0 END) AS BIGINT)
+               AS dup_amount_cents
+    FROM flagged
+    """,
+    doc="Duplicate-transaction detection — the fraud/billing-hygiene"
+        " rule 'same user, same amount, within 30 minutes' (double-"
+        "click charges, retried webhooks, replayed batches): exact"
+        " integer cents key the (user, amount) partition, a per-"
+        "partition LAG finds repeats inside the window, and the audit"
+        " reports flagged count, affected users, and the money at"
+        " stake. The window partitions by (user, amount) — bounded"
+        " partitions, and the chained semantics (each repeat compares"
+        " to its immediate predecessor) is exactly what the dedup"
+        " MERGE would act on. Scale: one shuffle on the compound key,"
+        " integer arithmetic end to end.",
+)
+def duplicate_transaction_flags(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    txn = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+        "event_id",
+    )
+    w = W.partitionBy("user_id", "cents").orderBy("ms", "event_id")
+    seq = txn.select(
+        "user_id", "cents", "ms", F.lag("ms").over(w).alias("prev_ms")
+    )
+    is_dup = F.col("prev_ms").isNotNull() & (
+        F.col("ms") - F.col("prev_ms") <= 1800000
+    )
+    flagged = seq.select("user_id", "cents", is_dup.alias("is_dup"))
+    return flagged.agg(
+        F.count("*").cast("long").alias("n_txn"),
+        F.sum(F.col("is_dup").cast("int")).cast("long")
+        .alias("n_dup_flagged"),
+        F.countDistinct(
+            F.when(F.col("is_dup"), F.col("user_id"))
+        ).cast("long").alias("n_users_affected"),
+        F.sum(F.when(F.col("is_dup"), F.col("cents")).otherwise(0))
+        .cast("long").alias("dup_amount_cents"),
+    )
+
+
+@_register(
+    "term_trend_log_odds",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id % 2 AS half,
+               unnest(string_split_regex(lower(text), '\\s+')) AS term
+        FROM documents
+    ),
+    c AS (
+        SELECT term,
+               CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c2
+        FROM toks GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c2) AS BIGINT) AS n2,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM c
+    )
+    SELECT c.term, c.c1, c.c2,
+           ROUND(
+               (ln((c.c1 + 0.5) / (tot.n1 + 0.5 * tot.v - c.c1 - 0.5))
+                - ln((c.c2 + 0.5) / (tot.n2 + 0.5 * tot.v - c.c2 - 0.5)))
+               / sqrt(1.0 / (c.c1 + 0.5) + 1.0 / (c.c2 + 0.5)), 6)
+               AS z_log_odds
+    FROM c, tot
+    """,
+    doc="Term-trend detection via smoothed log-odds z-scores (Monroe,"
+        " Colaresi & Quinn 2008, 'Fightin' Words') — the principled"
+        " corpus-comparison statistic that raw frequency ratios get"
+        " wrong for rare terms: between the two document halves, each"
+        " term's log-odds delta with a Dirichlet +0.5 prior, divided"
+        " by its estimated standard error — rare terms shrink toward"
+        " zero instead of dominating the ranking. Per-term arithmetic"
+        " is independent (no cross-term accumulation — nothing to"
+        " decimal-round), counts are exact integers, output is"
+        " vocabulary-bounded. The same machinery compares corpus"
+        " snapshots, sources, or time slices at 100 TB: one explode"
+        " + one (term)-keyed aggregation.",
+)
+def term_trend_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = S.spread(docs, ("doc_id",)).select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(dedup.tokens_expr("text")).alias("term"),
+    )
+    c = toks.groupBy("term").agg(
+        F.sum((F.col("half") == 0).cast("int")).cast("long").alias("c1"),
+        F.sum((F.col("half") == 1).cast("int")).cast("long").alias("c2"),
+    )
+    tot = c.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.count("*").cast("long").alias("v"),
+    )
+    j = c.crossJoin(F.broadcast(tot))
+    d1 = (F.col("c1") + 0.5) / (
+        F.col("n1") + 0.5 * F.col("v") - F.col("c1") - 0.5
+    )
+    d2 = (F.col("c2") + 0.5) / (
+        F.col("n2") + 0.5 * F.col("v") - F.col("c2") - 0.5
+    )
+    se = F.sqrt(
+        1.0 / (F.col("c1") + 0.5) + 1.0 / (F.col("c2") + 0.5)
+    )
+    return j.select(
+        "term", "c1", "c2",
+        F.round((F.log(d1) - F.log(d2)) / se, 6).alias("z_log_odds"),
+    )
