@@ -19727,3 +19727,95 @@ def term_trend_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term", "c1", "c2",
         F.round((F.log(d1) - F.log(d2)) / se, 6).alias("z_log_odds"),
     )
+
+
+# =====================================================================
+# Round-7 wave 13: ranked-retrieval eval (average precision), multiple-
+# testing correction (Benjamini-Hochberg), k-sample rank test
+# (Kruskal-Wallis), and Jaro-Winkler record linkage.
+
+
+@_register(
+    "pr_auc_average_precision",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS score,
+               CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+        FROM embeddings
+    ),
+    r AS (
+        SELECT vec_id, y,
+               ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS k
+        FROM s
+    ),
+    p AS (
+        SELECT k,
+               ROW_NUMBER() OVER (ORDER BY k) AS j
+        FROM r WHERE y = 1
+    )
+    SELECT (SELECT COUNT(*) FROM r) AS n,
+           (SELECT COUNT(*) FROM p) AS n_pos,
+           ROUND("""
+    + _SQL_DSUM("ROUND(CAST(j AS DOUBLE) / CAST(k AS DOUBLE), 6)")
+    + """
+                 / (SELECT COUNT(*) FROM p), 6) AS average_precision,
+           ROUND((SELECT COUNT(*) FROM p WHERE k <= 100) / 100.0, 6)
+               AS prec_at_100
+    FROM p
+    """,
+    doc="Average precision (PR-AUC by step integration) — the ranked-"
+        "retrieval twin of classifier_eval_suite's ROC-AUC, and the"
+        " right eval when positives are rare (quality-classifier"
+        " corpus filtering: ROC looks fine at 1:10000 imbalance while"
+        " precision has collapsed). AP = mean over positives of"
+        " precision@its-rank = mean(j/k) where k is the overall"
+        " descending (score, id) rank and j the same rank restricted"
+        " to positives — BOTH ranks via exact_distributed_rank over"
+        " score blocks, so no single-partition sort ever sees the"
+        " full scored corpus (the naive ORDER BY is where ranked"
+        " eval dies at a billion scored docs). The j/k terms are"
+        " per-term rounded into an exact decimal sum (the suite's"
+        " unordered-double-sum recipe); precision@100 falls out of"
+        " the same rank relation for free.",
+)
+def pr_auc_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    s = emb.select(
+        "vec_id",
+        F.element_at(similarity.as_double("embedding"), 1).alias("score"),
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
+    )
+    ranked = rel.exact_distributed_rank(
+        s,
+        block=F.floor(F.col("score") * 32).cast("long"),
+        order=[F.col("score").desc(), F.col("vec_id").asc()],
+        block_desc=True,
+        rank_col="k",
+    )
+    pos = rel.exact_distributed_rank(
+        ranked.filter(F.col("y") == 1),
+        block=F.floor(F.col("score") * 32).cast("long"),
+        order=[F.col("score").desc(), F.col("vec_id").asc()],
+        block_desc=True,
+        rank_col="j",
+    )
+    n_all = ranked.agg(F.count("*").alias("n"))
+    return (
+        pos.agg(
+            F.count("*").alias("n_pos"),
+            _dsum(
+                F.round(
+                    F.col("j").cast("double") / F.col("k").cast("double"), 6
+                )
+            ).alias("_ap_sum"),
+            F.sum(F.when(F.col("k") <= 100, 1).otherwise(0)).alias("_p100"),
+        )
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "n",
+            "n_pos",
+            F.round(F.col("_ap_sum") / F.col("n_pos"), 6)
+            .alias("average_precision"),
+            F.round(F.col("_p100") / 100.0, 6).alias("prec_at_100"),
+        )
+    )
