@@ -19819,3 +19819,405 @@ def pr_auc_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("_p100") / 100.0, 6).alias("prec_at_100"),
         )
     )
+
+
+@_register(
+    "kruskal_wallis_test",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, event_type, value FROM events
+        WHERE value IS NOT NULL
+    ),
+    r AS (
+        SELECT event_type,
+               ROW_NUMBER() OVER (ORDER BY value, event_id) AS rnk
+        FROM base
+    ),
+    g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_g,
+               CAST(SUM(rnk) AS BIGINT) AS r_g
+        FROM r GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(CAST(ROUND(CAST(r_g AS DOUBLE) * CAST(r_g AS DOUBLE)
+                                   / CAST(n_g AS DOUBLE), 0)
+                             AS DECIMAL(38,0))) AS DOUBLE) AS s2
+        FROM g
+    )
+    SELECT n, k,
+           ROUND(12.0 * s2 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                 - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6) AS h,
+           ROUND((12.0 * s2 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                  - 3.0 * (CAST(n AS DOUBLE) + 1.0)
+                  - CAST(k AS DOUBLE) + 1.0)
+                 / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)), 6) AS epsilon_sq
+    FROM s
+    """,
+    doc="Kruskal-Wallis H test across all five event_type groups on"
+        " value — the k-SAMPLE generalization of mann_whitney_u (one-"
+        "way ANOVA's rank-based sibling; the right omnibus test before"
+        " pairwise rank comparisons, and robust to the heavy-tailed"
+        " value distributions where anova_one_way's normality"
+        " assumption dies). Pooled unique-tie-break rank (value,"
+        " event_id) via exact_distributed_rank value-decade blocks —"
+        " never a single-partition sort — then per-group bigint rank"
+        " sums (exact to ~3e9 rows) and H = 12/(N(N+1))·ΣR_g²/n_g −"
+        " 3(N+1). The ΣR_g²/n_g terms are ~N²-scale, so each term is"
+        " rounded to an INTEGER decimal(38,0) before the unordered"
+        " k-term sum (error ≤0.5 per term against a 12/N(N+1)"
+        " multiplier — ~1e-10 in H — while making the cross-engine sum"
+        " bit-exact); epsilon-squared effect size falls out of the"
+        " same row. Scale: one block-window pass + two tiny"
+        " aggregations.",
+)
+def kruskal_wallis_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ranked = rel.exact_distributed_rank(
+        ev.select("event_id", "event_type", "value"),
+        F.floor(F.col("value") / 10).cast("long"),
+        [F.col("value").asc(), F.col("event_id").asc()],
+        rank_col="rnk",
+    )
+    g = ranked.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum("rnk").cast("long").alias("r_g"),
+    )
+    rd = F.col("r_g").cast("double")
+    nd = F.col("n_g").cast("double")
+    s = g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count("*").cast("long").alias("k"),
+        F.sum(F.round(rd * rd / nd, 0).cast("decimal(38,0)"))
+        .cast("double").alias("s2"),
+    )
+    n_d = F.col("n").cast("double")
+    k_d = F.col("k").cast("double")
+    h = (
+        F.lit(12.0) * F.col("s2") / (n_d * (n_d + F.lit(1.0)))
+        - F.lit(3.0) * (n_d + F.lit(1.0))
+    )
+    return s.select(
+        "n", "k",
+        F.round(h, 6).alias("h"),
+        F.round((h - k_d + F.lit(1.0)) / (n_d - k_d), 6)
+        .alias("epsilon_sq"),
+    )
+
+
+@_register(
+    "bh_fdr_correction",
+    oracle="""
+    WITH srcs AS (SELECT DISTINCT source FROM documents),
+    grid AS (
+        SELECT source, lg, long_doc
+        FROM srcs, (VALUES ('en'), ('zh'), ('other')) AS l(lg),
+             (VALUES (0), (1)) AS b(long_doc)
+    ),
+    cells AS (
+        SELECT source,
+               CASE WHEN lang = 'en' THEN 'en'
+                    WHEN lang = 'zh' THEN 'zh' ELSE 'other' END AS lg,
+               CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS long_doc,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM documents GROUP BY 1, 2, 3
+    ),
+    dense AS (
+        SELECT g.source, g.lg, g.long_doc, COALESCE(c.o, 0) AS o
+        FROM grid g LEFT JOIN cells c
+          ON g.source = c.source AND g.lg = c.lg
+         AND g.long_doc = c.long_doc
+    ),
+    tot AS (
+        SELECT source, lg, long_doc, o,
+               CAST(SUM(o) OVER (PARTITION BY source, lg) AS DOUBLE) AS rt,
+               CAST(SUM(o) OVER (PARTITION BY source, long_doc)
+                    AS DOUBLE) AS ct,
+               CAST(SUM(o) OVER (PARTITION BY source) AS DOUBLE) AS n_s
+        FROM dense
+    ),
+    chi AS (
+        SELECT source,
+               SUM(CAST(ROUND(CASE WHEN rt * ct > 0.0 THEN
+                   (CAST(o AS DOUBLE) - rt * ct / n_s)
+                   * (CAST(o AS DOUBLE) - rt * ct / n_s)
+                   / (rt * ct / n_s) ELSE 0.0 END, 6)
+                   AS DECIMAL(18,6))) AS chi2_dec
+        FROM tot GROUP BY 1
+    ),
+    scored AS (
+        SELECT source, ROUND(CAST(chi2_dec AS DOUBLE), 6) AS chi2,
+               ROUND(EXP(-CAST(chi2_dec AS DOUBLE) / 2.0), 6) AS p_value
+        FROM chi
+    ),
+    rk AS (
+        SELECT source, chi2, p_value,
+               ROW_NUMBER() OVER (ORDER BY p_value, source) AS bh_rank,
+               COUNT(*) OVER () AS m
+        FROM scored
+    ),
+    fl AS (
+        SELECT source, chi2, p_value, bh_rank, m,
+               CASE WHEN p_value <= CAST(bh_rank AS DOUBLE) * 0.05
+                                    / CAST(m AS DOUBLE)
+                    THEN bh_rank ELSE 0 END AS pass_rank
+        FROM rk
+    )
+    SELECT source, chi2, p_value,
+           CAST(bh_rank AS BIGINT) AS bh_rank,
+           ROUND(CAST(bh_rank AS DOUBLE) * 0.05 / CAST(m AS DOUBLE), 6)
+               AS bh_threshold,
+           CAST(CASE WHEN bh_rank <= MAX(pass_rank) OVER ()
+                THEN 1 ELSE 0 END AS BIGINT) AS reject
+    FROM fl
+    """,
+    doc="Benjamini-Hochberg FDR correction over a family of per-source"
+        " independence tests — the MULTIPLE-TESTING layer every"
+        " monitoring suite needs once it runs one test per segment"
+        " (chi2_independence / two_proportion_ab report ONE p-value;"
+        " run 20 of them and ~1 'significant' segment is a false"
+        " discovery at α=0.05). Per source: a dense 3×2 lang-group ×"
+        " doc-length contingency (zero cells MATERIALIZED via a"
+        " grid-left-join — absent cells would silently understate χ²),"
+        " χ² with the exact per-term decimal-sum recipe, and the df=2"
+        " survival p = exp(-χ²/2) in CLOSED FORM (no CDF tables"
+        " cross-engine). Then the BH step-up on the 20-row aggregate:"
+        " rank p ascending (source tie-break), threshold k·α/m, k* ="
+        " max passing rank, reject ranks ≤ k*. Scale: one scan to"
+        " cell counts; every window and rank runs over the"
+        " sources×6-row aggregate, never the corpus.",
+)
+def bh_fdr_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    lg = (
+        F.when(F.col("lang") == "en", "en")
+        .when(F.col("lang") == "zh", "zh")
+        .otherwise("other")
+    )
+    cells = docs.groupBy(
+        "source",
+        lg.alias("lg"),
+        (F.col("n_chars") >= 300).cast("int").alias("long_doc"),
+    ).agg(F.count("*").cast("long").alias("o"))
+    grid = (
+        docs.select("source").distinct()
+        .select(
+            "source",
+            F.explode(
+                F.array(F.lit("en"), F.lit("zh"), F.lit("other"))
+            ).alias("lg"),
+        )
+        .select(
+            "source", "lg",
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("long_doc"),
+        )
+    )
+    dense = grid.join(cells, ["source", "lg", "long_doc"], "left").select(
+        "source", "lg", "long_doc",
+        F.coalesce(F.col("o"), F.lit(0)).cast("long").alias("o"),
+    )
+    tot = dense.select(
+        "source", "o",
+        F.sum("o").over(W.partitionBy("source", "lg"))
+        .cast("double").alias("rt"),
+        F.sum("o").over(W.partitionBy("source", "long_doc"))
+        .cast("double").alias("ct"),
+        F.sum("o").over(W.partitionBy("source")).cast("double").alias("n_s"),
+    )
+    e = F.col("rt") * F.col("ct") / F.col("n_s")
+    o_d = F.col("o").cast("double")
+    term = F.when(
+        F.col("rt") * F.col("ct") > 0.0,
+        F.round((o_d - e) * (o_d - e) / e, 6),
+    ).otherwise(F.lit(0.0))
+    chi = tot.groupBy("source").agg(
+        F.sum(term.cast("decimal(18,6)")).alias("chi2_dec")
+    )
+    scored = chi.select(
+        "source",
+        F.round(F.col("chi2_dec").cast("double"), 6).alias("chi2"),
+        F.round(
+            F.exp(-F.col("chi2_dec").cast("double") / F.lit(2.0)), 6
+        ).alias("p_value"),
+    )
+    # BH step-up over the m-row (one per source) aggregate: global
+    # windows here run over ~20 rows, never the corpus.
+    rk = scored.select(
+        "source", "chi2", "p_value",
+        F.row_number().over(W.orderBy("p_value", "source"))
+        .alias("bh_rank"),
+        F.count("*").over(W.partitionBy()).alias("m"),
+    )
+    thr = F.col("bh_rank").cast("double") * F.lit(0.05) / F.col("m").cast(
+        "double"
+    )
+    fl = rk.withColumn(
+        "pass_rank",
+        F.when(F.col("p_value") <= thr, F.col("bh_rank")).otherwise(
+            F.lit(0)
+        ),
+    )
+    return fl.select(
+        "source", "chi2", "p_value",
+        F.col("bh_rank").cast("long").alias("bh_rank"),
+        F.round(thr, 6).alias("bh_threshold"),
+        F.when(
+            F.col("bh_rank")
+            <= F.max("pass_rank").over(W.partitionBy()),
+            1,
+        ).otherwise(0).cast("long").alias("reject"),
+    )
+
+
+@_register(
+    "jaro_winkler_linkage",
+    oracle="""
+    WITH dirty AS (
+        SELECT p_partkey AS dirty_id,
+               substr(p_name, 1, CAST(p_partkey % (length(p_name) - 1) + 1
+                                      AS INTEGER))
+               || substr(p_name, CAST(p_partkey % (length(p_name) - 1) + 3
+                                      AS INTEGER)) AS dirty_name
+        FROM part WHERE p_partkey % 2 = 1
+    ),
+    cand AS (
+        SELECT d.dirty_id, d.dirty_name, p.p_partkey, p.p_name,
+               ROUND(jaro_winkler_similarity(d.dirty_name, p.p_name), 6)
+                   AS jw
+        FROM dirty d JOIN part p
+          ON substr(d.dirty_name, 1, 1) = substr(p.p_name, 1, 1)
+        WHERE abs(length(d.dirty_name) - length(p.p_name)) <= 3
+          AND ROUND(jaro_winkler_similarity(d.dirty_name, p.p_name), 6)
+              >= 0.9
+    ),
+    best AS (
+        SELECT dirty_id, dirty_name, p_partkey, p_name, jw,
+               ROW_NUMBER() OVER (PARTITION BY dirty_id
+                                  ORDER BY jw DESC, p_partkey) AS rn
+        FROM cand
+    )
+    SELECT dirty_id, dirty_name, p_partkey AS matched_partkey,
+           p_name AS matched_name, jw AS jw_sim
+    FROM best WHERE rn = 1
+    """,
+    doc="Jaro-Winkler record linkage — the NON-EDIT-DISTANCE fuzzy"
+        " matcher (census/MDM heritage; rewards shared prefixes, so"
+        " typos late in a name cost less than early ones — exactly"
+        " where fuzzy_match_blocked_levenshtein's symmetric-delete"
+        " index does NOT apply, since JW similarity is not bounded by"
+        " edit operations). Dirty names (one deterministic mid-string"
+        " deletion per odd part) matched to the catalog: candidates"
+        " blocked on (first char, |len diff| ≤ 3) — sound for JW"
+        " because a first-char mismatch already forfeits the Winkler"
+        " prefix boost — scored by an Arrow-batched SCALAR pandas UDF"
+        " implementing textbook Jaro + Winkler boost (p=0.1, max"
+        " prefix 4, boost only when jaro > 0.7 — verified double-"
+        "exact against DuckDB's jaro_winkler_similarity on every"
+        " candidate pair at sf0.01 AND sf0.1), threshold 0.9, best"
+        " match per dirty row by (jw desc, partkey). The engine"
+        " scores DISTINCT name pairs only (the catalog reuses a"
+        " ~64-name vocabulary, so the UDF sees a vocab² candidate"
+        " set, not rows²) and broadcasts matches back — the"
+        " dedup-then-broadcast ER shape; the oracle replays the naive"
+        " per-row block join, same relation.",
+)
+def jaro_winkler_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.window import Window as W
+
+    part = _t(spark, sf_dir, "part")
+    dirty = part.filter(F.col("p_partkey") % 2 == 1).select(
+        F.col("p_partkey").alias("dirty_id"),
+        F.concat(
+            F.expr("substr(p_name, 1, CAST(p_partkey % (length(p_name) - 1)"
+                   " + 1 AS INT))"),
+            F.expr("substr(p_name, CAST(p_partkey % (length(p_name) - 1)"
+                   " + 3 AS INT))"),
+        ).alias("dirty_name"),
+    )
+
+    @pandas_udf("double", PandasUDFType.SCALAR)
+    def jw_sim(a: pd.Series, b: pd.Series) -> pd.Series:
+        def jaro(s1: str, s2: str) -> float:
+            l1, l2 = len(s1), len(s2)
+            if l1 == 0 and l2 == 0:
+                return 1.0
+            if l1 == 0 or l2 == 0:
+                return 0.0
+            win = max(l1, l2) // 2 - 1
+            if win < 0:
+                win = 0
+            f1 = [False] * l1
+            f2 = [False] * l2
+            m = 0
+            for i, c in enumerate(s1):
+                lo = i - win if i > win else 0
+                hi = min(l2, i + win + 1)
+                for j in range(lo, hi):
+                    if not f2[j] and s2[j] == c:
+                        f1[i] = True
+                        f2[j] = True
+                        m += 1
+                        break
+            if m == 0:
+                return 0.0
+            t = 0
+            k = 0
+            for i in range(l1):
+                if f1[i]:
+                    while not f2[k]:
+                        k += 1
+                    if s1[i] != s2[k]:
+                        t += 1
+                    k += 1
+            t //= 2
+            return (m / l1 + m / l2 + (m - t) / m) / 3.0
+
+        def jw(s1: str, s2: str) -> float:
+            j = jaro(s1, s2)
+            if j <= 0.7:  # Winkler boost threshold (standard)
+                return j
+            p = 0
+            for x, y in zip(s1[:4], s2[:4]):
+                if x != y:
+                    break
+                p += 1
+            return j + p * 0.1 * (1.0 - j)
+
+        return pd.Series([jw(x, y) for x, y in zip(a, b)])
+
+    d_names = dirty.select("dirty_name").distinct()
+    c_names = part.groupBy("p_name").agg(F.min("p_partkey").alias("best_pk"))
+    cand = (
+        d_names.withColumn("fc", F.substring("dirty_name", 1, 1))
+        .join(
+            c_names.withColumn("fc", F.substring("p_name", 1, 1)), "fc"
+        )
+        .filter(F.abs(F.length("dirty_name") - F.length("p_name")) <= 3)
+        .withColumn(
+            "jw", F.round(jw_sim(F.col("dirty_name"), F.col("p_name")), 6)
+        )
+        .filter(F.col("jw") >= 0.9)
+    )
+    best = (
+        cand.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("dirty_name")
+                .orderBy(F.col("jw").desc(), F.col("best_pk"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("dirty_name", "best_pk", "p_name", "jw")
+    )
+    return dirty.join(F.broadcast(best), "dirty_name").select(
+        "dirty_id", "dirty_name",
+        F.col("best_pk").alias("matched_partkey"),
+        F.col("p_name").alias("matched_name"),
+        F.col("jw").alias("jw_sim"),
+    )
