@@ -20221,3 +20221,368 @@ def jaro_winkler_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").alias("matched_name"),
         F.col("jw").alias("jw_sim"),
     )
+
+
+@_register(
+    "kaplan_meier_survival",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               MIN(CAST(epoch_ms(ts) AS BIGINT)) AS first_ms,
+               MIN(CASE WHEN value >= 200
+                        THEN CAST(epoch_ms(ts) AS BIGINT) END) AS hit_ms,
+               MAX(CAST(epoch_ms(ts) AS BIGINT)) AS last_ms
+        FROM events GROUP BY 1
+    ),
+    obs AS (
+        SELECT user_id,
+               CASE WHEN hit_ms IS NOT NULL
+                         AND hit_ms <= first_ms + 604800000
+                    THEN 1 ELSE 0 END AS ev,
+               CASE WHEN hit_ms IS NOT NULL
+                         AND hit_ms <= first_ms + 604800000
+                    THEN (hit_ms - first_ms) // 3600000
+                    ELSE (LEAST(last_ms, first_ms + 604800000)
+                          - first_ms) // 3600000
+               END AS dur
+        FROM u
+    ),
+    grp AS (
+        SELECT dur,
+               CAST(SUM(ev) AS BIGINT) AS d,
+               CAST(SUM(1 - ev) AS BIGINT) AS c
+        FROM obs GROUP BY 1
+    ),
+    risk AS (
+        SELECT dur, d,
+               CAST(SUM(d + c) OVER (ORDER BY dur
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS BIGINT) AS n
+        FROM grp
+    ),
+    idx AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY dur) AS i, dur, d, n FROM risk
+    ),
+    rec AS (
+        WITH RECURSIVE km(i, s) AS (
+            -- base branch fixes the CTE's column types: a bare 1.0
+            -- would type s as DECIMAL(2,1) and round every step back
+            -- to 1.0
+            SELECT CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
+            UNION ALL
+            SELECT idx.i,
+                   km.s * (1.0 - CAST(idx.d AS DOUBLE)
+                                 / CAST(idx.n AS DOUBLE))
+            FROM km JOIN idx ON idx.i = km.i + 1
+        )
+        SELECT * FROM km
+    )
+    SELECT idx.dur AS dur_hours, idx.n AS n_at_risk, idx.d AS d_events,
+           ROUND(rec.s, 6) AS survival
+    FROM idx JOIN rec ON idx.i = rec.i
+    WHERE idx.d > 0
+    """,
+    doc="Kaplan-Meier survival curve for time-to-first-high-value"
+        " event (value ≥ 200) under 7-day administrative censoring —"
+        " THE product-limit estimator for censored time-to-event data"
+        " (churn, time-to-conversion, job completion), which naive"
+        " 'average time to X over converters' gets systematically"
+        " wrong by dropping the censored mass. Per-user first-touch /"
+        " first-hit / last-seen from ONE conditional aggregation"
+        " (integer epoch-ms end to end, hour-resolution durations);"
+        " at-risk counts n_t from a suffix-sum window over the"
+        " hours-sized duration aggregate (≤169 rows — never the fact"
+        " table); the inherently SEQUENTIAL product S(t) = Π(1 −"
+        " d_i/n_i) as an F.aggregate fold over the sorted duration"
+        " array (the holt_exponential_smoothing recipe: a single JVM"
+        " higher-order fold, no driver loop), replayed 1:1 by the"
+        " oracle's recursive CTE so every IEEE multiply matches."
+        " Scale: one shuffle on user_id + an O(hours) fold.",
+)
+def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    u = ev.groupBy("user_id").agg(
+        F.min(ms).alias("first_ms"),
+        F.min(F.when(F.col("value") >= 200, ms)).alias("hit_ms"),
+        F.max(ms).alias("last_ms"),
+    )
+    week = F.lit(604800000)
+    hit = F.col("hit_ms").isNotNull() & (
+        F.col("hit_ms") <= F.col("first_ms") + week
+    )
+    obs = u.select(
+        hit.cast("int").alias("ev"),
+        F.when(
+            hit, (F.col("hit_ms") - F.col("first_ms")) / F.lit(3600000)
+        )
+        .otherwise(
+            (
+                F.least(F.col("last_ms"), F.col("first_ms") + week)
+                - F.col("first_ms")
+            )
+            / F.lit(3600000)
+        )
+        .cast("long")
+        .alias("dur"),
+    )
+    grp = obs.groupBy("dur").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.sum(F.lit(1) - F.col("ev")).cast("long").alias("c"),
+    )
+    # suffix-sum at-risk counts: a window over the ≤169-row duration
+    # aggregate, never the fact table
+    risk = grp.select(
+        "dur", "d",
+        F.sum(F.col("d") + F.col("c"))
+        .over(
+            W.orderBy("dur").rowsBetween(
+                W.currentRow, W.unboundedFollowing
+            )
+        )
+        .cast("long")
+        .alias("n"),
+    )
+    series = risk.agg(
+        F.sort_array(
+            F.collect_list(F.struct("dur", "d", "n"))
+        ).alias("xs")
+    )
+    km = series.select(
+        F.explode(
+            F.expr(
+                "aggregate("
+                "  xs,"
+                "  named_struct("
+                "    's', 1.0D,"
+                "    'out', cast(array() as"
+                "      array<struct<dur:bigint,n:bigint,d:bigint,"
+                "                   s:double>>)),"
+                "  (acc, e) -> named_struct("
+                "    's', acc.s * (1.0D - cast(e.d as double)"
+                "                         / cast(e.n as double)),"
+                "    'out', array_append(acc.out, named_struct("
+                "      'dur', e.dur, 'n', e.n, 'd', e.d,"
+                "      's', acc.s * (1.0D - cast(e.d as double)"
+                "                           / cast(e.n as double))))),"
+                "  acc -> acc.out)"
+            )
+        ).alias("r")
+    )
+    return km.filter(F.col("r.d") > 0).select(
+        F.col("r.dur").alias("dur_hours"),
+        F.col("r.n").alias("n_at_risk"),
+        F.col("r.d").alias("d_events"),
+        F.round(F.col("r.s"), 6).alias("survival"),
+    )
+
+
+@_register(
+    "mantel_haenszel_or",
+    oracle="""
+    WITH joined AS (
+        SELECT o.o_orderpriority AS stratum,
+               CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                   AS exposed,
+               CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END
+                   AS outcome
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    cells AS (
+        SELECT stratum,
+               CAST(SUM(exposed * outcome) AS DOUBLE) AS a,
+               CAST(SUM(exposed * (1 - outcome)) AS DOUBLE) AS b,
+               CAST(SUM((1 - exposed) * outcome) AS DOUBLE) AS c,
+               CAST(SUM((1 - exposed) * (1 - outcome)) AS DOUBLE) AS d,
+               CAST(COUNT(*) AS DOUBLE) AS n
+        FROM joined GROUP BY 1
+    ),
+    mh AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+               SUM(CAST(ROUND(a * d / n, 6) AS DECIMAL(18,6))) AS num,
+               SUM(CAST(ROUND(b * c / n, 6) AS DECIMAL(18,6))) AS den,
+               CAST(SUM(CAST(a AS BIGINT)) AS DOUBLE) AS ta,
+               CAST(SUM(CAST(b AS BIGINT)) AS DOUBLE) AS tb,
+               CAST(SUM(CAST(c AS BIGINT)) AS DOUBLE) AS tc,
+               CAST(SUM(CAST(d AS BIGINT)) AS DOUBLE) AS td
+        FROM cells
+    )
+    SELECT n_strata,
+           ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS or_mh,
+           ROUND(ta * td / (tb * tc), 6) AS or_crude
+    FROM mh
+    """,
+    doc="Mantel-Haenszel pooled odds ratio across order-priority"
+        " strata (exposure: BUILDING market segment; outcome: order"
+        " status F) — the STRATIFIED effect estimate that"
+        " simpsons_paradox_audit motivates: the crude 2×2 OR"
+        " aggregates over strata and can reverse sign under"
+        " confounding, while OR_MH = Σ(a_i·d_i/n_i) / Σ(b_i·c_i/n_i)"
+        " weights each stratum's association by its precision"
+        " (Mantel & Haenszel 1959) — both reported side by side."
+        " One broadcast dim join + one conditional aggregation to"
+        " the 5-row stratum relation; the MH numerator/denominator"
+        " use the per-term exact-decimal sum recipe. Scale: the fact"
+        " scan is the cost; the estimator runs on the stratum"
+        " aggregate.",
+)
+def mantel_haenszel_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        F.col("o_orderpriority").alias("stratum"),
+        (F.col("c_mktsegment") == "BUILDING").cast("int").alias("exposed"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("outcome"),
+    )
+    e = F.col("exposed")
+    o = F.col("outcome")
+    cells = joined.groupBy("stratum").agg(
+        F.sum(e * o).cast("double").alias("a"),
+        F.sum(e * (F.lit(1) - o)).cast("double").alias("b"),
+        F.sum((F.lit(1) - e) * o).cast("double").alias("c"),
+        F.sum((F.lit(1) - e) * (F.lit(1) - o)).cast("double").alias("d"),
+        F.count("*").cast("double").alias("n"),
+    )
+    mh = cells.agg(
+        F.count("*").cast("long").alias("n_strata"),
+        F.sum(
+            F.round(F.col("a") * F.col("d") / F.col("n"), 6)
+            .cast("decimal(18,6)")
+        ).alias("num"),
+        F.sum(
+            F.round(F.col("b") * F.col("c") / F.col("n"), 6)
+            .cast("decimal(18,6)")
+        ).alias("den"),
+        F.sum(F.col("a").cast("long")).cast("double").alias("ta"),
+        F.sum(F.col("b").cast("long")).cast("double").alias("tb"),
+        F.sum(F.col("c").cast("long")).cast("double").alias("tc"),
+        F.sum(F.col("d").cast("long")).cast("double").alias("td"),
+    )
+    return mh.select(
+        "n_strata",
+        F.round(
+            F.col("num").cast("double") / F.col("den").cast("double"), 6
+        ).alias("or_mh"),
+        F.round(
+            F.col("ta") * F.col("td") / (F.col("tb") * F.col("tc")), 6
+        ).alias("or_crude"),
+    )
+
+
+@_register(
+    "adamic_adar_link_prediction",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+            AS emb
+        FROM embeddings
+    ),
+    nrm AS (
+        SELECT vec_id, emb, sqrt({_DOT_SQL.format(a='emb', b='emb')}) AS n
+        FROM e
+    ),
+    p AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib
+        FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
+        WHERE {_DOT_SQL.format(a='a.emb', b='b.emb')} / (a.n * b.n) >= 0.4
+    ),
+    edges AS (
+        SELECT ia AS u, ib AS v FROM p UNION SELECT ib, ia FROM p
+    ),
+    deg AS (SELECT u AS v, CAST(COUNT(*) AS BIGINT) AS dv
+            FROM edges GROUP BY 1),
+    two_path AS (
+        SELECT e1.u AS u, e2.v AS w, e1.v AS mid
+        FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+        WHERE e1.u < e2.v
+    ),
+    scored AS (
+        SELECT t.u, t.w,
+               CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+               CAST(SUM(CAST(ROUND(1.0 / LN(CAST(d.dv AS DOUBLE)), 6)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS aa_score
+        FROM two_path t JOIN deg d ON t.mid = d.v
+        WHERE NOT EXISTS (
+            SELECT 1 FROM edges e WHERE e.u = t.u AND e.v = t.w
+        )
+        GROUP BY 1, 2
+    )
+    SELECT u AS vec_u, w AS vec_w, common_neighbors,
+           ROUND(aa_score, 6) AS aa_score
+    FROM scored
+    ORDER BY aa_score DESC, u, w LIMIT 20
+    """,
+    doc="Adamic-Adar link prediction over the embedding cosine graph"
+        " (cosine >= 0.4, embedding_near_dup's pair relation) -- the"
+        " classic common-neighbor index (Adamic & Adar 2003) behind"
+        " 'people you may know'-style candidate generation, here"
+        " surfacing NON-adjacent vector pairs that share neighbors:"
+        " for each open 2-path u-v-w, score = sum 1/ln(deg(v)) --"
+        " rare shared neighbors count more than promiscuous hubs"
+        " (every common neighbor has deg >= 2 by construction, so ln"
+        " never hits 0). The cosine graph is the right substrate: the"
+        " MinHash-LSH near-dup graph is transitively-closed cliques"
+        " (no open 2-paths, by construction), while a metric-"
+        "threshold graph is non-transitive exactly where link"
+        " prediction is informative. One self-join of the sparse"
+        " edge list on the middle node, a broadcast degree attach,"
+        " an anti-join against existing edges, and a TakeOrdered"
+        " top-20 by (score, u, w) -- no global sort. The 1/ln terms"
+        " use the per-term exact-decimal sum recipe. Scale: sum of"
+        " deg(v)^2 two-paths -- bounded because metric edges are"
+        " threshold-sparse; a hub cap (sparse_tfidf_allpairs'"
+        " df<=100 discipline) is the lever if a mega-hub appears.",
+)
+def adamic_adar_link_prediction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_pairs_blas_tiled(emb, threshold=0.4)
+    edges = pairs.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).union(
+        pairs.select(
+            F.col("id_b").alias("u"), F.col("id_a").alias("v")
+        )
+    ).distinct()
+    deg = edges.groupBy(F.col("u").alias("mid")).agg(
+        F.count("*").cast("long").alias("dv")
+    )
+    e1 = edges.select(F.col("u"), F.col("v").alias("mid"))
+    e2 = edges.select(F.col("u").alias("mid"), F.col("v").alias("w"))
+    two_path = e1.join(e2, "mid").filter(F.col("u") < F.col("w"))
+    non_adj = two_path.join(
+        edges.select(F.col("u"), F.col("v").alias("w")),
+        ["u", "w"],
+        "left_anti",
+    )
+    scored = (
+        non_adj.join(F.broadcast(deg), "mid")
+        .groupBy("u", "w")
+        .agg(
+            F.count("*").cast("long").alias("common_neighbors"),
+            F.sum(
+                F.round(
+                    F.lit(1.0) / F.log(F.col("dv").cast("double")), 6
+                ).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("aa_raw"),
+        )
+    )
+    return (
+        scored.select(
+            F.col("u").alias("vec_u"),
+            F.col("w").alias("vec_w"),
+            "common_neighbors",
+            F.round(F.col("aa_raw"), 6).alias("aa_score"),
+        )
+        .orderBy(
+            F.col("aa_score").desc(), F.col("vec_u"), F.col("vec_w")
+        )
+        .limit(20)
+    )
