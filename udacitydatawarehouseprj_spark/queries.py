@@ -20586,3 +20586,200 @@ def adamic_adar_link_prediction(
         )
         .limit(20)
     )
+
+
+@_register(
+    "dbscan_grid_clusters",
+    oracle="""
+    WITH n1 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_pts FROM customer),
+    ee AS (SELECT LEAST(0.45, 400.0 / n_pts) AS e FROM n1),
+    pts AS (
+        SELECT c_custkey AS pid, c_acctbal / 1000.0 AS x,
+               CAST(c_nationkey AS DOUBLE) AS y, c_nationkey AS nk
+        FROM customer
+    ),
+    nbr AS (
+        SELECT a.pid, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM pts a, pts b, ee
+        WHERE a.nk = b.nk
+          AND (a.x - b.x) * (a.x - b.x)
+              + (a.y - b.y) * (a.y - b.y) <= e * e
+        GROUP BY 1
+    ),
+    core_pts AS (
+        SELECT p.pid, p.x, p.nk
+        FROM pts p JOIN nbr USING (pid) WHERE nbr.cnt >= 5
+    ),
+    ord_c AS (
+        SELECT pid, x, nk,
+               lag(x) OVER (PARTITION BY nk ORDER BY x, pid) AS px
+        FROM core_pts
+    ),
+    brk AS (
+        SELECT pid, x, nk,
+               CASE WHEN px IS NULL
+                         OR (x - px) * (x - px) > (SELECT e * e FROM ee)
+                    THEN 1 ELSE 0 END AS new_c
+        FROM ord_c
+    ),
+    isl AS (
+        SELECT pid, x, nk,
+               SUM(new_c) OVER (PARTITION BY nk ORDER BY x, pid
+                                ROWS UNBOUNDED PRECEDING) AS isl_id
+        FROM brk
+    ),
+    clus AS (
+        SELECT pid, x, nk, isl_id,
+               CAST(MIN(pid) OVER (PARTITION BY nk, isl_id) AS BIGINT)
+                   AS cluster
+        FROM isl
+    ),
+    border AS (
+        SELECT p.pid, MIN(c.cluster) AS cluster
+        FROM pts p JOIN clus c ON p.nk = c.nk, ee
+        WHERE p.pid NOT IN (SELECT pid FROM core_pts)
+          AND (p.x - c.x) * (p.x - c.x) <= e * e
+        GROUP BY 1
+    )
+    SELECT pid AS c_custkey, 'core' AS role, cluster FROM clus
+    UNION ALL
+    SELECT pid, 'border', cluster FROM border
+    UNION ALL
+    SELECT pid, 'noise', CAST(-1 AS BIGINT) FROM pts
+    WHERE pid NOT IN (SELECT pid FROM clus)
+      AND pid NOT IN (SELECT pid FROM border)
+    """,
+    doc="DBSCAN density clustering (Ester et al. 1996) over customers"
+        " in (acctbal/1000, nationkey) space — eps = min(0.45, 400/N)"
+        " adapting to density, minPts = 5 incl. self — the"
+        " noise-aware clustering family kmeans can't express (kmeans"
+        " assigns EVERY point; DBSCAN separates core / border /"
+        " noise, the right semantics for outlier-laden telemetry)."
+        " The engine is the GENERIC distributed shape: points hashed"
+        " to an eps-sized grid, candidate pairs from the 9-cell"
+        " neighborhood join (complete for any 2D data by the grid"
+        " triangle inequality — no O(N²) pair scan), neighbor counts"
+        " → core flags, core-core eps-edges → "
+        " connected_components_minlabel (pointer-doubling, O(log"
+        " diameter) rounds), borders attached to MIN(component of a"
+        " core within eps), the candidate relation built once and"
+        " query-boundary-cached. The ORACLE replays the identical"
+        " relation by exploiting this dataset's geometry: bands 1.0"
+        " apart in y can never interact (eps ≤ 0.45), so per-band"
+        " DBSCAN collapses to gaps-and-islands over sorted core"
+        " points — consecutive-core gap > eps ⇔ component break —"
+        " with every distance compared in the SAME squared-double"
+        " arithmetic the engine uses. Scale: shuffle is the grid"
+        " hash + the sparse core graph; cell size = eps bounds"
+        " per-cell fan-out wherever density is bounded.",
+)
+def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacitydatawarehouseprj_spark.operators import graph
+
+    cust = _t(spark, sf_dir, "customer")
+    n1 = cust.agg(F.count("*").cast("double").alias("n_pts"))
+    pts = (
+        cust.select(
+            F.col("c_custkey").alias("pid"),
+            (F.col("c_acctbal") / F.lit(1000.0)).alias("x"),
+            F.col("c_nationkey").cast("double").alias("y"),
+        )
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "pid", "x", "y",
+            F.least(F.lit(0.45), F.lit(400.0) / F.col("n_pts"))
+            .alias("eps"),
+        )
+    )
+    cell = pts.select(
+        "pid", "x", "y", "eps",
+        F.floor(F.col("x") / F.col("eps")).cast("long").alias("cx"),
+        F.floor(F.col("y") / F.col("eps")).cast("long").alias("cy"),
+    )
+    a = cell.select(
+        F.col("pid").alias("pid_a"), F.col("x").alias("xa"),
+        F.col("y").alias("ya"), "eps", "cx", "cy",
+    )
+    b9 = (
+        cell.select(
+            F.col("pid").alias("pid_b"), F.col("x").alias("xb"),
+            F.col("y").alias("yb"), "cx", "cy",
+        )
+        .withColumn(
+            "dxo", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+        )
+        .withColumn(
+            "dyo", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+        )
+        .select(
+            "pid_b", "xb", "yb",
+            (F.col("cx") + F.col("dxo")).alias("cx"),
+            (F.col("cy") + F.col("dyo")).alias("cy"),
+        )
+    )
+    dist2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    # candidate relation built once, reused for counts, the core
+    # graph, and border attachment; released at the query boundary
+    cand = S.track_cache(
+        a.join(b9, ["cx", "cy"]).filter(
+            dist2 <= F.col("eps") * F.col("eps")
+        ).select("pid_a", "pid_b")
+    )
+    ncnt = cand.groupBy("pid_a").agg(F.count("*").alias("cnt"))
+    cores = ncnt.filter(F.col("cnt") >= 5).select(
+        F.col("pid_a").alias("pid")
+    )
+    core_edges = (
+        cand.filter(F.col("pid_a") < F.col("pid_b"))
+        .join(cores.withColumnRenamed("pid", "pid_a"), "pid_a")
+        .join(cores.withColumnRenamed("pid", "pid_b"), "pid_b")
+        .select(F.col("pid_a").alias("a"), F.col("pid_b").alias("b"))
+    )
+    comp = graph.connected_components_minlabel(
+        cores.withColumnRenamed("pid", "n"),
+        core_edges,
+        id_col="n",
+    ).select(
+        F.col("n").alias("pid"),
+        F.col("component").cast("long").alias("cluster"),
+    )
+    core_rows = comp.select(
+        F.col("pid").alias("c_custkey"),
+        F.lit("core").alias("role"),
+        "cluster",
+    )
+    border_rows = (
+        cand.filter(F.col("pid_a") != F.col("pid_b"))
+        .join(cores.withColumnRenamed("pid", "pid_a"), "pid_a", "left_anti")
+        .join(
+            comp.select(
+                F.col("pid").alias("pid_b"), F.col("cluster")
+            ),
+            "pid_b",
+        )
+        .groupBy("pid_a")
+        .agg(F.min("cluster").alias("cluster"))
+        .select(
+            F.col("pid_a").alias("c_custkey"),
+            F.lit("border").alias("role"),
+            "cluster",
+        )
+    )
+    assigned = core_rows.select("c_custkey").union(
+        border_rows.select("c_custkey")
+    )
+    noise_rows = (
+        pts.join(
+            assigned.withColumnRenamed("c_custkey", "pid"),
+            "pid",
+            "left_anti",
+        )
+        .select(
+            F.col("pid").alias("c_custkey"),
+            F.lit("noise").alias("role"),
+            F.lit(-1).cast("long").alias("cluster"),
+        )
+    )
+    return core_rows.union(border_rows).union(noise_rows)
