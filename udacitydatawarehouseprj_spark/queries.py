@@ -20783,3 +20783,362 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return core_rows.union(border_rows).union(noise_rows)
+
+
+@_register(
+    "levene_brown_forsythe",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    z AS (
+        SELECT e.event_type,
+               CAST(ROUND(ABS(e.value - m.med), 4) AS DECIMAL(38,4)) AS z
+        FROM events e JOIN med m USING (event_type)
+        WHERE e.value IS NOT NULL
+    ),
+    g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(z) AS s,
+               SUM(z * z) AS q
+        FROM z GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nn,
+               CAST(SUM(s) AS DOUBLE) AS ts,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM g
+    ),
+    parts AS (
+        SELECT tot.nn, tot.k,
+               CAST(CAST(ROUND(SUM(CAST(ROUND(
+                   g.n * (CAST(g.s AS DOUBLE) / g.n - tot.ts / tot.nn)
+                       * (CAST(g.s AS DOUBLE) / g.n - tot.ts / tot.nn), 6)
+                   AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE)
+                   AS ssb,
+               CAST(CAST(ROUND(SUM(CAST(ROUND(
+                   CAST(g.q AS DOUBLE)
+                   - CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE) / g.n, 6)
+                   AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE)
+                   AS ssw
+        FROM g, tot GROUP BY 1, 2
+    )
+    SELECT nn AS n, k,
+           ROUND((ssb / (k - 1)) / (ssw / (nn - k)), 6) AS w_stat
+    FROM parts
+    """,
+    doc="Levene's test, Brown-Forsythe variant — homogeneity of"
+        " VARIANCE across event-type groups, the assumption check"
+        " anova_oneway_f silently leans on (classic ANOVA is"
+        " anti-robust to unequal variances with unequal group sizes):"
+        " W = the one-way ANOVA F computed on z = |x − group MEDIAN|"
+        " (median-centering — Brown & Forsythe 1974 — keeps the test"
+        " robust where mean-centered Levene inherits the outliers it"
+        " is testing for). Group medians via exact percentile rounded"
+        " to 6dp (the mad_outlier_filter idiom), z rounded to an"
+        " exact decimal(38,4) so every downstream moment is the"
+        " anova_oneway_f recipe verbatim: per-group (n, Σz, Σz²)"
+        " exact decimals, per-group terms rounded before the k-term"
+        " cross-group sum. Scale: one percentile pass + one"
+        " map-side-combining moment scan; everything after is O(k).",
+)
+def levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    dec = "decimal(38,4)"
+    z = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.round(F.abs(F.col("value") - F.col("med")), 4).cast(dec)
+        .alias("z"),
+    )
+    g = z.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("z").alias("s"),
+        F.sum(F.col("z") * F.col("z")).alias("q"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s").cast("double").alias("ts"),
+        F.count("*").cast("long").alias("k"),
+    )
+    gm = F.col("ts") / F.col("nn")
+    mg = F.col("s").cast("double") / F.col("n")
+    parts = g.crossJoin(F.broadcast(tot)).groupBy("nn", "k").agg(
+        _dsum(F.round(F.col("n") * (mg - gm) * (mg - gm), 6)).alias("ssb"),
+        _dsum(
+            F.round(
+                F.col("q").cast("double")
+                - F.col("s").cast("double") * F.col("s").cast("double")
+                / F.col("n"), 6
+            )
+        ).alias("ssw"),
+    )
+    return parts.select(
+        F.col("nn").alias("n"), "k",
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("nn") - F.col("k"))), 6
+        ).alias("w_stat"),
+    )
+
+
+@_register(
+    "mcnemar_paired_test",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               MAX(CASE WHEN value >= 200 AND day(ts) <= 15
+                        THEN 1 ELSE 0 END) AS p1,
+               MAX(CASE WHEN value >= 200 AND day(ts) > 15
+                        THEN 1 ELSE 0 END) AS p2
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(p1 * p2) AS BIGINT) AS both_halves,
+           CAST(SUM(p1 * (1 - p2)) AS BIGINT) AS first_only,
+           CAST(SUM((1 - p1) * p2) AS BIGINT) AS second_only,
+           ROUND(CAST(SUM(p1 * (1 - p2)) - SUM((1 - p1) * p2) AS DOUBLE)
+                 * CAST(SUM(p1 * (1 - p2)) - SUM((1 - p1) * p2) AS DOUBLE)
+                 / CAST(SUM(p1 * (1 - p2)) + SUM((1 - p1) * p2) AS DOUBLE),
+                 6) AS chi2,
+           ROUND((ABS(CAST(SUM(p1 * (1 - p2)) - SUM((1 - p1) * p2)
+                           AS DOUBLE)) - 1.0)
+                 * (ABS(CAST(SUM(p1 * (1 - p2)) - SUM((1 - p1) * p2)
+                             AS DOUBLE)) - 1.0)
+                 / CAST(SUM(p1 * (1 - p2)) + SUM((1 - p1) * p2) AS DOUBLE),
+                 6) AS chi2_cc
+    FROM u
+    """,
+    doc="McNemar's test on PAIRED per-user binary outcomes — did the"
+        " same user hit a high-value event (≥200) in the first vs"
+        " second half of the month — the within-subject test that"
+        " ab_test_two_proportion (independent groups) gets WRONG on"
+        " paired designs: only the discordant cells carry signal,"
+        " χ² = (b−c)²/(b+c), reported with and without the Edwards"
+        " continuity correction (|b−c|−1)²/(b+c). One conditional"
+        " aggregation to per-user flags, one 1-row closed form —"
+        " the pattern for before/after model-version comparisons on"
+        " the same eval set. Scale: one shuffle on user_id, then"
+        " O(1).",
+)
+def mcnemar_paired_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("value") >= 200) & (F.dayofmonth(ts) <= 15), 1
+            ).otherwise(0)
+        ).alias("p1"),
+        F.max(
+            F.when(
+                (F.col("value") >= 200) & (F.dayofmonth(ts) > 15), 1
+            ).otherwise(0)
+        ).alias("p2"),
+    )
+    s = u.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(F.col("p1") * F.col("p2")).cast("long").alias("both_halves"),
+        F.sum(F.col("p1") * (F.lit(1) - F.col("p2"))).cast("long")
+        .alias("first_only"),
+        F.sum((F.lit(1) - F.col("p1")) * F.col("p2")).cast("long")
+        .alias("second_only"),
+    )
+    b = F.col("first_only").cast("double")
+    c = F.col("second_only").cast("double")
+    return s.select(
+        "n_users", "both_halves", "first_only", "second_only",
+        F.round((b - c) * (b - c) / (b + c), 6).alias("chi2"),
+        F.round(
+            (F.abs(b - c) - F.lit(1.0)) * (F.abs(b - c) - F.lit(1.0))
+            / (b + c), 6
+        ).alias("chi2_cc"),
+    )
+
+
+@_register(
+    "kendall_tau_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE)
+                   / COUNT(*) AS x,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    idx AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, x, y FROM daily
+    ),
+    pairs AS (
+        SELECT CASE WHEN (a.x < b.x AND a.y < b.y)
+                      OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END AS con,
+               CASE WHEN (a.x < b.x AND a.y > b.y)
+                      OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END AS dis,
+               CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+               CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+        FROM idx a JOIN idx b ON a.i < b.i
+    ),
+    s AS (
+        SELECT CAST((SELECT COUNT(*) FROM idx) AS BIGINT) AS n_days,
+               CAST(SUM(con) AS BIGINT) AS c,
+               CAST(SUM(dis) AS BIGINT) AS d,
+               CAST(SUM(tx) AS BIGINT) AS n1,
+               CAST(SUM(ty) AS BIGINT) AS n2,
+               CAST(COUNT(*) AS BIGINT) AS n0
+        FROM pairs
+    )
+    SELECT n_days, c AS concordant, d AS discordant,
+           ROUND(CAST(c - d AS DOUBLE)
+                 / sqrt(CAST(n0 - n1 AS DOUBLE)
+                        * CAST(n0 - n2 AS DOUBLE)), 6) AS tau_b
+    FROM s
+    """,
+    doc="Kendall's τ-b between daily mean event value and daily event"
+        " count — the concordance-based correlation"
+        " (spearman_rank_correlation's sibling with direct"
+        " probabilistic reading: P(concordant) − P(discordant)),"
+        " tie-corrected via τ-b = (C−D)/√((n₀−n₁)(n₀−n₂)). The fact"
+        " table collapses to the days-sized series FIRST (the"
+        " theil_sen_slope discipline), so the O(days²) pair"
+        " classification is calendar-bounded — a year is ~66k pairs"
+        " of pure integer counting; only the final ratio is a"
+        " double. Scale: one aggregation; the estimator is free at"
+        " any corpus size.",
+)
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        F.to_date(F.col("ts").cast("timestamp")).alias("day")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(38,4)")).cast("double")
+            / F.count("*")
+        ).alias("x"),
+        F.count("*").cast("long").alias("y"),
+    )
+    a = daily.select(
+        F.col("day").alias("da"), F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+    )
+    b = daily.select(
+        F.col("day").alias("db"), F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+    )
+    pairs = a.join(b, F.col("da") < F.col("db"))
+    con = (
+        ((F.col("xa") < F.col("xb")) & (F.col("ya") < F.col("yb")))
+        | ((F.col("xa") > F.col("xb")) & (F.col("ya") > F.col("yb")))
+    ).cast("int")
+    dis = (
+        ((F.col("xa") < F.col("xb")) & (F.col("ya") > F.col("yb")))
+        | ((F.col("xa") > F.col("xb")) & (F.col("ya") < F.col("yb")))
+    ).cast("int")
+    tx = (F.col("xa") == F.col("xb")).cast("int")
+    ty = (F.col("ya") == F.col("yb")).cast("int")
+    nd = daily.agg(F.count("*").cast("long").alias("n_days"))
+    s = pairs.agg(
+        F.sum(con).cast("long").alias("c"),
+        F.sum(dis).cast("long").alias("d"),
+        F.sum(tx).cast("long").alias("n1"),
+        F.sum(ty).cast("long").alias("n2"),
+        F.count("*").cast("long").alias("n0"),
+    ).crossJoin(F.broadcast(nd))
+    return s.select(
+        "n_days",
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.round(
+            (F.col("c") - F.col("d")).cast("double")
+            / F.sqrt(
+                (F.col("n0") - F.col("n1")).cast("double")
+                * (F.col("n0") - F.col("n2")).cast("double")
+            ), 6
+        ).alias("tau_b"),
+    )
+
+
+@_register(
+    "chao1_vocab_richness",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+        FROM documents
+    ),
+    bg AS (
+        SELECT array_to_string(t[i:i+1], ' ') AS b
+        FROM toks, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS r(i)
+    ),
+    f AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY 1),
+    s AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS d,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS f1,
+               CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS f2
+        FROM f
+    )
+    SELECT n AS n_bigrams, d AS d_observed, f1, f2,
+           ROUND(CAST(d AS DOUBLE)
+                 + CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE)
+                   / (2.0 * CAST(f2 + 1 AS DOUBLE)), 6) AS chao1,
+           ROUND(CAST(f1 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS unseen_mass
+    FROM s
+    """,
+    doc="Chao1 species-richness estimate + Good-Turing unseen mass"
+        " over word-BIGRAM types — 'how much vocabulary haven't we"
+        " crawled yet', the coverage question behind corpus-growth"
+        " planning that heaps_law_fit answers by curve-fitting and"
+        " Chao1 answers from ONE sample's frequency-of-frequencies:"
+        " Ĉhao1 = D + f₁(f₁−1)/(2(f₂+1)) (bias-corrected form, safe"
+        " at f₂=0) where f₁/f₂ are singleton/doubleton type counts;"
+        " the Good-Turing mass f₁/N estimates the probability the"
+        " NEXT bigram drawn is novel. Bigrams, not unigrams — this"
+        " corpus's unigram vocabulary is CLOSED (every type seen"
+        " twice+; f₁=0 degenerates the estimator), the standard"
+        " small-template-corpus hazard. One explode + two"
+        " aggregations, all integer until the closed form. Scale:"
+        " the frequency table is the shuffle; frequency-of-"
+        "frequencies is O(distinct types).",
+)
+def chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.split(F.lower(F.col("text")), r"\s+").alias("t")
+    )
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+                " (x, i) -> concat(x, ' ', t[i + 1]))"
+            )
+        ).alias("b")
+    )
+    f = bg.groupBy("b").agg(F.count("*").cast("long").alias("c"))
+    s = f.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("d"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long")
+        .alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long")
+        .alias("f2"),
+    )
+    return s.select(
+        F.col("n").alias("n_bigrams"),
+        F.col("d").alias("d_observed"),
+        "f1", "f2",
+        F.round(
+            F.col("d").cast("double")
+            + F.col("f1").cast("double")
+            * (F.col("f1") - 1).cast("double")
+            / (F.lit(2.0) * (F.col("f2") + 1).cast("double")), 6
+        ).alias("chao1"),
+        F.round(
+            F.col("f1").cast("double") / F.col("n").cast("double"), 6
+        ).alias("unseen_mass"),
+    )
