@@ -21142,3 +21142,308 @@ def chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("f1").cast("double") / F.col("n").cast("double"), 6
         ).alias("unseen_mass"),
     )
+
+
+@_register(
+    "ridge_regression_closed_form",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(date_part('hour', ts) AS BIGINT) AS x1,
+               -- DuckDB dayofweek is 0=Sun..6=Sat; Spark is 1=Sun..7=Sat
+               CAST(dayofweek(ts) + 1 AS BIGINT) AS x2,
+               CAST(value AS DECIMAL(38,4)) AS y
+        FROM events WHERE value IS NOT NULL
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(x1) AS DOUBLE) AS s1,
+               CAST(SUM(x2) AS DOUBLE) AS s2,
+               CAST(SUM(x1 * x1) AS DOUBLE) AS s11,
+               CAST(SUM(x2 * x2) AS DOUBLE) AS s22,
+               CAST(SUM(x1 * x2) AS DOUBLE) AS s12,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x1 * y) AS DOUBLE) AS s1y,
+               CAST(SUM(x2 * y) AS DOUBLE) AS s2y
+        FROM base
+    ),
+    a AS (
+        SELECT n, sy, s1y, s2y, s1, s2, s12,
+               s11 + 1000.0 AS a22, s22 + 1000.0 AS a33
+        FROM m
+    ),
+    d AS (
+        SELECT n, sy, s1y, s2y, s1, s2, s12, a22, a33,
+               n * (a22 * a33 - s12 * s12)
+                 - s1 * (s1 * a33 - s12 * s2)
+                 + s2 * (s1 * s12 - a22 * s2) AS det
+        FROM a
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND((sy * (a22 * a33 - s12 * s12)
+                  - s1 * (s1y * a33 - s12 * s2y)
+                  + s2 * (s1y * s12 - a22 * s2y)) / det, 6) AS beta0,
+           ROUND((n * (s1y * a33 - s2y * s12)
+                  - sy * (s1 * a33 - s12 * s2)
+                  + s2 * (s1 * s2y - s1y * s2)) / det, 6) AS beta1,
+           ROUND((n * (a22 * s2y - s12 * s1y)
+                  - s1 * (s1 * s2y - s1y * s2)
+                  + sy * (s1 * s12 - a22 * s2)) / det, 6) AS beta2
+    FROM d
+    """,
+    doc="Ridge regression in CLOSED FORM — value ~ hour-of-day +"
+        " day-of-week with L2 penalty λ=1000 on the non-intercept"
+        " coefficients: (X'X + λI)β = X'y solved by Cramer's rule on"
+        " the 3×3 normal equations, the distributed-regression shape"
+        " that needs exactly ONE pass (nine sufficient moments, all"
+        " EXACT — integer features in bigint, feature×target products"
+        " in decimal(38,4)) and zero iteration — the moments are"
+        " map-side combinable, so at 100 TB this is a single"
+        " aggregation regardless of row count (linreg_by_group is the"
+        " unpenalized 1-feature sibling; the determinant arithmetic"
+        " runs on identical doubles in both engines). λ stabilizes"
+        " the solve when features are collinear — nominal at this"
+        " n, structural in the formula.",
+)
+def ridge_regression_closed_form(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ts = F.col("ts").cast("timestamp")
+    base = ev.select(
+        F.hour(ts).cast("long").alias("x1"),
+        F.dayofweek(ts).cast("long").alias("x2"),
+        F.col("value").cast("decimal(38,4)").alias("y"),
+    )
+    m = base.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x1").cast("double").alias("s1"),
+        F.sum("x2").cast("double").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("s12"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast("double").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("double").alias("s2y"),
+    )
+    a = m.withColumn("a22", F.col("s11") + F.lit(1000.0)).withColumn(
+        "a33", F.col("s22") + F.lit(1000.0)
+    )
+    n, s1, s2, s12 = F.col("n"), F.col("s1"), F.col("s2"), F.col("s12")
+    a22, a33 = F.col("a22"), F.col("a33")
+    sy, s1y, s2y = F.col("sy"), F.col("s1y"), F.col("s2y")
+    d = a.withColumn(
+        "det",
+        n * (a22 * a33 - s12 * s12)
+        - s1 * (s1 * a33 - s12 * s2)
+        + s2 * (s1 * s12 - a22 * s2),
+    )
+    det = F.col("det")
+    return d.select(
+        n.cast("long").alias("n"),
+        F.round(
+            (
+                sy * (a22 * a33 - s12 * s12)
+                - s1 * (s1y * a33 - s12 * s2y)
+                + s2 * (s1y * s12 - a22 * s2y)
+            )
+            / det, 6
+        ).alias("beta0"),
+        F.round(
+            (
+                n * (s1y * a33 - s2y * s12)
+                - sy * (s1 * a33 - s12 * s2)
+                + s2 * (s1 * s2y - s1y * s2)
+            )
+            / det, 6
+        ).alias("beta1"),
+        F.round(
+            (
+                n * (a22 * s2y - s12 * s1y)
+                - s1 * (s1 * s2y - s1y * s2)
+                + sy * (s1 * s12 - a22 * s2)
+            )
+            / det, 6
+        ).alias("beta2"),
+    )
+
+
+@_register(
+    "mixture_epoch_plan",
+    oracle="""
+    WITH toks AS (
+        SELECT source,
+               CAST(SUM(len(string_split_regex(lower(text), '\\s+')))
+                    AS BIGINT) AS t_s
+        FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(t_s) AS BIGINT) AS t FROM toks),
+    wts AS (
+        SELECT source, t_s,
+               CAST(ROUND(
+                   sqrt(CAST(t_s AS DOUBLE) / CAST(tot.t AS DOUBLE))
+                   * sqrt(sqrt(CAST(t_s AS DOUBLE)
+                               / CAST(tot.t AS DOUBLE))), 12)
+                   AS DECIMAL(18,12)) AS w_dec
+        FROM toks CROSS JOIN tot
+    ),
+    norm AS (SELECT SUM(w_dec) AS w_sum FROM wts)
+    SELECT w.source,
+           w.t_s AS tokens,
+           ROUND(CAST(w.w_dec AS DOUBLE) / CAST(norm.w_sum AS DOUBLE), 6)
+               AS weight,
+           ROUND(CAST(w.w_dec AS DOUBLE) / CAST(norm.w_sum AS DOUBLE)
+                 * 3.0 * CAST(tot.t AS DOUBLE) / CAST(w.t_s AS DOUBLE),
+                 4) AS epochs,
+           CAST(CASE WHEN CAST(w.w_dec AS DOUBLE)
+                          / CAST(norm.w_sum AS DOUBLE)
+                          * 3.0 * CAST(tot.t AS DOUBLE)
+                          / CAST(w.t_s AS DOUBLE) > 4.0
+                THEN 1 ELSE 0 END AS BIGINT) AS over_epoch_cap
+    FROM wts w CROSS JOIN norm CROSS JOIN tot
+    """,
+    doc="Training-mixture epoch plan under a token budget — the"
+        " capacity-planning half of temperature mixing"
+        " (temperature_mix_sources SAMPLES the mixture; this query"
+        " answers 'how many EPOCHS does each source repeat if we"
+        " train for 3× the corpus' — the repetition ledger behind"
+        " data-constrained scaling analyses, where >4 epochs of a"
+        " source is the canonical diminishing-returns red flag)."
+        " Token counts per source in one scan; τ = 0.75 temperature"
+        " weights computed as √x·√√x — sqrt is IEEE-correctly-"
+        "rounded in BOTH engines, so the tempered weight needs no"
+        " pow() and no cross-engine tolerance — normalized via the"
+        " DECIMAL(18,12) order-free sum; epochs_s = w_s·B/t_s with"
+        " budget B = 3·total. Scale: one token-count scan; the plan"
+        " is O(sources).",
+)
+def mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.lower(F.col("text")), r"\s+")))
+        .cast("long")
+        .alias("t_s")
+    )
+    tot = toks.agg(F.sum("t_s").cast("long").alias("t"))
+    share = F.col("t_s").cast("double") / F.col("t").cast("double")
+    wts = toks.crossJoin(F.broadcast(tot)).select(
+        "source", "t_s", "t",
+        F.round(F.sqrt(share) * F.sqrt(F.sqrt(share)), 12)
+        .cast("decimal(18,12)")
+        .alias("w_dec"),
+    )
+    norm = wts.agg(F.sum("w_dec").alias("w_sum"))
+    weight = F.col("w_dec").cast("double") / F.col("w_sum").cast("double")
+    epochs = (
+        weight * F.lit(3.0) * F.col("t").cast("double")
+        / F.col("t_s").cast("double")
+    )
+    return wts.crossJoin(F.broadcast(norm)).select(
+        "source",
+        F.col("t_s").alias("tokens"),
+        F.round(weight, 6).alias("weight"),
+        F.round(epochs, 4).alias("epochs"),
+        F.when(epochs > 4.0, 1).otherwise(0).cast("long")
+        .alias("over_epoch_cap"),
+    )
+
+
+@_register(
+    "qte_decile_effects",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, event_type, value FROM events
+        WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL
+    ),
+    r AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rnk
+        FROM base
+    ),
+    n AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_g
+        FROM base GROUP BY 1
+    ),
+    grid AS (
+        SELECT n.event_type, k.k,
+               CAST(ceil(CAST(k.k AS DOUBLE) / 10.0
+                         * CAST(n.n_g AS DOUBLE)) AS BIGINT) AS pick
+        FROM n, (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) AS k(k)
+    ),
+    vals AS (
+        SELECT g.k, g.event_type, r.value
+        FROM grid g JOIN r
+          ON r.event_type = g.event_type AND r.rnk = g.pick
+    )
+    SELECT CAST(k AS BIGINT) AS decile,
+           ROUND(MAX(CASE WHEN event_type = 'purchase' THEN value END),
+                 6) AS v_treated,
+           ROUND(MAX(CASE WHEN event_type = 'view' THEN value END), 6)
+               AS v_control,
+           ROUND(MAX(CASE WHEN event_type = 'purchase' THEN value END)
+                 - MAX(CASE WHEN event_type = 'view' THEN value END), 6)
+               AS qte
+    FROM vals GROUP BY 1
+    """,
+    doc="Quantile treatment effects at deciles — purchase vs view"
+        " value distributions compared at MATCHED quantiles, the"
+        " distributional effect readout that diff_in_diff_estimator's"
+        " and welch_t_test's mean effects wash out (a treatment that"
+        " lifts the top decile and hurts the bottom nets to zero in"
+        " the mean): per-group exact percentile_disc picks at k/10"
+        " via ceil-rank over a unique (value, event_id) total order —"
+        " the conversion_latency_percentiles discipline, ranks from"
+        " the two-pass blocked row_number so no single-partition sort"
+        " — then a 9-row pivot of treated/control values and their"
+        " paired differences. Scale: one blocked-rank pass per group"
+        " + an O(1) grid join.",
+)
+def qte_decile_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+        & F.col("value").isNotNull()
+    )
+    base = ev.select("event_id", "event_type", "value")
+    r = rel.exact_distributed_rank(
+        base,
+        F.floor(F.col("value") / 10).cast("long"),
+        [F.col("value").asc(), F.col("event_id").asc()],
+        partition=["event_type"],
+        rank_col="rnk",
+    )
+    n = base.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_g")
+    )
+    grid = n.select(
+        F.col("event_type").alias("g_et"), "n_g",
+        F.explode(
+            F.array(*[F.lit(k) for k in range(1, 10)])
+        ).alias("k"),
+    ).select(
+        "g_et", "k",
+        F.ceil(
+            F.col("k").cast("double") / F.lit(10.0)
+            * F.col("n_g").cast("double")
+        ).cast("long").alias("pick"),
+    )
+    vals = grid.join(
+        r,
+        (F.col("g_et") == F.col("event_type"))
+        & (F.col("pick") == F.col("rnk")),
+    ).select("k", "event_type", "value")
+    return vals.groupBy(F.col("k").cast("long").alias("decile")).agg(
+        F.round(
+            F.max(F.when(F.col("event_type") == "purchase",
+                         F.col("value"))), 6
+        ).alias("v_treated"),
+        F.round(
+            F.max(F.when(F.col("event_type") == "view", F.col("value"))),
+            6,
+        ).alias("v_control"),
+        F.round(
+            F.max(F.when(F.col("event_type") == "purchase",
+                         F.col("value")))
+            - F.max(F.when(F.col("event_type") == "view",
+                           F.col("value"))), 6
+        ).alias("qte"),
+    )
