@@ -21447,3 +21447,280 @@ def qte_decile_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.col("value"))), 6
         ).alias("qte"),
     )
+
+
+@_register(
+    "logrank_survival_test",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+               MIN(CAST(epoch_ms(ts) AS BIGINT)) AS first_ms,
+               MIN(CASE WHEN value >= 200
+                        THEN CAST(epoch_ms(ts) AS BIGINT) END) AS hit_ms,
+               MAX(CAST(epoch_ms(ts) AS BIGINT)) AS last_ms
+        FROM events GROUP BY 1, 2
+    ),
+    obs AS (
+        SELECT arm,
+               CASE WHEN hit_ms IS NOT NULL
+                         AND hit_ms <= first_ms + 604800000
+                    THEN 1 ELSE 0 END AS ev,
+               CASE WHEN hit_ms IS NOT NULL
+                         AND hit_ms <= first_ms + 604800000
+                    THEN (hit_ms - first_ms) // 3600000
+                    ELSE (LEAST(last_ms, first_ms + 604800000)
+                          - first_ms) // 3600000
+               END AS dur
+        FROM u
+    ),
+    grp AS (
+        SELECT dur,
+               CAST(SUM(CASE WHEN arm = 1 THEN ev ELSE 0 END) AS BIGINT)
+                   AS d1,
+               CAST(SUM(ev) AS BIGINT) AS d,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS a1,
+               CAST(COUNT(*) AS BIGINT) AS a
+        FROM obs GROUP BY 1
+    ),
+    risk AS (
+        SELECT dur, d1, d,
+               CAST(SUM(a1) OVER (ORDER BY dur
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS BIGINT) AS n1,
+               CAST(SUM(a) OVER (ORDER BY dur
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS BIGINT) AS n
+        FROM grp
+    ),
+    terms AS (
+        SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+               CAST(SUM(CAST(ROUND(CAST(d AS DOUBLE)
+                       * CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                   AS DECIMAL(18,6))) AS DOUBLE) AS e1,
+               CAST(SUM(CAST(ROUND(CASE WHEN n > 1 THEN
+                       CAST(d AS DOUBLE)
+                       * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(n - d AS DOUBLE)
+                          / CAST(n - 1 AS DOUBLE))
+                       ELSE 0.0 END, 6)
+                   AS DECIMAL(18,6))) AS DOUBLE) AS v
+        FROM risk WHERE d > 0
+    )
+    SELECT o1 AS observed_arm1,
+           ROUND(e1, 6) AS expected_arm1,
+           ROUND((CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1)
+                 / v, 6) AS chi2_logrank
+    FROM terms
+    """,
+    doc="Log-rank (Mantel-Cox) test comparing time-to-first-high-value"
+        " event between two randomized arms (user_id parity as the"
+        " assignment surrogate) — the hypothesis-test companion to"
+        " kaplan_meier_survival (KM DESCRIBES each curve; log-rank"
+        " answers 'are they the same curve' while correctly using"
+        " censored users, which a naive conversion-rate z-test"
+        " throws away): at each event time, O−E of arm-1 events"
+        " under the hypergeometric null, χ² = (ΣO₁−ΣE₁)²/ΣV. Per-"
+        "(duration, arm) counts from one aggregation; per-arm"
+        " at-risk via the same suffix-sum window over the ≤169-row"
+        " duration aggregate; the E and V terms use the per-term"
+        " exact-decimal sum recipe (guarding the n=1 variance"
+        " singularity). Scale: one shuffle on user_id; the test"
+        " runs on the duration aggregate.",
+)
+def logrank_survival_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    u = ev.groupBy(
+        "user_id", (F.col("user_id") % 2).cast("long").alias("arm")
+    ).agg(
+        F.min(ms).alias("first_ms"),
+        F.min(F.when(F.col("value") >= 200, ms)).alias("hit_ms"),
+        F.max(ms).alias("last_ms"),
+    )
+    week = F.lit(604800000)
+    hit = F.col("hit_ms").isNotNull() & (
+        F.col("hit_ms") <= F.col("first_ms") + week
+    )
+    obs = u.select(
+        "arm",
+        hit.cast("int").alias("ev"),
+        F.when(
+            hit, (F.col("hit_ms") - F.col("first_ms")) / F.lit(3600000)
+        )
+        .otherwise(
+            (
+                F.least(F.col("last_ms"), F.col("first_ms") + week)
+                - F.col("first_ms")
+            )
+            / F.lit(3600000)
+        )
+        .cast("long")
+        .alias("dur"),
+    )
+    grp = obs.groupBy("dur").agg(
+        F.sum(F.when(F.col("arm") == 1, F.col("ev")).otherwise(0))
+        .cast("long").alias("d1"),
+        F.sum("ev").cast("long").alias("d"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long").alias("a1"),
+        F.count("*").cast("long").alias("a"),
+    )
+    suffix = W.orderBy("dur").rowsBetween(
+        W.currentRow, W.unboundedFollowing
+    )
+    risk = grp.select(
+        "dur", "d1", "d",
+        F.sum("a1").over(suffix).cast("long").alias("n1"),
+        F.sum("a").over(suffix).cast("long").alias("n"),
+    )
+    n1d = F.col("n1").cast("double")
+    nd = F.col("n").cast("double")
+    dd = F.col("d").cast("double")
+    vterm = F.when(
+        F.col("n") > 1,
+        dd * (n1d / nd) * (F.lit(1.0) - n1d / nd)
+        * ((F.col("n") - F.col("d")).cast("double")
+           / (F.col("n") - 1).cast("double")),
+    ).otherwise(F.lit(0.0))
+    terms = risk.filter(F.col("d") > 0).agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum(
+            F.round(dd * n1d / nd, 6).cast("decimal(18,6)")
+        ).cast("double").alias("e1"),
+        F.sum(F.round(vterm, 6).cast("decimal(18,6)"))
+        .cast("double").alias("v"),
+    )
+    o1d = F.col("o1").cast("double")
+    return terms.select(
+        F.col("o1").alias("observed_arm1"),
+        F.round(F.col("e1"), 6).alias("expected_arm1"),
+        F.round(
+            (o1d - F.col("e1")) * (o1d - F.col("e1")) / F.col("v"), 6
+        ).alias("chi2_logrank"),
+    )
+
+
+@_register(
+    "modularity_components",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+            AS emb
+        FROM embeddings
+    ),
+    nrm AS (
+        SELECT vec_id, emb, sqrt({{dot_ee}}) AS n FROM e
+    ),
+    p AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib
+        FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
+        WHERE {{dot_ab}} / (a.n * b.n) >= 0.4
+    ),
+    edges AS (
+        SELECT ia AS u, ib AS v FROM p UNION SELECT ib, ia FROM p
+    ),
+    walk(n, m) AS (
+        SELECT u, CAST(u AS BIGINT) FROM edges
+        UNION
+        SELECT w.n, CAST(e2.v AS BIGINT)
+        FROM walk w JOIN edges e2 ON w.m = e2.u
+    ),
+    comp AS (SELECT n AS node, MIN(m) AS c FROM walk GROUP BY 1),
+    m1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM p),
+    lc AS (
+        SELECT ca.c, CAST(COUNT(*) AS BIGINT) AS l_c
+        FROM p JOIN comp ca ON p.ia = ca.node GROUP BY 1
+    ),
+    dc AS (
+        SELECT comp.c, CAST(COUNT(*) AS BIGINT) AS d_c
+        FROM edges JOIN comp ON edges.u = comp.node GROUP BY 1
+    ),
+    terms AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_components,
+               CAST(SUM(CAST(ROUND(
+                   CAST(lc.l_c AS DOUBLE) / CAST(m1.m AS DOUBLE)
+                   - (CAST(dc.d_c AS DOUBLE)
+                      / (2.0 * CAST(m1.m AS DOUBLE)))
+                     * (CAST(dc.d_c AS DOUBLE)
+                        / (2.0 * CAST(m1.m AS DOUBLE))), 9)
+                   AS DECIMAL(18,9))) AS DOUBLE) AS q
+        FROM lc JOIN dc USING (c), m1
+        GROUP BY m1.m
+    )
+    SELECT n_components,
+           (SELECT m FROM m1) AS m_edges,
+           ROUND(q, 6) AS modularity
+    FROM terms
+    """.replace("{dot_ee}", _DOT_SQL.format(a='emb', b='emb'))
+       .replace("{dot_ab}", _DOT_SQL.format(a='a.emb', b='b.emb')),
+    doc="Newman modularity of the connected-component partition of"
+        " the embedding cosine graph (≥ 0.4) — Q = Σ_c [L_c/m −"
+        " (D_c/2m)²], the standard 'is this clustering better than"
+        " random' score for any graph partition (Newman & Girvan"
+        " 2004): label_propagation_communities and"
+        " connected_components_minlabel PRODUCE partitions; this"
+        " scores one, closing the cluster-quality loop (CC on a"
+        " threshold graph is exactly the partition whose within-"
+        "cluster edge fraction L_c/m is maximal, so its Q isolates"
+        " the degree-expectation penalty). Components via the"
+        " pointer-doubling min-label operator (oracle: recursive-CTE"
+        " min-reachable closure); L_c / D_c from two joins of the"
+        " sparse edge list against the label relation; the per-"
+        "component terms use the exact-decimal sum recipe (9dp —"
+        " terms are O(1/m²)). Isolated vertices have no edges, so"
+        " they contribute exactly 0 and are excluded on both sides."
+        " Scale: edges-sized joins; Q runs on the components"
+        " aggregate.",
+)
+def modularity_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from udacitydatawarehouseprj_spark.operators import graph
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_pairs_blas_tiled(emb, threshold=0.4)
+    pairs = S.track_cache(
+        pairs.select(F.col("id_a").alias("ia"), F.col("id_b").alias("ib"))
+    )
+    edges = pairs.select(
+        F.col("ia").alias("u"), F.col("ib").alias("v")
+    ).union(
+        pairs.select(F.col("ib").alias("u"), F.col("ia").alias("v"))
+    ).distinct()
+    nodes = edges.select(F.col("u").alias("n")).distinct()
+    comp = graph.connected_components_minlabel(
+        nodes, pairs.select(F.col("ia").alias("a"), F.col("ib").alias("b")),
+        id_col="n",
+    ).select(F.col("n").alias("node"), F.col("component").alias("c"))
+    m1 = pairs.agg(F.count("*").cast("long").alias("m"))
+    lc = (
+        pairs.join(comp, pairs.ia == comp.node)
+        .groupBy("c")
+        .agg(F.count("*").cast("long").alias("l_c"))
+    )
+    dc = (
+        edges.join(comp, edges.u == comp.node)
+        .groupBy("c")
+        .agg(F.count("*").cast("long").alias("d_c"))
+    )
+    md = F.col("m").cast("double")
+    dterm = F.col("d_c").cast("double") / (F.lit(2.0) * md)
+    term = F.col("l_c").cast("double") / md - dterm * dterm
+    terms = (
+        lc.join(dc, "c")
+        .crossJoin(F.broadcast(m1))
+        .groupBy("m")
+        .agg(
+            F.count("*").cast("long").alias("n_components"),
+            F.sum(F.round(term, 9).cast("decimal(18,9)"))
+            .cast("double")
+            .alias("q"),
+        )
+    )
+    return terms.select(
+        "n_components",
+        F.col("m").alias("m_edges"),
+        F.round(F.col("q"), 6).alias("modularity"),
+    )
