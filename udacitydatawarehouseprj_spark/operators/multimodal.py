@@ -489,3 +489,68 @@ def resize_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+FRAME_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("sum_sq", T.LongType()),
+        T.StructField("zcr", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def frame_audio_energy(
+    df: DataFrame, id_col: str = "doc_id", frame: int = 32
+) -> DataFrame:
+    """Short-time frame features over 16-bit PCM WAV payloads — the
+    windowed-analysis primitive under every audio pipeline (VAD,
+    segmentation, silence trimming): non-overlapping ``frame``-sample
+    windows, per frame the EXACT integer energy Σs², the zero-crossing
+    count (sign flips between consecutive samples inside the frame),
+    and RMS with a single final IEEE divide+sqrt — deterministic, so a
+    SQL oracle can replay every value from the synthetic PCM generator
+    (``encode_wav``). Arrow-batched mapInPandas, one output frame per
+    input batch; real STFT/mel features swap into the same shape
+    behind a DSP library, gated like compressed codecs."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in it:
+            out = {k: [] for k in
+                   ("doc_id", "frame_idx", "n_samples", "sum_sq",
+                    "zcr", "rms")}
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                _, samples = _decode_wav(bytes(payload))
+                s64 = samples.astype("int64")
+                n = len(s64)
+                for f in range(n // frame):
+                    w = s64[f * frame : (f + 1) * frame]
+                    neg = w < 0
+                    zcr = int((neg[1:] != neg[:-1]).sum())
+                    ss = int((w * w).sum())
+                    out["doc_id"].append(int(did))
+                    out["frame_idx"].append(f)
+                    out["n_samples"].append(frame)
+                    out["sum_sq"].append(ss)
+                    out["zcr"].append(zcr)
+                    out["rms"].append(math.sqrt(ss / frame))
+            if out["doc_id"]:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": out["doc_id"],
+                        "frame_idx": pd.array(out["frame_idx"],
+                                              dtype="int32"),
+                        "n_samples": pd.array(out["n_samples"],
+                                              dtype="int32"),
+                        "sum_sq": out["sum_sq"],
+                        "zcr": pd.array(out["zcr"], dtype="int32"),
+                        "rms": out["rms"],
+                    }
+                )
+
+    return df.mapInPandas(batches, schema=FRAME_ENERGY_SCHEMA)

@@ -21724,3 +21724,1106 @@ def modularity_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").alias("m_edges"),
         F.round(F.col("q"), 6).alias("modularity"),
     )
+
+
+@_register(
+    "cka_embedding_views",
+    oracle="""
+    WITH idx AS (
+        SELECT a.j, b.k
+        FROM range(1, 33) AS a(j), range(1, 33) AS b(k)
+    ),
+    cross_t AS (
+        SELECT i.j, i.k,
+               CAST(SUM(CAST(ROUND(
+                   CAST(e.embedding[i.j] AS DOUBLE)
+                   * CAST(e.embedding[i.k + 32] AS DOUBLE), 12)
+                   AS DECIMAL(28,12))) AS DOUBLE) AS sxy
+        FROM embeddings e, idx i GROUP BY 1, 2
+    ),
+    xx_t AS (
+        SELECT i.j, i.k,
+               CAST(SUM(CAST(ROUND(
+                   CAST(e.embedding[i.j] AS DOUBLE)
+                   * CAST(e.embedding[i.k] AS DOUBLE), 12)
+                   AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+        FROM embeddings e, idx i GROUP BY 1, 2
+    ),
+    yy_t AS (
+        SELECT i.j, i.k,
+               CAST(SUM(CAST(ROUND(
+                   CAST(e.embedding[i.j + 32] AS DOUBLE)
+                   * CAST(e.embedding[i.k + 32] AS DOUBLE), 12)
+                   AS DECIMAL(28,12))) AS DOUBLE) AS syy
+        FROM embeddings e, idx i GROUP BY 1, 2
+    ),
+    means AS (
+        SELECT d.j,
+               CAST(SUM(CAST(ROUND(CAST(e.embedding[d.j] AS DOUBLE), 12)
+                   AS DECIMAL(28,12))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS mu
+        FROM embeddings e, range(1, 65) AS d(j) GROUP BY 1
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+    hs AS (
+        SELECT
+            (SELECT CAST(SUM(CAST(ROUND(
+                 (c.sxy - nn.n * mx.mu * my.mu)
+                 * (c.sxy - nn.n * mx.mu * my.mu), 9)
+                 AS DECIMAL(28,9))) AS DOUBLE)
+             FROM cross_t c
+             JOIN means mx ON mx.j = c.j
+             JOIN means my ON my.j = c.k + 32, nn) AS hxy,
+            (SELECT CAST(SUM(CAST(ROUND(
+                 (c.sxx - nn.n * mx.mu * my.mu)
+                 * (c.sxx - nn.n * mx.mu * my.mu), 9)
+                 AS DECIMAL(28,9))) AS DOUBLE)
+             FROM xx_t c
+             JOIN means mx ON mx.j = c.j
+             JOIN means my ON my.j = c.k, nn) AS hxx,
+            (SELECT CAST(SUM(CAST(ROUND(
+                 (c.syy - nn.n * mx.mu * my.mu)
+                 * (c.syy - nn.n * mx.mu * my.mu), 9)
+                 AS DECIMAL(28,9))) AS DOUBLE)
+             FROM yy_t c
+             JOIN means mx ON mx.j = c.j + 32
+             JOIN means my ON my.j = c.k + 32, nn) AS hyy
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n_vectors,
+           ROUND(hxy / sqrt(hxx * hyy), 6) AS linear_cka
+    FROM hs
+    """,
+    doc="Linear CKA (centered kernel alignment, Kornblith et al."
+        " 2019) between the first and second 32-dim halves of the"
+        " embedding — THE representation-similarity diagnostic for"
+        " 'do these two embedding views encode the same geometry'"
+        " (layer comparison, distill-vs-teacher checks, matryoshka"
+        " truncation audits): CKA = ‖Ȳ'X̄‖²_F / (‖X̄'X̄‖_F·‖Ȳ'Ȳ‖_F)"
+        " over CENTERED views, computed exactly from one pass of"
+        " sufficient statistics — three d×d cross-moment grams via"
+        " the exploded (row × dim-pair) relation with per-term"
+        " exact-decimal sums, centered as S − n·μμ' at the 1024-row"
+        " aggregate. The production swap at 100 TB is per-partition"
+        " BLAS partial grams (mapInPandas, the moments_rollup shape);"
+        " the explode keeps every addition oracle-replayable here."
+        " Random unit vectors score ≈ d/n·O(1) — near zero — which"
+        " is itself the diagnostic baseline. Scale: one wide scan,"
+        " shuffle bounded by d² rows.",
+)
+def cka_embedding_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        similarity.as_double("embedding").alias("emb")
+    )
+    jk = spark.range(1, 33).select(
+        F.col("id").cast("int").alias("j")
+    ).crossJoin(
+        spark.range(1, 33).select(F.col("id").cast("int").alias("k"))
+    )
+    ex = emb.crossJoin(F.broadcast(jk))
+
+    def gram(xoff: int, yoff: int, name: str) -> DataFrame:
+        t = ex.select(
+            "j", "k",
+            F.round(
+                F.element_at("emb", F.col("j") + F.lit(xoff))
+                * F.element_at("emb", F.col("k") + F.lit(yoff)), 12
+            ).cast("decimal(28,12)").alias("p"),
+        )
+        return t.groupBy("j", "k").agg(
+            F.sum("p").cast("double").alias(name)
+        )
+
+    means = (
+        emb.crossJoin(
+            F.broadcast(
+                spark.range(1, 65).select(
+                    F.col("id").cast("int").alias("j")
+                )
+            )
+        )
+        .select(
+            "j",
+            F.round(F.element_at("emb", F.col("j")), 12)
+            .cast("decimal(28,12)").alias("v"),
+        )
+        .groupBy("j")
+        .agg(
+            (F.sum("v").cast("double") / F.count("*")).alias("mu")
+        )
+    )
+    nn = emb.agg(F.count("*").cast("double").alias("n"))
+
+    def hsic(g: DataFrame, col: str, moff: int, koff: int) -> DataFrame:
+        mj = means.select(
+            F.col("j").alias("mj"), F.col("mu").alias("mux")
+        )
+        mk = means.select(
+            F.col("j").alias("mk"), F.col("mu").alias("muy")
+        )
+        c = (
+            g.join(F.broadcast(mj), F.col("j") + F.lit(moff) == F.col("mj"))
+            .join(F.broadcast(mk), F.col("k") + F.lit(koff) == F.col("mk"))
+            .crossJoin(F.broadcast(nn))
+        )
+        cen = F.col(col) - F.col("n") * F.col("mux") * F.col("muy")
+        return c.agg(
+            F.sum(F.round(cen * cen, 9).cast("decimal(28,9)"))
+            .cast("double").alias(f"h_{col}")
+        )
+
+    hxy = hsic(gram(0, 32, "sxy"), "sxy", 0, 32)
+    hxx = hsic(gram(0, 0, "sxx"), "sxx", 0, 0)
+    hyy = hsic(gram(32, 32, "syy"), "syy", 32, 32)
+    return (
+        nn.crossJoin(F.broadcast(hxy))
+        .crossJoin(F.broadcast(hxx))
+        .crossJoin(F.broadcast(hyy))
+        .select(
+            F.col("n").cast("long").alias("n_vectors"),
+            F.round(
+                F.col("h_sxy")
+                / F.sqrt(F.col("h_sxx") * F.col("h_syy")), 6
+            ).alias("linear_cka"),
+        )
+    )
+
+
+@_register(
+    "huber_irls_regression",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(date_part('hour', ts) AS BIGINT) AS x,
+               CAST(value AS DECIMAL(38,4)) AS y
+        FROM events WHERE value IS NOT NULL
+    ),
+    m0 AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy
+        FROM base
+    ),
+    b0 AS (
+        SELECT (sxy - sx * sy / n) / (sxx - sx * sx / n) AS b1,
+               sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n)
+                   * sx / n AS b0
+        FROM m0
+    ),
+    w1 AS (
+        SELECT base.x, base.y,
+               CASE WHEN ABS(CAST(base.y AS DOUBLE)
+                             - (b0.b0 + b0.b1 * base.x)) <= 50.0
+                    THEN 1.0
+                    ELSE 50.0 / ABS(CAST(base.y AS DOUBLE)
+                                    - (b0.b0 + b0.b1 * base.x))
+               END AS w
+        FROM base, b0
+    ),
+    m1 AS (
+        SELECT
+            CAST(SUM(CAST(ROUND(w, 9) AS DECIMAL(28,9))) AS DOUBLE)
+                AS n,
+            CAST(SUM(CAST(ROUND(w * x, 9) AS DECIMAL(28,9))) AS DOUBLE)
+                AS sx,
+            CAST(SUM(CAST(ROUND(w * x * x, 9) AS DECIMAL(28,9)))
+                 AS DOUBLE) AS sxx,
+            CAST(SUM(CAST(ROUND(w * CAST(y AS DOUBLE), 9)
+                 AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+            CAST(SUM(CAST(ROUND(w * x * CAST(y AS DOUBLE), 9)
+                 AS DECIMAL(28,9))) AS DOUBLE) AS sxy
+        FROM w1
+    ),
+    b1r AS (
+        SELECT (sxy - sx * sy / n) / (sxx - sx * sx / n) AS b1,
+               sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n)
+                   * sx / n AS b0
+        FROM m1
+    ),
+    w2 AS (
+        SELECT base.x, base.y,
+               CASE WHEN ABS(CAST(base.y AS DOUBLE)
+                             - (b1r.b0 + b1r.b1 * base.x)) <= 50.0
+                    THEN 1.0
+                    ELSE 50.0 / ABS(CAST(base.y AS DOUBLE)
+                                    - (b1r.b0 + b1r.b1 * base.x))
+               END AS w
+        FROM base, b1r
+    ),
+    m2 AS (
+        SELECT
+            CAST(SUM(CAST(ROUND(w, 9) AS DECIMAL(28,9))) AS DOUBLE)
+                AS n,
+            CAST(SUM(CAST(ROUND(w * x, 9) AS DECIMAL(28,9))) AS DOUBLE)
+                AS sx,
+            CAST(SUM(CAST(ROUND(w * x * x, 9) AS DECIMAL(28,9)))
+                 AS DOUBLE) AS sxx,
+            CAST(SUM(CAST(ROUND(w * CAST(y AS DOUBLE), 9)
+                 AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+            CAST(SUM(CAST(ROUND(w * x * CAST(y AS DOUBLE), 9)
+                 AS DECIMAL(28,9))) AS DOUBLE) AS sxy
+        FROM w2
+    )
+    SELECT ROUND(b0.b0, 6) AS b0_ols,
+           ROUND(b0.b1, 6) AS b1_ols,
+           ROUND(sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n)
+                 * sx / n, 6) AS b0_huber,
+           ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n), 6)
+               AS b1_huber
+    FROM m2, b0
+    """,
+    doc="Huber robust regression via two IRLS rounds — value ~"
+        " hour-of-day with Huber weights w = min(1, δ/|r|), δ = 50:"
+        " the M-estimator middle ground between OLS"
+        " (outlier-dominated) and Theil-Sen (O(n²) pairs) that"
+        " production pipelines actually fit, expressed as the"
+        " UNROLLED iteration linreg_by_group can't do — each IRLS"
+        " round is ONE weighted-moment scan (five sufficient sums,"
+        " per-term exact-decimal so the reweighted normal equations"
+        " replay bit-identically), the OLS seed is closed-form from"
+        " exact integer/decimal moments, and the oracle replays the"
+        " identical two rounds as chained CTEs. Reports OLS vs Huber"
+        " slopes side by side — the gap IS the outlier influence."
+        " Scale: 3 map-side-combining scans, no state, no driver"
+        " loop.",
+)
+def huber_irls_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ts = F.col("ts").cast("timestamp")
+    base = ev.select(
+        F.hour(ts).cast("long").alias("x"),
+        F.col("value").cast("decimal(38,4)").alias("y"),
+    )
+    m0 = base.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+
+    def betas(m: DataFrame) -> DataFrame:
+        b1 = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+            F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+        )
+        return m.select(
+            b1.alias("b1"),
+            (F.col("sy") / F.col("n") - b1 * F.col("sx") / F.col("n"))
+            .alias("b0"),
+        )
+
+    def wmoments(b: DataFrame) -> DataFrame:
+        r = F.col("y").cast("double") - (
+            F.col("b0") + F.col("b1") * F.col("x")
+        )
+        w = F.when(F.abs(r) <= 50.0, F.lit(1.0)).otherwise(
+            F.lit(50.0) / F.abs(r)
+        )
+        wd = base.crossJoin(F.broadcast(b)).select(
+            "x", "y", w.alias("w")
+        )
+
+        def dsum9(c):
+            return F.sum(F.round(c, 9).cast("decimal(28,9)")).cast(
+                "double"
+            )
+
+        return wd.agg(
+            dsum9(F.col("w")).alias("n"),
+            dsum9(F.col("w") * F.col("x")).alias("sx"),
+            dsum9(F.col("w") * F.col("x") * F.col("x")).alias("sxx"),
+            dsum9(F.col("w") * F.col("y").cast("double")).alias("sy"),
+            dsum9(
+                F.col("w") * F.col("x") * F.col("y").cast("double")
+            ).alias("sxy"),
+        )
+
+    b_ols = betas(m0)
+    b_it1 = betas(wmoments(b_ols))
+    m2 = wmoments(b_it1)
+    b1h = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    )
+    return m2.crossJoin(
+        F.broadcast(
+            b_ols.select(
+                F.col("b0").alias("ob0"), F.col("b1").alias("ob1")
+            )
+        )
+    ).select(
+        F.round(F.col("ob0"), 6).alias("b0_ols"),
+        F.round(F.col("ob1"), 6).alias("b1_ols"),
+        F.round(
+            F.col("sy") / F.col("n") - b1h * F.col("sx") / F.col("n"), 6
+        ).alias("b0_huber"),
+        F.round(b1h, 6).alias("b1_huber"),
+    )
+
+
+@_register(
+    "rbo_rank_agreement",
+    oracle="""
+    WITH by_tokens AS (
+        SELECT source,
+               ROW_NUMBER() OVER (
+                   ORDER BY SUM(len(string_split_regex(lower(text),
+                                                       '\\s+'))) DESC,
+                            source) AS r1
+        FROM documents GROUP BY source
+    ),
+    by_docs AS (
+        SELECT source,
+               ROW_NUMBER() OVER (
+                   ORDER BY COUNT(*) DESC, source) AS r2
+        FROM documents GROUP BY source
+    ),
+    matched AS (
+        SELECT a.source, GREATEST(a.r1, b.r2) AS md
+        FROM by_tokens a JOIN by_docs b USING (source)
+    ),
+    depths AS (SELECT d FROM range(1, 21) AS t(d)),
+    ad AS (
+        SELECT d.d,
+               CAST((SELECT COUNT(*) FROM matched m WHERE m.md <= d.d)
+                    AS BIGINT) AS a_d
+        FROM depths d
+    ),
+    terms AS (
+        SELECT CAST(SUM(CAST(ROUND(
+                   CAST(ROUND(POWER(0.9, d - 1), 12) AS DOUBLE)
+                   * CAST(a_d AS DOUBLE) / CAST(d AS DOUBLE), 9)
+               AS DECIMAL(18,9))) AS DOUBLE) AS s
+        FROM ad
+    )
+    SELECT CAST((SELECT COUNT(*) FROM matched) AS BIGINT) AS n_items,
+           ROUND((SELECT CAST(a_d AS DOUBLE) / 20.0 FROM ad
+                  WHERE d = 20), 6) AS overlap_at_20,
+           ROUND(0.1 * s / (1.0 - POWER(0.9, 20)) * 1.0
+                 + 0.0, 6) AS rbo_truncated
+    FROM terms
+    """,
+    doc="Rank-biased overlap (Webber et al. 2010, truncated at depth"
+        " 20, p = 0.9, renormalized over the evaluated prefix) between"
+        " two orderings of the corpus sources — by total tokens vs by"
+        " document count — the top-weighted ranking-agreement metric"
+        " built for comparing RANKINGS (retrieval variants, feed"
+        " algorithms, before/after index rebuilds) where Kendall/"
+        "Spearman treat every position equally and demand identical"
+        " item sets: RBO = (1−p)Σ p^(d−1)·|prefix∩prefix|/d, here"
+        " normalized by (1−p^D) so the truncated geometric weights"
+        " sum to 1. Agreement-at-depth A_d needs only each matched"
+        " item's max(r1, r2) — one join, one grid — and both"
+        " rankings pin ties by source id. Scale: rankings are over"
+        " the O(sources) aggregate; the metric is O(depth).",
+)
+def rbo_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    by_tokens = (
+        docs.groupBy("source")
+        .agg(
+            F.sum(
+                F.size(F.split(F.lower(F.col("text")), r"\s+"))
+            ).alias("t")
+        )
+        .select(
+            "source",
+            F.row_number()
+            .over(W.orderBy(F.col("t").desc(), F.col("source")))
+            .alias("r1"),
+        )
+    )
+    by_docs = (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("c"))
+        .select(
+            "source",
+            F.row_number()
+            .over(W.orderBy(F.col("c").desc(), F.col("source")))
+            .alias("r2"),
+        )
+    )
+    matched = by_tokens.join(by_docs, "source").select(
+        "source", F.greatest(F.col("r1"), F.col("r2")).alias("md")
+    )
+    depths = spark.range(1, 21).select(F.col("id").alias("d"))
+    ad = (
+        depths.join(matched, F.col("md") <= F.col("d"), "left")
+        .groupBy("d")
+        .agg(F.count("source").cast("long").alias("a_d"))
+    )
+    p_pow = F.round(F.pow(F.lit(0.9), F.col("d") - 1), 12)
+    term = F.round(
+        p_pow * F.col("a_d").cast("double") / F.col("d").cast("double"),
+        9,
+    ).cast("decimal(18,9)")
+    s = ad.agg(
+        F.sum(term).cast("double").alias("s"),
+        F.max(
+            F.when(
+                F.col("d") == 20,
+                F.col("a_d").cast("double") / F.lit(20.0),
+            )
+        ).alias("o20"),
+    )
+    n_items = matched.agg(F.count("*").cast("long").alias("n_items"))
+    return s.crossJoin(F.broadcast(n_items)).select(
+        "n_items",
+        F.round(F.col("o20"), 6).alias("overlap_at_20"),
+        F.round(
+            F.lit(0.1) * F.col("s")
+            / (F.lit(1.0) - F.pow(F.lit(0.9), F.lit(20)))
+            * F.lit(1.0)
+            + F.lit(0.0), 6
+        ).alias("rbo_truncated"),
+    )
+
+
+@_register(
+    "weighted_sample_no_replacement",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               LN((CAST((((doc_id % {_MIX_P}) * 48271 + 7 * 1664525)
+                         % {_MIX_P}) * 48271 % {_MIX_P} AS DOUBLE) + 1.0)
+                  / ({_MIX_P}.0 + 1.0))
+               / CAST(n_chars AS DOUBLE) AS es_key
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, n_chars, ROUND(es_key, 9) AS es_key,
+               ROW_NUMBER() OVER (ORDER BY ROUND(es_key, 9) DESC,
+                                  doc_id) AS rn
+        FROM keyed
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+           es_key, CAST(rn AS BIGINT) AS draw_order
+    FROM ranked WHERE rn <= 50
+    """,
+    doc="Weighted sampling WITHOUT replacement via Efraimidis-"
+        "Spirakis keys (2006) — top-k by ln(u)/w, u ∈ (0,1] from the"
+        " suite's portable two-round Lehmer PRNG (+1 shift keeps"
+        " ln off −∞), weight = n_chars: the one-pass distributed"
+        " algorithm for 'sample k docs proportional to length,"
+        " no duplicates' — weighted_sample_chars is the Bernoulli/"
+        "with-replacement sibling; E-S is what you need when the"
+        " same document must not repeat in a training batch. The"
+        " top-k is a TakeOrdered on (rounded key, doc_id) — no"
+        " global sort, no collect — and the key transform is"
+        " order-equivalent to u^(1/w) without pow(). Scale: one"
+        " map pass + top-k; keys never shuffle the corpus.",
+)
+def weighted_sample_no_replacement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    p = _MIX_P
+    u = (
+        (
+            ((F.col("doc_id") % p) * 48271 + 7 * 1664525) % p * 48271 % p
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(p) + 1.0)
+    keyed = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("weight"),
+        F.round(
+            F.log(u) / F.col("n_chars").cast("double"), 9
+        ).alias("es_key"),
+    )
+    from pyspark.sql.window import Window as W
+
+    ranked = keyed.withColumn(
+        "rn",
+        F.row_number().over(
+            W.orderBy(F.col("es_key").desc(), F.col("doc_id"))
+        ),
+    )
+    return ranked.filter(F.col("rn") <= 50).select(
+        "doc_id", "weight", "es_key",
+        F.col("rn").cast("long").alias("draw_order"),
+    )
+
+
+@_register(
+    "permutation_test_seeded",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_id,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g,
+               CAST(value AS DECIMAL(38,4)) AS v
+        FROM events
+        WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL
+    ),
+    obs AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(g) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN g = 1 THEN v END) AS DOUBLE)
+                   / SUM(g)
+               - CAST(SUM(CASE WHEN g = 0 THEN v END) AS DOUBLE)
+                   / SUM(1 - g) AS d_obs
+        FROM base
+    ),
+    reps AS (
+        SELECT b.v, k.k,
+               CASE WHEN CAST((((b.event_id * 100 + k.k) % {_MIX_P})
+                               * 48271 + 7 * 1664525) % {_MIX_P}
+                              * 48271 % {_MIX_P} AS DOUBLE)
+                    < CAST(obs.n1 AS DOUBLE) / CAST(obs.n AS DOUBLE)
+                      * {_MIX_P}.0
+                    THEN 1 ELSE 0 END AS lab
+        FROM base b, range(0, 100) AS k(k), obs
+    ),
+    diffs AS (
+        SELECT k,
+               CAST(SUM(CASE WHEN lab = 1 THEN v END) AS DOUBLE)
+                   / SUM(lab)
+               - CAST(SUM(CASE WHEN lab = 0 THEN v END) AS DOUBLE)
+                   / SUM(1 - lab) AS d_k
+        FROM reps GROUP BY 1
+    )
+    SELECT obs.n, obs.n1,
+           ROUND(obs.d_obs, 6) AS observed_diff,
+           CAST(SUM(CASE WHEN ABS(d_k) >= ABS(obs.d_obs)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+           ROUND((1.0 + SUM(CASE WHEN ABS(d_k) >= ABS(obs.d_obs)
+                            THEN 1 ELSE 0 END)) / 101.0, 6) AS p_value
+    FROM diffs, obs
+    GROUP BY obs.n, obs.n1, obs.d_obs
+    """,
+    doc="Seeded randomization test for the purchase-vs-view mean-value"
+        " difference — the distribution-free inference"
+        " welch_t_test approximates analytically: 100 pseudo-random"
+        " relabelings (Bernoulli at the observed group proportion —"
+        " the standard scalable relaxation of the exact permutation,"
+        " which would need a distributed shuffle per replicate), each"
+        " drawn from the suite's portable two-round Lehmer PRNG"
+        " seeded by (event_id·100 + k) so every replicate is"
+        " oracle-replayable; p = (1 + #{|d_k| ≥ |d_obs|})/(K+1), the"
+        " add-one estimator that never returns p = 0. ALL replicate"
+        " means come from ONE conditional aggregation over the"
+        " row×replicate explode — no loop, no resampling shuffle —"
+        " with exact-decimal sums so the |d_k| ≥ |d_obs| comparisons"
+        " are bit-identical cross-engine. Scale: K× the scan in"
+        " map-side-combining aggregation; no state.",
+)
+def permutation_test_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+        & F.col("value").isNotNull()
+    )
+    base = ev.select(
+        "event_id",
+        (F.col("event_type") == "purchase").cast("int").alias("g"),
+        F.col("value").cast("decimal(38,4)").alias("v"),
+    )
+    obs = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("g").cast("long").alias("n1"),
+        (
+            F.sum(F.when(F.col("g") == 1, F.col("v"))).cast("double")
+            / F.sum("g")
+            - F.sum(F.when(F.col("g") == 0, F.col("v"))).cast("double")
+            / F.sum(F.lit(1) - F.col("g"))
+        ).alias("d_obs"),
+    )
+    p = _MIX_P
+    ks = spark.range(0, 100).select(F.col("id").alias("k"))
+    seed = F.col("event_id") * 100 + F.col("k")
+    hashed = (
+        ((seed % p) * 48271 + 7 * 1664525) % p * 48271 % p
+    ).cast("double")
+    reps = (
+        base.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(obs))
+        .select(
+            "v", "k",
+            F.when(
+                hashed
+                < F.col("n1").cast("double") / F.col("n").cast("double")
+                * F.lit(float(p)),
+                1,
+            ).otherwise(0).alias("lab"),
+        )
+    )
+    diffs = reps.groupBy("k").agg(
+        (
+            F.sum(F.when(F.col("lab") == 1, F.col("v"))).cast("double")
+            / F.sum("lab")
+            - F.sum(F.when(F.col("lab") == 0, F.col("v"))).cast("double")
+            / F.sum(F.lit(1) - F.col("lab"))
+        ).alias("d_k")
+    )
+    extreme = F.sum(
+        F.when(F.abs(F.col("d_k")) >= F.abs(F.col("d_obs")), 1).otherwise(0)
+    )
+    return (
+        diffs.crossJoin(F.broadcast(obs))
+        .groupBy("n", "n1", "d_obs")
+        .agg(
+            extreme.cast("long").alias("n_extreme"),
+            F.round(
+                (F.lit(1.0) + extreme) / F.lit(101.0), 6
+            ).alias("p_value"),
+        )
+        .select(
+            "n", "n1",
+            F.round(F.col("d_obs"), 6).alias("observed_diff"),
+            "n_extreme", "p_value",
+        )
+    )
+
+
+@_register(
+    "clustering_coefficient_local",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+            AS emb
+        FROM embeddings
+    ),
+    nrm AS (
+        SELECT vec_id, emb, sqrt({_DOT_SQL.format(a='emb', b='emb')}) AS n
+        FROM e
+    ),
+    p AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib
+        FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
+        WHERE {_DOT_SQL.format(a='a.emb', b='b.emb')} / (a.n * b.n) >= 0.4
+    ),
+    edges AS (
+        SELECT ia AS u, ib AS v FROM p UNION SELECT ib, ia FROM p
+    ),
+    deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM edges GROUP BY 1),
+    tri AS (
+        SELECT e1.ia AS i, e1.ib AS j, e2.ib AS k
+        FROM p e1 JOIN p e2 ON e1.ib = e2.ia
+        JOIN p e3 ON e3.ia = e1.ia AND e3.ib = e2.ib
+    ),
+    tn AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS t
+        FROM (
+            SELECT i AS node FROM tri
+            UNION ALL SELECT j FROM tri
+            UNION ALL SELECT k FROM tri
+        ) GROUP BY 1
+    )
+    SELECT deg.node AS vec_id, deg.d AS degree,
+           COALESCE(tn.t, 0) AS triangles,
+           ROUND(2.0 * COALESCE(tn.t, 0)
+                 / (CAST(deg.d AS DOUBLE) * (CAST(deg.d AS DOUBLE) - 1.0)),
+                 6) AS local_cc
+    FROM deg LEFT JOIN tn ON deg.node = tn.node
+    WHERE deg.d >= 2
+    """,
+    doc="Local clustering coefficient per node of the embedding"
+        " cosine graph (≥ 0.4) — cc(v) = 2·tri(v)/(deg(v)(deg(v)−1)),"
+        " the per-node 'how clique-like is my neighborhood' score"
+        " that triangle_count_similarity aggregates away (globally 7"
+        " triangles can hide one tight near-dup clique — local cc"
+        " finds WHICH nodes sit in it; low-cc high-degree nodes are"
+        " hub artifacts, the classic embedding-space failure)."
+        " Triangles enumerated once as ordered i<j<k via two joins"
+        " of the oriented pair list plus the closing-edge check"
+        " (the node-iterator family; the suite's degree-ordered"
+        " variant in operators/graph.py is the skew-proof form for"
+        " hub-heavy graphs), then exploded to per-node counts;"
+        " defined only for deg ≥ 2, zero-triangle nodes kept via"
+        " left join. Scale: wedge-bounded joins on a threshold-"
+        "sparse edge list.",
+)
+def clustering_coefficient_local(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = S.track_cache(
+        similarity.cosine_pairs_blas_tiled(emb, threshold=0.4).select(
+            F.col("id_a").alias("ia"), F.col("id_b").alias("ib")
+        )
+    )
+    edges = pairs.select(
+        F.col("ia").alias("u"), F.col("ib").alias("v")
+    ).union(
+        pairs.select(F.col("ib").alias("u"), F.col("ia").alias("v"))
+    )
+    deg = edges.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    e1 = pairs.select(F.col("ia").alias("i"), F.col("ib").alias("j"))
+    e2 = pairs.select(F.col("ia").alias("j"), F.col("ib").alias("k"))
+    e3 = pairs.select(F.col("ia").alias("i"), F.col("ib").alias("k"))
+    tri = e1.join(e2, "j").join(e3, ["i", "k"])
+    tn = (
+        tri.select(F.col("i").alias("node"))
+        .union(tri.select(F.col("j").alias("node")))
+        .union(tri.select(F.col("k").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("t"))
+    )
+    dd = F.col("d").cast("double")
+    return (
+        deg.join(tn, "node", "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            F.col("node").alias("vec_id"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("long")
+            .alias("triangles"),
+            F.round(
+                F.lit(2.0)
+                * F.coalesce(F.col("t"), F.lit(0)).cast("double")
+                / (dd * (dd - F.lit(1.0))), 6
+            ).alias("local_cc"),
+        )
+    )
+
+
+@_register(
+    "langid_confusion_matrix",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               string_split_regex(lower(text), '\\s+') AS toks
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang,
+               len(list_filter(toks,
+                   x -> x IN ('the', 'a', 'of', 'and'))) AS n_en,
+               len(list_filter(toks,
+                   x -> x IN ('el', 'la', 'de', 'que'))) AS n_es,
+               len(list_filter(toks,
+                   x -> x IN ('der', 'die', 'und', 'das'))) AS n_de,
+               len(list_filter(toks,
+                   x -> x IN ('le', 'la', 'et', 'les'))) AS n_fr
+        FROM t
+    ),
+    pred AS (
+        SELECT doc_id, lang,
+               CASE WHEN n_en + n_es + n_de + n_fr = 0 THEN 'und'
+                    WHEN n_en >= n_es AND n_en >= n_de AND n_en >= n_fr
+                        THEN 'en'
+                    WHEN n_es >= n_de AND n_es >= n_fr THEN 'es'
+                    WHEN n_de >= n_fr THEN 'de'
+                    ELSE 'fr' END AS lang_pred
+        FROM c
+    )
+    SELECT lang AS declared, lang_pred AS predicted,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY lang), 6)
+               AS row_share
+    FROM pred GROUP BY 1, 2
+    """,
+    doc="Language-ID confusion matrix — the stopword-marker classifier"
+        " (text_lang_id) CROSSED with the corpus's declared lang"
+        " labels: (declared, predicted, count, row-normalized share),"
+        " the eval view that turns a classifier into a data-quality"
+        " audit (zh has no marker list, so its row SHOULD collapse"
+        " into 'und' — if it doesn't, the corpus's declared labels"
+        " are wrong, the real-world mislabeled-crawl case"
+        " classifier_eval_suite can't see without ground truth)."
+        " One marker-count pass + one groupBy; the share window runs"
+        " over the ≤36-cell matrix aggregate. Scale: one scan.",
+)
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = textops.lang_id(docs).select("doc_id", "lang_pred")
+    m = docs.select("doc_id", "lang").join(pred, "doc_id")
+    return m.groupBy(
+        F.col("lang").alias("declared"),
+        F.col("lang_pred").alias("predicted"),
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+    ).select(
+        "declared", "predicted", "n_docs",
+        F.round(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(W.partitionBy("declared")), 6
+        ).alias("row_share"),
+    )
+
+
+@_register(
+    "audio_frame_energy",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents),
+    samp AS (
+        SELECT ids.doc_id, i.i,
+               ((ids.doc_id * 31 + i.i * 7) % 2003) - 1001 AS s
+        FROM ids, range(0, 256) AS i(i)
+    ),
+    lagged AS (
+        SELECT doc_id, CAST(i // 32 AS INTEGER) AS frame_idx, i, s,
+               lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS ps
+        FROM samp
+    ),
+    frames AS (
+        SELECT doc_id, frame_idx,
+               CAST(COUNT(*) AS INTEGER) AS n_samples,
+               CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+               CAST(SUM(CASE WHEN i % 32 > 0
+                              AND ((s < 0) != (ps < 0)) THEN 1 ELSE 0 END)
+                    AS INTEGER) AS zcr
+        FROM lagged GROUP BY 1, 2
+    )
+    SELECT doc_id, frame_idx, n_samples, sum_sq, zcr,
+           ROUND(sqrt(CAST(sum_sq AS DOUBLE) / 32.0), 6) AS rms
+    FROM frames
+    """,
+    doc="Short-time audio frame features over the WAV corpus —"
+        " 32-sample non-overlapping windows with exact integer energy"
+        " Σs², zero-crossing count, and RMS — the windowed-DSP"
+        " primitive (VAD, silence trim, segmentation) that"
+        " multimodal_audio_decode's whole-clip stats can't express:"
+        " a clip that is half silence and half clipping has the same"
+        " global RMS as steady speech; frames tell them apart. The"
+        " engine decodes REAL RIFF/WAVE containers (chunk-walking"
+        " parser) inside Arrow-batched mapInPandas"
+        " (operators/multimodal.frame_audio_energy); the oracle"
+        " replays the synthetic PCM generator's integer arithmetic"
+        " per (doc, frame) — everything exact until one final"
+        " divide+sqrt, rounded at 6dp. Scale: embarrassingly"
+        " parallel per payload; output is frames-per-clip × corpus,"
+        " the standard feature-table fan-out.",
+)
+def audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    wavs = mm.attach_wav_payload(S.spread(docs, ("doc_id",)))
+    f = mm.frame_audio_energy(wavs)
+    return f.select(
+        "doc_id", "frame_idx", "n_samples", "sum_sq", "zcr",
+        F.round(F.col("rms"), 6).alias("rms"),
+    )
+
+
+@_register(
+    "wasserstein_1d_distance",
+    oracle="""
+    WITH base AS (
+        SELECT value,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g
+        FROM events
+        WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL
+    ),
+    d AS (
+        SELECT value AS v,
+               CAST(SUM(g) AS BIGINT) AS c1,
+               CAST(SUM(1 - g) AS BIGINT) AS c2
+        FROM base GROUP BY 1
+    ),
+    n AS (
+        SELECT CAST(SUM(c1) AS DOUBLE) AS n1,
+               CAST(SUM(c2) AS DOUBLE) AS n2
+        FROM d
+    ),
+    cum AS (
+        SELECT v,
+               SUM(c1) OVER (ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS k1,
+               SUM(c2) OVER (ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS k2,
+               LEAD(v) OVER (ORDER BY v) AS v_next
+        FROM d
+    ),
+    terms AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_support,
+               CAST(SUM(CAST(ROUND(
+                   ABS(CAST(k1 AS DOUBLE) / n.n1
+                       - CAST(k2 AS DOUBLE) / n.n2)
+                   * (v_next - v), 9) AS DECIMAL(18,9))) AS DOUBLE)
+                   AS w1,
+               MAX(ROUND(ABS(CAST(k1 AS DOUBLE) / n.n1
+                             - CAST(k2 AS DOUBLE) / n.n2), 9))
+                   AS ks
+        FROM cum, n WHERE v_next IS NOT NULL
+    )
+    SELECT n_support + 1 AS n_support,
+           ROUND(w1, 6) AS w1_distance,
+           ROUND(ks, 6) AS ks_stat
+    FROM terms
+    """,
+    doc="Exact 1-D Wasserstein (earth mover's) distance between the"
+        " purchase and view value distributions — W₁ = ∫|F₁−F₂| dv,"
+        " the drift metric that reports HOW FAR mass moved in value"
+        " units where ks_drift_test's sup-norm only reports the worst"
+        " single gap (two shifted spikes with equal overlap have"
+        " identical KS but very different W₁ — the score-drift"
+        " monitoring case): distinct-value CDF steps with"
+        " cumulative counts from blocked_prefix_sum and the step"
+        " width from an (rank → rank+1) equi-join on"
+        " exact_distributed_rank output — NO single-partition sort,"
+        " no LEAD over the full support; each |ΔF|·Δv term"
+        " exact-decimal summed. The same pass yields the KS sup"
+        " for free. Scale: one groupBy to the distinct-value"
+        " relation + two blocked two-pass windows.",
+)
+def wasserstein_1d_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+        & F.col("value").isNotNull()
+    )
+    base = ev.select(
+        "value",
+        (F.col("event_type") == "purchase").cast("int").alias("g"),
+    )
+    d = base.groupBy(F.col("value").alias("v")).agg(
+        F.sum("g").cast("long").alias("c1"),
+        F.sum(F.lit(1) - F.col("g")).cast("long").alias("c2"),
+    )
+    n = d.agg(
+        F.sum("c1").cast("double").alias("n1"),
+        F.sum("c2").cast("double").alias("n2"),
+    )
+    blk = F.floor(F.col("v") / 10).cast("long")
+    cum = rel.blocked_prefix_sum(
+        rel.blocked_prefix_sum(
+            d, blk, [F.col("v").asc()], F.col("c1"), sum_col="k1"
+        ),
+        blk, [F.col("v").asc()], F.col("c2"), sum_col="k2",
+    )
+    ranked = rel.exact_distributed_rank(
+        cum, blk, [F.col("v").asc()], rank_col="r"
+    )
+    nxt = ranked.select(
+        (F.col("r") - 1).alias("r"), F.col("v").alias("v_next")
+    )
+    stepped = ranked.join(nxt, "r").crossJoin(F.broadcast(n))
+    gap = F.abs(
+        F.col("k1").cast("double") / F.col("n1")
+        - F.col("k2").cast("double") / F.col("n2")
+    )
+    terms = stepped.agg(
+        F.count("*").cast("long").alias("n_steps"),
+        F.sum(
+            F.round(gap * (F.col("v_next") - F.col("v")), 9)
+            .cast("decimal(18,9)")
+        ).cast("double").alias("w1"),
+        F.max(F.round(gap, 9)).alias("ks"),
+    )
+    return terms.select(
+        (F.col("n_steps") + 1).cast("long").alias("n_support"),
+        F.round(F.col("w1"), 6).alias("w1_distance"),
+        F.round(F.col("ks"), 6).alias("ks_stat"),
+    )
+
+
+@_register(
+    "mann_kendall_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE)
+                   / COUNT(*) AS x
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    pairs AS (
+        SELECT CASE WHEN b.x > a.x THEN 1
+                    WHEN b.x < a.x THEN -1 ELSE 0 END AS sgn
+        FROM daily a JOIN daily b ON a.day < b.day
+    ),
+    s AS (SELECT CAST(SUM(sgn) AS BIGINT) AS s_stat FROM pairs),
+    ties AS (
+        SELECT COALESCE(CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT),
+                        0) AS corr
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t
+              FROM daily GROUP BY x) WHERE t > 1
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+    v AS (
+        SELECT nn.n, s.s_stat,
+               (CAST(nn.n AS DOUBLE) * (nn.n - 1) * (2 * nn.n + 5)
+                - CAST(ties.corr AS DOUBLE)) / 18.0 AS var_s
+        FROM nn, s, ties
+    )
+    SELECT n AS n_days, s_stat,
+           ROUND(var_s, 4) AS var_s,
+           ROUND(CASE WHEN s_stat > 0
+                      THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var_s)
+                      WHEN s_stat < 0
+                      THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_s)
+                      ELSE 0.0 END, 6) AS z_mk
+    FROM v
+    """,
+    doc="Mann-Kendall trend test on the daily mean event value — the"
+        " standard NONPARAMETRIC monotone-trend detector (hydrology/"
+        "ops-monitoring heritage; theil_sen_slope is its paired"
+        " ESTIMATOR — MK answers 'is there a trend', Theil-Sen"
+        " answers 'how steep'): S = Σ_{i<j} sign(x_j − x_i) over the"
+        " days-sized series with the exact tie-corrected variance"
+        " [n(n−1)(2n+5) − Σt(t−1)(2t+5)]/18 and the continuity-"
+        "corrected z. The fact table collapses to days FIRST, so the"
+        " O(days²) pair sweep is calendar-bounded integer counting."
+        " Scale: one aggregation; the test is free.",
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        F.to_date(F.col("ts").cast("timestamp")).alias("day")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(38,4)")).cast("double")
+            / F.count("*")
+        ).alias("x")
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("day").alias("db"), F.col("x").alias("xb"))
+    sgn = (
+        F.when(F.col("xb") > F.col("xa"), 1)
+        .when(F.col("xb") < F.col("xa"), -1)
+        .otherwise(0)
+    )
+    s = a.join(b, F.col("da") < F.col("db")).agg(
+        F.sum(sgn).cast("long").alias("s_stat")
+    )
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count("*").cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1)
+                    * (2 * F.col("t") + 5)
+                ).cast("long"),
+                F.lit(0),
+            ).alias("corr")
+        )
+    )
+    nn = daily.agg(F.count("*").cast("long").alias("n"))
+    v = (
+        nn.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "n", "s_stat",
+            (
+                (
+                    F.col("n").cast("double") * (F.col("n") - 1)
+                    * (2 * F.col("n") + 5)
+                    - F.col("corr").cast("double")
+                )
+                / F.lit(18.0)
+            ).alias("var_s"),
+        )
+    )
+    sd = F.col("s_stat").cast("double")
+    return v.select(
+        F.col("n").alias("n_days"),
+        "s_stat",
+        F.round(F.col("var_s"), 4).alias("var_s"),
+        F.round(
+            F.when(
+                F.col("s_stat") > 0,
+                (sd - F.lit(1.0)) / F.sqrt(F.col("var_s")),
+            )
+            .when(
+                F.col("s_stat") < 0,
+                (sd + F.lit(1.0)) / F.sqrt(F.col("var_s")),
+            )
+            .otherwise(F.lit(0.0)), 6
+        ).alias("z_mk"),
+    )
