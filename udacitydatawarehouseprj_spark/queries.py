@@ -22827,3 +22827,492 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0.0)), 6
         ).alias("z_mk"),
     )
+
+
+@_register(
+    "isotonic_calibration_fit",
+    oracle="""
+    WITH s AS (
+        SELECT CASE WHEN value > 50 THEN 1 ELSE 0 END AS y,
+               value / 490.0 * 0.3
+               + CAST((((event_id % 999999937) * 48271 + 12345)
+                       % 999999937) * 48271 % 999999937 AS DOUBLE)
+                 / 999999937.0 * 0.7 AS score
+        FROM events WHERE value IS NOT NULL
+    ),
+    b AS (
+        SELECT LEAST(CAST(FLOOR(score * 10) AS BIGINT), 9) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS npos
+        FROM s GROUP BY 1
+    ),
+    iv AS (
+        SELECT i.decile AS i, j.decile AS j,
+               CAST(SUM(k.npos) AS DOUBLE) / CAST(SUM(k.n) AS DOUBLE)
+                   AS m
+        FROM b i JOIN b j ON i.decile <= j.decile
+        JOIN b k ON k.decile BETWEEN i.decile AND j.decile
+        GROUP BY 1, 2
+    ),
+    inner_min AS (
+        SELECT iv.i, t.decile AS t, MIN(iv.m) AS v
+        FROM iv JOIN b t
+          ON iv.i <= t.decile AND iv.j >= t.decile
+        GROUP BY 1, 2
+    ),
+    fit AS (
+        SELECT t, MAX(v) AS iso FROM inner_min GROUP BY 1
+    )
+    SELECT b.decile, b.n,
+           ROUND(CAST(b.npos AS DOUBLE) / CAST(b.n AS DOUBLE), 6)
+               AS pos_rate,
+           ROUND(fit.iso, 6) AS iso_rate
+    FROM b JOIN fit ON b.decile = fit.t
+    """,
+    doc="Isotonic regression calibration (PAVA semantics) of the"
+        " per-decile positive rate — THE standard nonparametric"
+        " probability-calibration map (what sklearn's"
+        " IsotonicRegression fits after every quality classifier):"
+        " where calibration_curve_deciles DIAGNOSES miscalibration,"
+        " this FITS the monotone correction. The fixture scorer is"
+        " deliberately informative (0.3·scaled-value + 0.7·Lehmer"
+        " noise) so the raw decile rates are noisy-monotone and the"
+        " fit genuinely pools violators. Computed via the MINIMAX"
+        " closed form fit(t) = max_{i≤t} min_{j≥t} wmean(rate[i..j])"
+        " — exactly the PAVA solution, but expressed as two grid"
+        " aggregations over the 10-bin aggregate instead of the"
+        " sequential pool-merging loop SQL lambdas cannot write"
+        " (while-loops don't fold); every interval mean is an exact"
+        " integer ratio, so both engines agree bit-for-bit. Scale:"
+        " one scan to the bins; the fit is O(bins³) on 10 rows.",
+)
+def isotonic_calibration_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    u = (
+        ((F.col("event_id") % 999999937) * 48271 + 12345) % 999999937
+    ) * 48271 % 999999937
+    s = ev.select(
+        F.when(F.col("value") > 50, 1).otherwise(0).alias("y"),
+        (
+            F.col("value") / F.lit(490.0) * F.lit(0.3)
+            + u.cast("double") / F.lit(999999937.0) * F.lit(0.7)
+        ).alias("score"),
+    )
+    b = s.groupBy(
+        F.least(F.floor(F.col("score") * 10).cast("long"), F.lit(9))
+        .alias("decile")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("npos"),
+    )
+    bi = b.select(
+        F.col("decile").alias("i"),
+        F.col("n").alias("ni"), F.col("npos").alias("pi"),
+    )
+    bj = b.select(F.col("decile").alias("j"))
+    bk = b.select(
+        F.col("decile").alias("kd"),
+        F.col("n").alias("nk"), F.col("npos").alias("pk"),
+    )
+    iv = (
+        bi.select("i").join(bj, F.col("i") <= F.col("j"))
+        .join(
+            bk,
+            (F.col("kd") >= F.col("i")) & (F.col("kd") <= F.col("j")),
+        )
+        .groupBy("i", "j")
+        .agg(
+            (
+                F.sum("pk").cast("double") / F.sum("nk").cast("double")
+            ).alias("m")
+        )
+    )
+    bt = b.select(F.col("decile").alias("t"))
+    inner_min = (
+        iv.join(
+            bt, (F.col("i") <= F.col("t")) & (F.col("j") >= F.col("t"))
+        )
+        .groupBy("i", "t")
+        .agg(F.min("m").alias("v"))
+    )
+    fit = inner_min.groupBy("t").agg(F.max("v").alias("iso"))
+    return b.join(fit, b.decile == fit.t).select(
+        "decile", "n",
+        F.round(
+            F.col("npos").cast("double") / F.col("n").cast("double"), 6
+        ).alias("pos_rate"),
+        F.round(F.col("iso"), 6).alias("iso_rate"),
+    )
+
+
+@_register(
+    "rmst_survival_auc",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               MIN(CAST(epoch_ms(ts) AS BIGINT)) AS first_ms,
+               MIN(CASE WHEN value >= 200
+                        THEN CAST(epoch_ms(ts) AS BIGINT) END) AS hit_ms,
+               MAX(CAST(epoch_ms(ts) AS BIGINT)) AS last_ms
+        FROM events GROUP BY 1
+    ),
+    obs AS (
+        SELECT CASE WHEN hit_ms IS NOT NULL
+                         AND hit_ms <= first_ms + 604800000
+                    THEN 1 ELSE 0 END AS ev,
+               CASE WHEN hit_ms IS NOT NULL
+                         AND hit_ms <= first_ms + 604800000
+                    THEN (hit_ms - first_ms) // 3600000
+                    ELSE (LEAST(last_ms, first_ms + 604800000)
+                          - first_ms) // 3600000
+               END AS dur
+        FROM u
+    ),
+    grp AS (
+        SELECT dur, CAST(SUM(ev) AS BIGINT) AS d,
+               CAST(SUM(1 - ev) AS BIGINT) AS c
+        FROM obs GROUP BY 1
+    ),
+    risk AS (
+        SELECT dur, d,
+               CAST(SUM(d + c) OVER (ORDER BY dur
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS BIGINT) AS n
+        FROM grp
+    ),
+    idx AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY dur) AS i, dur, d, n
+        FROM risk WHERE d > 0
+    ),
+    rec AS (
+        WITH RECURSIVE km(i, s) AS (
+            SELECT CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
+            UNION ALL
+            SELECT idx.i,
+                   km.s * (1.0 - CAST(idx.d AS DOUBLE)
+                                 / CAST(idx.n AS DOUBLE))
+            FROM km JOIN idx ON idx.i = km.i + 1
+        )
+        SELECT * FROM km
+    ),
+    steps AS (
+        SELECT idx.i, idx.dur, rec.s,
+               LEAD(idx.dur, 1, 168) OVER (ORDER BY idx.i) AS nxt
+        FROM idx JOIN rec ON idx.i = rec.i
+    ),
+    head AS (
+        SELECT CAST(MIN(dur) AS DOUBLE) AS t1 FROM idx
+    )
+    SELECT 168 AS horizon_hours,
+           ROUND(head.t1 + CAST(SUM(CAST(ROUND(
+                     s * (CAST(nxt AS DOUBLE) - CAST(dur AS DOUBLE)), 9)
+                 AS DECIMAL(18,9))) AS DOUBLE), 6) AS rmst_hours,
+           COALESCE(MIN(CASE WHEN s <= 0.5 THEN dur END), -1)
+               AS median_survival_hours
+    FROM steps, head
+    GROUP BY head.t1
+    """,
+    doc="Restricted mean survival time (RMST) + median survival from"
+        " the Kaplan-Meier curve — the two SUMMARY numbers clinical"
+        " and churn analyses actually report (RMST = area under S(t)"
+        " up to the 168 h horizon = expected event-free hours per"
+        " user in week one; unlike the hazard ratio it stays valid"
+        " when hazards cross): step-integrate the same KM fold"
+        " kaplan_meier_survival builds (recursive-CTE replay), S = 1"
+        " before the first event time, each S·Δt term exact-decimal"
+        " summed, the last step closed at the horizon; median ="
+        " first event time with S ≤ 0.5 (−1 = never reached, the"
+        " honest answer when >50% survive the window). Scale: one"
+        " shuffle on user_id + O(hours) arithmetic.",
+)
+def rmst_survival_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    u = ev.groupBy("user_id").agg(
+        F.min(ms).alias("first_ms"),
+        F.min(F.when(F.col("value") >= 200, ms)).alias("hit_ms"),
+        F.max(ms).alias("last_ms"),
+    )
+    week = F.lit(604800000)
+    hit = F.col("hit_ms").isNotNull() & (
+        F.col("hit_ms") <= F.col("first_ms") + week
+    )
+    obs = u.select(
+        hit.cast("int").alias("ev"),
+        F.when(
+            hit, (F.col("hit_ms") - F.col("first_ms")) / F.lit(3600000)
+        )
+        .otherwise(
+            (
+                F.least(F.col("last_ms"), F.col("first_ms") + week)
+                - F.col("first_ms")
+            )
+            / F.lit(3600000)
+        )
+        .cast("long")
+        .alias("dur"),
+    )
+    grp = obs.groupBy("dur").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.sum(F.lit(1) - F.col("ev")).cast("long").alias("c"),
+    )
+    risk = grp.select(
+        "dur", "d",
+        F.sum(F.col("d") + F.col("c"))
+        .over(
+            W.orderBy("dur").rowsBetween(
+                W.currentRow, W.unboundedFollowing
+            )
+        )
+        .cast("long")
+        .alias("n"),
+    ).filter(F.col("d") > 0)
+    series = risk.agg(
+        F.sort_array(F.collect_list(F.struct("dur", "d", "n"))).alias("xs")
+    )
+    km = series.select(
+        F.explode(
+            F.expr(
+                "aggregate("
+                "  xs,"
+                "  named_struct("
+                "    's', 1.0D,"
+                "    'out', cast(array() as"
+                "      array<struct<dur:bigint,s:double>>)),"
+                "  (acc, e) -> named_struct("
+                "    's', acc.s * (1.0D - cast(e.d as double)"
+                "                         / cast(e.n as double)),"
+                "    'out', array_append(acc.out, named_struct("
+                "      'dur', e.dur,"
+                "      's', acc.s * (1.0D - cast(e.d as double)"
+                "                           / cast(e.n as double))))),"
+                "  acc -> acc.out)"
+            )
+        ).alias("r")
+    ).select(F.col("r.dur").alias("dur"), F.col("r.s").alias("s"))
+    steps = km.select(
+        "dur", "s",
+        F.lead("dur", 1, 168).over(W.orderBy("dur")).alias("nxt"),
+    )
+    head = km.agg(F.min("dur").cast("double").alias("t1"))
+    term = F.round(
+        F.col("s")
+        * (F.col("nxt").cast("double") - F.col("dur").cast("double")), 9
+    ).cast("decimal(18,9)")
+    agg = steps.crossJoin(F.broadcast(head)).groupBy("t1").agg(
+        F.sum(term).cast("double").alias("auc_tail"),
+        F.coalesce(
+            F.min(F.when(F.col("s") <= 0.5, F.col("dur"))), F.lit(-1)
+        ).cast("long").alias("median_survival_hours"),
+    )
+    return agg.select(
+        F.lit(168).cast("long").alias("horizon_hours"),
+        F.round(F.col("t1") + F.col("auc_tail"), 6).alias("rmst_hours"),
+        "median_survival_hours",
+    )
+
+
+@_register(
+    "exponential_gof_interarrivals",
+    oracle="""
+    WITH k AS (
+        SELECT CAST(epoch_ms(ts) AS BIGINT) AS ms, event_id
+        FROM events
+    ),
+    r AS (
+        SELECT ms,
+               ROW_NUMBER() OVER (ORDER BY ms, event_id) AS i
+        FROM k
+    ),
+    gaps AS (
+        SELECT (b.ms - a.ms) / 1000.0 AS g
+        FROM r a JOIN r b ON b.i = a.i + 1
+    ),
+    lam AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) AS DOUBLE)
+               / (CAST(SUM(CAST(g AS DECIMAL(38,6))) AS DOUBLE))
+                   AS lambda_hat
+        FROM gaps
+    ),
+    ranked AS (
+        SELECT g, ROW_NUMBER() OVER (ORDER BY g, g) AS j
+        FROM gaps
+    ),
+    dev AS (
+        SELECT MAX(ROUND(CAST(j AS DOUBLE) / CAST(lam.n AS DOUBLE)
+                   - (1.0 - EXP(-lam.lambda_hat * g)), 9)) AS d_plus,
+               MAX(ROUND((1.0 - EXP(-lam.lambda_hat * g))
+                   - (CAST(j AS DOUBLE) - 1.0) / CAST(lam.n AS DOUBLE),
+                   9)) AS d_minus
+        FROM ranked, lam
+    )
+    SELECT lam.n AS n_gaps,
+           ROUND(lam.lambda_hat, 9) AS lambda_hat,
+           ROUND(GREATEST(dev.d_plus, dev.d_minus), 6) AS ks_stat,
+           ROUND(GREATEST(dev.d_plus, dev.d_minus)
+                 * sqrt(CAST(lam.n AS DOUBLE)), 6) AS ks_scaled
+    FROM lam, dev
+    """,
+    doc="Exponential goodness-of-fit (KS) on global event"
+        " inter-arrival times — 'is traffic Poisson?', the question"
+        " under every capacity model and anomaly baseline (bursty"
+        " arrivals break Poisson-assuming alerting thresholds):"
+        " consecutive gaps via the (rank → rank+1) equi-join on"
+        " exact_distributed_rank output (no LEAD over the full"
+        " stream), λ̂ = n/Σgaps with the gap sum exact-decimal, and"
+        " the one-sample KS statistic D = max(D⁺, D⁻) against"
+        " 1 − e^(−λ̂t) computed at every sorted gap — ranks again"
+        " from the blocked two-pass machinery, so no"
+        " single-partition sort anywhere. √n·D ≫ 1.36 rejects at"
+        " 5% (critical values are the standard KS table's). Scale:"
+        " two blocked rank passes + one aggregation.",
+)
+def exponential_gof_interarrivals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = ev.select(
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+        "event_id",
+    )
+    r = rel.exact_distributed_rank(
+        k,
+        F.floor(F.col("ms") / 86400000).cast("long"),
+        [F.col("ms").asc(), F.col("event_id").asc()],
+        rank_col="i",
+    )
+    nxt = r.select((F.col("i") - 1).alias("i"), F.col("ms").alias("ms2"))
+    gaps = r.join(nxt, "i").select(
+        ((F.col("ms2") - F.col("ms")) / F.lit(1000.0)).alias("g")
+    )
+    lam = gaps.agg(
+        F.count("*").cast("long").alias("n"),
+        (
+            F.count("*").cast("double")
+            / F.sum(F.col("g").cast("decimal(38,6)")).cast("double")
+        ).alias("lambda_hat"),
+    )
+    ranked = rel.exact_distributed_rank(
+        gaps,
+        F.floor(F.col("g")).cast("long"),
+        [F.col("g").asc()],
+        rank_col="j",
+    )
+    withf = ranked.crossJoin(F.broadcast(lam))
+    fexp = F.lit(1.0) - F.exp(-F.col("lambda_hat") * F.col("g"))
+    dev = withf.agg(
+        F.max(
+            F.round(
+                F.col("j").cast("double") / F.col("n").cast("double")
+                - fexp, 9
+            )
+        ).alias("d_plus"),
+        F.max(
+            F.round(
+                fexp
+                - (F.col("j").cast("double") - F.lit(1.0))
+                / F.col("n").cast("double"), 9
+            )
+        ).alias("d_minus"),
+    )
+    return lam.crossJoin(F.broadcast(dev)).select(
+        F.col("n").alias("n_gaps"),
+        F.round(F.col("lambda_hat"), 9).alias("lambda_hat"),
+        F.round(F.greatest(F.col("d_plus"), F.col("d_minus")), 6)
+        .alias("ks_stat"),
+        F.round(
+            F.greatest(F.col("d_plus"), F.col("d_minus"))
+            * F.sqrt(F.col("n").cast("double")), 6
+        ).alias("ks_scaled"),
+    )
+
+
+_CONTAINMENT_PAIRS_SQL = """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 2, 0) + 1),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+        FROM toks
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sz x ON doc_a = x.doc_id
+    JOIN sz y ON doc_b = y.doc_id
+    WHERE CAST(n_inter AS DOUBLE) / CAST(x.n_sh AS DOUBLE) >= 0.8
+       OR CAST(n_inter AS DOUBLE) / CAST(y.n_sh AS DOUBLE) >= 0.8
+"""
+
+
+@_register(
+    "ensemble_dedup_consensus",
+    oracle=f"""
+    WITH jac AS (SELECT doc_a, doc_b FROM ({_JACCARD_ORACLE})),
+    sim AS (SELECT doc_a, doc_b FROM ({_portable_simhash_oracle()})),
+    con AS (SELECT doc_a, doc_b FROM ({_CONTAINMENT_PAIRS_SQL})),
+    uni AS (
+        SELECT doc_a, doc_b, 'jaccard' AS method FROM jac
+        UNION ALL SELECT doc_a, doc_b, 'simhash' FROM sim
+        UNION ALL SELECT doc_a, doc_b, 'containment' FROM con
+    )
+    SELECT doc_a, doc_b,
+           CAST(COUNT(*) AS BIGINT) AS votes,
+           array_to_string(list_sort(list(method)), ',') AS methods
+    FROM uni GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+    doc="Ensemble near-dup consensus — the union of THREE orthogonal"
+        " detectors (exact 3-gram Jaccard ≥ 0.5; portable 32-bit"
+        " SimHash Hamming ≤ 3; asymmetric shingle containment ≥ 0.8)"
+        " voted per pair, keeping pairs two-plus methods agree on —"
+        " the production dedup recipe when single-method false"
+        " positives are expensive (each method has a DIFFERENT"
+        " failure mode: Jaccard misses template containment,"
+        " containment over-fires on tiny docs, SimHash band"
+        " collisions pass unrelated short docs — majority voting"
+        " cancels uncorrelated errors). The engine composes three"
+        " existing operators (operators/dedup.py"
+        " ngram_jaccard_pairs / simhash_portable_pairs /"
+        " ngram_containment_pairs) with one tagged union + groupBy;"
+        " method tags sorted into a CSV string for the hash gate"
+        " (the array_functions_suite driver-safe shape). Scale:"
+        " each detector keeps its own banded/candidate-bounded"
+        " plan; the vote is a pair-keyed aggregation of already-"
+        "sparse relations.",
+)
+def ensemble_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    jac = dedup.ngram_jaccard_pairs(docs, threshold=0.5).select(
+        "doc_a", "doc_b", F.lit("jaccard").alias("method")
+    )
+    sim = dedup.simhash_portable_pairs(docs, max_hamming=3).select(
+        "doc_a", "doc_b", F.lit("simhash").alias("method")
+    )
+    con = dedup.ngram_containment_pairs(docs, threshold=0.8).select(
+        "doc_a", "doc_b", F.lit("containment").alias("method")
+    )
+    uni = jac.union(sim).union(con)
+    return (
+        uni.groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").cast("long").alias("votes"),
+            F.array_join(
+                F.sort_array(F.collect_list("method")), ","
+            ).alias("methods"),
+        )
+        .filter(F.col("votes") >= 2)
+    )
