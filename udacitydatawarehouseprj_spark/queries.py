@@ -1925,13 +1925,17 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = terms.groupBy("term").agg(
         F.countDistinct("doc_id").alias("doc_freq")
     )
-    n_docs = docs.count()
-    return tf.join(F.broadcast(df_), "term").select(
+    # corpus size folded into the plan as a 1-row broadcast (the
+    # suite's grand-total pattern) — no separate docs.count() action
+    n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    return tf.join(F.broadcast(df_), "term").crossJoin(
+        F.broadcast(n_docs)
+    ).select(
         "doc_id",
         "term",
         "tf",
         F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 6
+            F.col("tf") * F.log(F.col("n_docs") / F.col("doc_freq")), 6
         ).alias("tfidf"),
     )
 
@@ -23315,4 +23319,203 @@ def ensemble_dedup_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("methods"),
         )
         .filter(F.col("votes") >= 2)
+    )
+
+
+@_register(
+    "eb_shrinkage_rates",
+    oracle="""
+    WITH g AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pos
+        FROM documents GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(pos) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS pbar,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM g
+    ),
+    dev AS (
+        SELECT CAST(ROUND(
+                   (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) - tot.pbar)
+                   * (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+                      - tot.pbar), 9) AS DECIMAL(18,9)) AS d2
+        FROM g, tot
+    ),
+    mom AS (
+        SELECT tot.pbar, tot.k,
+               CAST(SUM(dev.d2) AS DOUBLE) / CAST(tot.k AS DOUBLE) AS s2
+        FROM dev, tot GROUP BY 1, 2
+    ),
+    prior AS (
+        SELECT pbar, s2, k,
+               CASE WHEN s2 > 0.0
+                    THEN GREATEST(pbar * (1.0 - pbar) / s2 - 1.0, 1.0)
+                    ELSE 1000.0 END AS m
+        FROM mom
+    )
+    SELECT g.source, g.n,
+           ROUND(CAST(g.pos AS DOUBLE) / CAST(g.n AS DOUBLE), 6)
+               AS raw_rate,
+           ROUND((CAST(g.pos AS DOUBLE) + prior.pbar * prior.m)
+                 / (CAST(g.n AS DOUBLE) + prior.m), 6) AS shrunk_rate,
+           ROUND(prior.pbar * prior.m, 6) AS alpha,
+           ROUND((1.0 - prior.pbar) * prior.m, 6) AS beta
+    FROM g, prior
+    """,
+    doc="Empirical-Bayes (beta-binomial) shrinkage of per-source"
+        " long-doc rates — the James-Stein-family smoothing every"
+        " per-segment rate dashboard needs (a source with 3/4 long"
+        " docs is NOT 75% long at the population level; small"
+        " denominators should pull toward the corpus mean): prior"
+        " strength M from method-of-moments (p̄(1−p̄)/s² − 1,"
+        " between-source variance via the per-term exact-decimal"
+        " sum, floored at 1 and guarded at s² = 0), α = p̄M, and"
+        " shrunk = (pos + α)/(n + M) — each source moves toward p̄"
+        " inversely to its evidence. One scan to the 20-row source"
+        " aggregate; the prior fit is a second tiny pass over it."
+        " Scale: the scan; the shrinkage is O(sources).",
+)
+def eb_shrinkage_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("n_chars") >= 300, 1).otherwise(0))
+        .cast("long").alias("pos"),
+    )
+    ww = W.partitionBy()
+    rate = F.col("pos").cast("double") / F.col("n").cast("double")
+    pbar_w = (
+        F.sum("pos").over(ww).cast("double")
+        / F.sum("n").over(ww).cast("double")
+    )
+    dev = g.select(
+        "source", "n", "pos",
+        F.round((rate - pbar_w) * (rate - pbar_w), 9)
+        .cast("decimal(18,9)").alias("d2"),
+    )
+    mom = dev.agg(
+        (
+            F.sum("pos").cast("double") / F.sum("n").cast("double")
+        ).alias("pbar"),
+        (F.sum("d2").cast("double") / F.count("*")).alias("s2"),
+        F.count("*").cast("long").alias("k"),
+    )
+    m = F.when(
+        F.col("s2") > 0.0,
+        F.greatest(
+            F.col("pbar") * (F.lit(1.0) - F.col("pbar")) / F.col("s2")
+            - F.lit(1.0),
+            F.lit(1.0),
+        ),
+    ).otherwise(F.lit(1000.0))
+    prior = mom.select("pbar", m.alias("m"))
+    return g.crossJoin(F.broadcast(prior)).select(
+        "source", "n",
+        F.round(rate, 6).alias("raw_rate"),
+        F.round(
+            (F.col("pos").cast("double") + F.col("pbar") * F.col("m"))
+            / (F.col("n").cast("double") + F.col("m")), 6
+        ).alias("shrunk_rate"),
+        F.round(F.col("pbar") * F.col("m"), 6).alias("alpha"),
+        F.round((F.lit(1.0) - F.col("pbar")) * F.col("m"), 6)
+        .alias("beta"),
+    )
+
+
+@_register(
+    "tukey_pairwise_contrasts",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(value AS DECIMAL(38,4))) AS s,
+               SUM(CAST(value AS DECIMAL(38,4))
+                   * CAST(value AS DECIMAL(38,4))) AS q
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    msw AS (
+        SELECT CAST(CAST(ROUND(SUM(CAST(ROUND(
+                   CAST(q AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 6)
+                   AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE)
+               / CAST(SUM(n) - COUNT(*) AS DOUBLE) AS w
+        FROM g
+    )
+    SELECT a.event_type AS group_a, b.event_type AS group_b,
+           ROUND(CAST(a.s AS DOUBLE) / a.n
+                 - CAST(b.s AS DOUBLE) / b.n, 6) AS mean_diff,
+           ROUND((CAST(a.s AS DOUBLE) / a.n
+                  - CAST(b.s AS DOUBLE) / b.n)
+                 / sqrt(msw.w / 2.0
+                        * (1.0 / a.n + 1.0 / b.n)), 6) AS q_stat
+    FROM g a JOIN g b ON a.event_type < b.event_type, msw
+    """,
+    doc="Tukey-style pairwise contrasts after the ANOVA omnibus — all"
+        " 10 group-pair mean differences with the studentized-range"
+        " statistic q = (m_i − m_j)/√(MSW/2·(1/n_i + 1/n_j)) on the"
+        " POOLED within-group variance (anova_oneway_f's SSW recipe"
+        " verbatim, per-group terms exact-decimal before the k-term"
+        " sum) — the follow-up that answers WHICH groups differ once"
+        " the F test fires, with the variance estimate every pairwise"
+        " welch_t_test would re-estimate separately. |q| ≳ 3.86"
+        " rejects at 5% for 5 groups (standard studentized-range"
+        " table). Scale: one moment scan; the contrast table is"
+        " O(k²) on the 5-row aggregate.",
+)
+def tukey_pairwise_contrasts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    dec = "decimal(38,4)"
+    v = F.col("value").cast(dec)
+    g = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(v).alias("s"),
+        F.sum(v * v).alias("q"),
+    )
+    msw = g.agg(
+        (
+            _dsum(
+                F.round(
+                    F.col("q").cast("double")
+                    - F.col("s").cast("double")
+                    * F.col("s").cast("double") / F.col("n"), 6
+                )
+            )
+            / (F.sum("n") - F.count("*")).cast("double")
+        ).alias("w")
+    )
+    a = g.select(
+        F.col("event_type").alias("group_a"),
+        F.col("n").alias("na"), F.col("s").alias("sa"),
+    )
+    b = g.select(
+        F.col("event_type").alias("group_b"),
+        F.col("n").alias("nb"), F.col("s").alias("sb"),
+    )
+    pairs = a.join(b, F.col("group_a") < F.col("group_b")).crossJoin(
+        F.broadcast(msw)
+    )
+    diff = (
+        F.col("sa").cast("double") / F.col("na")
+        - F.col("sb").cast("double") / F.col("nb")
+    )
+    return pairs.select(
+        "group_a", "group_b",
+        F.round(diff, 6).alias("mean_diff"),
+        F.round(
+            diff
+            / F.sqrt(
+                F.col("w") / F.lit(2.0)
+                * (
+                    F.lit(1.0) / F.col("na")
+                    + F.lit(1.0) / F.col("nb")
+                )
+            ), 6
+        ).alias("q_stat"),
     )
