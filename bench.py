@@ -377,6 +377,40 @@ NEW_QUERIES_R07 = [
     "token_diversity_by_source",
     "duplicate_transaction_flags",
     "term_trend_log_odds",
+    "pr_auc_average_precision",
+    "kruskal_wallis_test",
+    "bh_fdr_correction",
+    "jaro_winkler_linkage",
+    "kaplan_meier_survival",
+    "mantel_haenszel_or",
+    "adamic_adar_link_prediction",
+    "dbscan_grid_clusters",
+    "levene_brown_forsythe",
+    "mcnemar_paired_test",
+    "kendall_tau_daily",
+    "chao1_vocab_richness",
+    "ridge_regression_closed_form",
+    "mixture_epoch_plan",
+    "qte_decile_effects",
+    "logrank_survival_test",
+    "modularity_components",
+    "cka_embedding_views",
+    "huber_irls_regression",
+    "rbo_rank_agreement",
+    "weighted_sample_no_replacement",
+    "permutation_test_seeded",
+    "clustering_coefficient_local",
+    "langid_confusion_matrix",
+    "audio_frame_energy",
+    "wasserstein_1d_distance",
+    "mann_kendall_trend",
+    "isotonic_calibration_fit",
+    "rmst_survival_auc",
+    "exponential_gof_interarrivals",
+    "ensemble_dedup_consensus",
+    "eb_shrinkage_rates",
+    "tukey_pairwise_contrasts",
+    "markov_attribution_removal",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

@@ -23519,3 +23519,280 @@ def tukey_pairwise_contrasts(
             ), 6
         ).alias("q_stat"),
     )
+
+
+@_register(
+    "markov_attribution_removal",
+    oracle="""
+    WITH r AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    cut AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'purchase' THEN rn END) AS prn,
+               MAX(rn) AS lastrn
+        FROM r GROUP BY 1
+    ),
+    kept AS (
+        SELECT r.user_id, r.event_type, r.rn, cut.prn, cut.lastrn
+        FROM r JOIN cut USING (user_id)
+        WHERE cut.prn IS NULL OR r.rn <= cut.prn
+    ),
+    trans AS (
+        SELECT COALESCE(LAG(event_type) OVER (PARTITION BY user_id
+                   ORDER BY rn), 'start') AS src,
+               event_type AS dst
+        FROM kept
+        UNION ALL
+        SELECT event_type, 'end'
+        FROM kept WHERE prn IS NULL AND rn = lastrn
+    ),
+    cnt AS (
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c
+        FROM trans GROUP BY 1, 2
+    ),
+    ent AS (
+        SELECT CASE src WHEN 'start' THEN 0 WHEN 'view' THEN 1
+                        WHEN 'click' THEN 2 WHEN 'signup' THEN 3
+                        ELSE 4 END AS si,
+               CASE dst WHEN 'view' THEN 0 WHEN 'click' THEN 1
+                        WHEN 'signup' THEN 2 WHEN 'error' THEN 3
+                        WHEN 'purchase' THEN 4 ELSE 5 END AS di,
+               CAST(c AS DOUBLE)
+               / CAST(SUM(c) OVER (PARTITION BY src) AS DOUBLE) AS p
+        FROM cnt
+    ),
+    m1 AS (
+        SELECT list_sort(list({'si': si, 'di': di, 'p': p})) AS entries
+        FROM ent
+    ),
+    ch AS (
+        SELECT * FROM (VALUES ('none', -1, -1), ('view', 1, 0),
+                              ('click', 2, 1), ('signup', 3, 2),
+                              ('error', 4, 3)) t(removed, rsi, rdi)
+    ),
+    folded AS (
+        SELECT ch.removed,
+               list_reduce(
+                 list_prepend(CAST([0.0, 0.0, 0.0, 0.0] AS DOUBLE[]),
+                   list_transform(range(1, 25),
+                                  i -> CAST([] AS DOUBLE[]))),
+                 (acc, it) -> list_transform(range(0, 4), s ->
+                     list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                         list_transform(
+                           list_filter(
+                             list_transform(
+                               list_filter(m1.entries,
+                                           e -> e.si != ch.rsi),
+                               e -> {'si': e.si,
+                                     'di': CASE WHEN e.di = ch.rdi
+                                                THEN 6 ELSE e.di END,
+                                     'p': e.p}),
+                             e -> e.si = s + 1),
+                           e -> e.p *
+                               (CASE WHEN e.di = 4
+                                     THEN CAST(1.0 AS DOUBLE)
+                                     WHEN e.di >= 5
+                                     THEN CAST(0.0 AS DOUBLE)
+                                     ELSE acc[e.di + 1] END))),
+                       (a, x) -> a + x))
+               ) AS pv
+        FROM ch, m1
+    ),
+    conv AS (
+        SELECT f.removed,
+               list_reduce(
+                 list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(
+                     list_filter(
+                       list_transform(
+                         list_filter(m1.entries, e -> e.si != c2.rsi),
+                         e -> {'si': e.si,
+                               'di': CASE WHEN e.di = c2.rdi
+                                          THEN 6 ELSE e.di END,
+                               'p': e.p}),
+                       e -> e.si = 0),
+                     e -> e.p * (CASE WHEN e.di = 4
+                                      THEN CAST(1.0 AS DOUBLE)
+                                      WHEN e.di >= 5
+                                      THEN CAST(0.0 AS DOUBLE)
+                                      ELSE f.pv[e.di + 1] END))),
+                 (a, x) -> a + x) AS conv_p
+        FROM folded f JOIN ch c2 ON f.removed = c2.removed, m1
+    ),
+    with_full AS (
+        SELECT c.removed, c.conv_p,
+               (SELECT conv_p FROM conv WHERE removed = 'none') AS full_p
+        FROM conv c
+    ),
+    eff AS (
+        SELECT removed, conv_p, full_p,
+               CASE WHEN removed = 'none' THEN 0.0
+                    ELSE 1.0 - conv_p / full_p END AS effect
+        FROM with_full
+    )
+    SELECT removed AS removed_channel,
+           ROUND(conv_p, 6) AS conv_prob_24,
+           ROUND(effect, 6) AS removal_effect,
+           ROUND(CASE WHEN removed = 'none' THEN 0.0
+                      ELSE effect / SUM(effect) OVER () END, 6)
+               AS attribution_share
+    FROM eff
+    """,
+    doc="Markov removal-effect attribution (first-order multi-touch,"
+        " Anderl et al. 2014 family) — the channel-attribution model"
+        " that replaces last-touch heuristics"
+        " (streaming_attribution_readback's rule) with a causal-ish"
+        " counterfactual: per-user journeys (truncated at first"
+        " purchase, ordered by (ts, event_id)) → a start/4-channel/"
+        "purchase/end transition matrix → 24-step absorption"
+        " probability of conversion, recomputed with each channel"
+        " KNOCKED OUT (its inbound flow sent to the null sink, its"
+        " outbound rows dropped); attribution share = normalized"
+        " conversion lift lost. The entire iteration runs IN-PLAN:"
+        " the ≤30-entry matrix is collect_list'd into ONE array"
+        " row and the 24 fixed-point steps are a nested"
+        " higher-order-function fold (transform/filter/aggregate) —"
+        " no driver loop, no per-iteration job — replayed"
+        " term-for-term by DuckDB list lambdas with the identical"
+        " left-fold summation order (entries pre-sorted by (si, di),"
+        " so every IEEE addition matches). 24 steps is a documented"
+        " truncation: the output is the exact finite-horizon"
+        " absorption probability, a well-defined quantity at any"
+        " scale. Scale: one user_id-partitioned window pass + a"
+        " states²-sized aggregate; the fold is O(K·|E|) on one row.",
+)
+def markov_attribution_removal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    r = ev.select(
+        "user_id", "event_type",
+        F.row_number().over(
+            W.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("rn"),
+    )
+    cut = r.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("rn"))
+        ).alias("prn"),
+        F.max("rn").alias("lastrn"),
+    )
+    kept = r.join(cut, "user_id").filter(
+        F.col("prn").isNull() | (F.col("rn") <= F.col("prn"))
+    )
+    steps = kept.select(
+        F.coalesce(
+            F.lag("event_type").over(
+                W.partitionBy("user_id").orderBy("rn")
+            ),
+            F.lit("start"),
+        ).alias("src"),
+        F.col("event_type").alias("dst"),
+    )
+    ends = kept.filter(
+        F.col("prn").isNull() & (F.col("rn") == F.col("lastrn"))
+    ).select(
+        F.col("event_type").alias("src"), F.lit("end").alias("dst")
+    )
+    cnt = steps.union(ends).groupBy("src", "dst").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    si = (
+        F.when(F.col("src") == "start", 0)
+        .when(F.col("src") == "view", 1)
+        .when(F.col("src") == "click", 2)
+        .when(F.col("src") == "signup", 3)
+        .otherwise(4)
+    )
+    di = (
+        F.when(F.col("dst") == "view", 0)
+        .when(F.col("dst") == "click", 1)
+        .when(F.col("dst") == "signup", 2)
+        .when(F.col("dst") == "error", 3)
+        .when(F.col("dst") == "purchase", 4)
+        .otherwise(5)
+    )
+    ent = cnt.select(
+        si.alias("si"), di.alias("di"),
+        (
+            F.col("c").cast("double")
+            / F.sum("c").over(W.partitionBy("src")).cast("double")
+        ).alias("p"),
+    )
+    m1 = ent.agg(
+        F.sort_array(
+            F.collect_list(F.struct("si", "di", "p"))
+        ).alias("entries")
+    )
+    ch = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "array(named_struct('removed','none','rsi',-1,'rdi',-1),"
+                " named_struct('removed','view','rsi',1,'rdi',0),"
+                " named_struct('removed','click','rsi',2,'rdi',1),"
+                " named_struct('removed','signup','rsi',3,'rdi',2),"
+                " named_struct('removed','error','rsi',4,'rdi',3))"
+            )
+        ).alias("ch")
+    ).select("ch.removed", "ch.rsi", "ch.rdi")
+    base = ch.crossJoin(F.broadcast(m1))
+    mm_expr = (
+        "transform(filter(entries, e -> e.si != rsi),"
+        " e -> named_struct('si', e.si,"
+        "   'di', CASE WHEN e.di = rdi THEN 6 ELSE e.di END,"
+        "   'p', e.p))"
+    )
+    fold_expr = (
+        "aggregate("
+        "  sequence(1, 24),"
+        "  array(0.0D, 0.0D, 0.0D, 0.0D),"
+        "  (acc, it) -> transform(sequence(0, 3), s ->"
+        "    aggregate("
+        "      transform("
+        f"        filter({mm_expr}, e -> e.si = s + 1),"
+        "        e -> e.p * (CASE WHEN e.di = 4 THEN 1.0D"
+        "                         WHEN e.di >= 5 THEN 0.0D"
+        "                         ELSE element_at(acc, e.di + 1)"
+        "                    END)),"
+        "      0.0D, (a, x) -> a + x))"
+        ")"
+    )
+    folded = base.withColumn("pv", F.expr(fold_expr))
+    conv_expr = (
+        "aggregate("
+        "  transform("
+        f"    filter({mm_expr}, e -> e.si = 0),"
+        "    e -> e.p * (CASE WHEN e.di = 4 THEN 1.0D"
+        "                     WHEN e.di >= 5 THEN 0.0D"
+        "                     ELSE element_at(pv, e.di + 1) END)),"
+        "  0.0D, (a, x) -> a + x)"
+    )
+    conv = folded.withColumn("conv_p", F.expr(conv_expr))
+    full = conv.filter(F.col("removed") == "none").select(
+        F.col("conv_p").alias("full_p")
+    )
+    eff = conv.crossJoin(F.broadcast(full)).select(
+        "removed", "conv_p", "full_p",
+        F.when(F.col("removed") == "none", F.lit(0.0))
+        .otherwise(
+            F.lit(1.0) - F.col("conv_p") / F.col("full_p")
+        ).alias("effect"),
+    )
+    return eff.select(
+        F.col("removed").alias("removed_channel"),
+        F.round(F.col("conv_p"), 6).alias("conv_prob_24"),
+        F.round(F.col("effect"), 6).alias("removal_effect"),
+        F.round(
+            F.when(F.col("removed") == "none", F.lit(0.0)).otherwise(
+                F.col("effect")
+                / F.sum("effect").over(W.partitionBy())
+            ), 6
+        ).alias("attribution_share"),
+    )
