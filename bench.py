@@ -411,6 +411,7 @@ NEW_QUERIES_R07 = [
     "eb_shrinkage_rates",
     "tukey_pairwise_contrasts",
     "markov_attribution_removal",
+    "shapley_attribution_exact",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not
