@@ -412,6 +412,9 @@ NEW_QUERIES_R07 = [
     "tukey_pairwise_contrasts",
     "markov_attribution_removal",
     "shapley_attribution_exact",
+    "ipw_ate_stratified",
+    "feature_hashing_collisions",
+    "power_iteration_top_eigen",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

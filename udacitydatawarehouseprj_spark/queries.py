@@ -24109,3 +24109,411 @@ def shapley_attribution_exact(
             F.col("shap") / F.sum("shap").over(W.partitionBy()), 6
         ).alias("attribution_share"),
     )
+
+
+@_register(
+    "ipw_ate_stratified",
+    oracle="""
+    WITH base AS (
+        SELECT o.o_orderpriority AS stratum,
+               CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                   AS t,
+               CAST(o.o_totalprice AS DECIMAL(38,4)) AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    e AS (
+        SELECT stratum,
+               CAST(SUM(t) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS ps
+        FROM base GROUP BY 1
+    ),
+    w AS (
+        SELECT b.t, b.y, e.ps,
+               CASE WHEN b.t = 1 THEN 1.0 / e.ps
+                    ELSE 1.0 / (1.0 - e.ps) END AS wt
+        FROM base b JOIN e USING (stratum)
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(CASE WHEN t = 1
+                   THEN wt * CAST(y AS DOUBLE) ELSE 0.0 END, 6)
+                   AS DECIMAL(28,6))) AS DOUBLE) AS sy1,
+               CAST(SUM(CAST(ROUND(CASE WHEN t = 1 THEN wt
+                   ELSE 0.0 END, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sw1,
+               CAST(SUM(CAST(ROUND(CASE WHEN t = 0
+                   THEN wt * CAST(y AS DOUBLE) ELSE 0.0 END, 6)
+                   AS DECIMAL(28,6))) AS DOUBLE) AS sy0,
+               CAST(SUM(CAST(ROUND(CASE WHEN t = 0 THEN wt
+                   ELSE 0.0 END, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sw0
+        FROM w
+    )
+    SELECT n,
+           ROUND(sy1 / sw1, 6) AS mu_treated,
+           ROUND(sy0 / sw0, 6) AS mu_control,
+           ROUND(sy1 / sw1 - sy0 / sw0, 6) AS ate_ipw
+    FROM s
+    """,
+    doc="Inverse-propensity-weighted ATE with stratified propensity"
+        " scores — order revenue under BUILDING-segment 'treatment',"
+        " propensity e(s) = P(T=1 | order-priority stratum) estimated"
+        " exactly per stratum, Hájek-normalized means μ̂_t ="
+        " Σw·y/Σw — the reweighting estimator that recovers the"
+        " population contrast when treatment is confounded with the"
+        " stratum (mantel_haenszel_or is the odds-ratio sibling for"
+        " binary outcomes; IPW handles CONTINUOUS outcomes and is"
+        " the base of doubly-robust pipelines). Weights are pure"
+        " column arithmetic off a broadcast 5-row propensity table;"
+        " the four weighted sums use the per-term exact-decimal"
+        " recipe. Scale: one broadcast join + one"
+        " map-side-combining aggregation.",
+)
+def ipw_ate_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    base = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        F.col("o_orderpriority").alias("stratum"),
+        (F.col("c_mktsegment") == "BUILDING").cast("int").alias("t"),
+        F.col("o_totalprice").cast("decimal(38,4)").alias("y"),
+    )
+    e = base.groupBy("stratum").agg(
+        (
+            F.sum("t").cast("double") / F.count("*").cast("double")
+        ).alias("ps")
+    )
+    w = base.join(F.broadcast(e), "stratum").select(
+        "t", "y",
+        F.when(
+            F.col("t") == 1, F.lit(1.0) / F.col("ps")
+        ).otherwise(F.lit(1.0) / (F.lit(1.0) - F.col("ps"))).alias("wt"),
+    )
+
+    def dsum6(c):
+        return F.sum(F.round(c, 6).cast("decimal(28,6)")).cast("double")
+
+    yd = F.col("y").cast("double")
+    s = w.agg(
+        F.count("*").cast("long").alias("n"),
+        dsum6(
+            F.when(F.col("t") == 1, F.col("wt") * yd).otherwise(0.0)
+        ).alias("sy1"),
+        dsum6(
+            F.when(F.col("t") == 1, F.col("wt")).otherwise(0.0)
+        ).alias("sw1"),
+        dsum6(
+            F.when(F.col("t") == 0, F.col("wt") * yd).otherwise(0.0)
+        ).alias("sy0"),
+        dsum6(
+            F.when(F.col("t") == 0, F.col("wt")).otherwise(0.0)
+        ).alias("sw0"),
+    )
+    return s.select(
+        "n",
+        F.round(F.col("sy1") / F.col("sw1"), 6).alias("mu_treated"),
+        F.round(F.col("sy0") / F.col("sw0"), 6).alias("mu_control"),
+        F.round(
+            F.col("sy1") / F.col("sw1") - F.col("sy0") / F.col("sw0"), 6
+        ).alias("ate_ipw"),
+    )
+
+
+@_register(
+    "feature_hashing_collisions",
+    oracle=f"""
+    WITH toks AS (
+        SELECT DISTINCT unnest(string_split_regex(lower(text), '\\s+'))
+            AS term
+        FROM documents
+    ),
+    hashed AS (
+        SELECT term,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(term) + 1),
+                           i -> CAST(unicode(substr(term,
+                                CAST(i AS INTEGER), 1)) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % {_MIX_P}
+               ) % 1024 AS bucket
+        FROM toks
+    ),
+    b AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_terms
+        FROM hashed GROUP BY 1
+    )
+    SELECT CAST(SUM(n_terms) AS BIGINT) AS vocab_size,
+           CAST(COUNT(*) AS BIGINT) AS buckets_used,
+           CAST(SUM(CASE WHEN n_terms > 1 THEN n_terms - 1 ELSE 0 END)
+                AS BIGINT) AS collided_terms,
+           ROUND(CAST(SUM(CASE WHEN n_terms > 1 THEN n_terms - 1
+                          ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(n_terms) AS DOUBLE), 6) AS collision_rate,
+           CAST(MAX(n_terms) AS BIGINT) AS max_bucket_load
+    FROM b
+    """,
+    doc="Feature-hashing (hashing-trick) collision audit — vocabulary"
+        " terms hashed into 1024 buckets with the portable polynomial"
+        " rolling hash (dedup_simhash_portable's token hash), then"
+        " the numbers that decide whether hashed features are safe:"
+        " collided-term count/rate (terms sharing a bucket beyond"
+        " the first — the information actually destroyed), buckets"
+        " used vs 2^k, and max bucket load. The birthday-bound"
+        " expectation (≈ V²/2B collisions) is what the measured rate"
+        " should track; a hot bucket signals a degenerate hash, the"
+        " classic silent-quality-loss failure of hashed"
+        " vectorizers at corpus scale. One distinct-vocabulary"
+        " shuffle + one bucket aggregation; the audit is O(buckets).",
+)
+def feature_hashing_collisions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term")
+    ).distinct()
+    hashed = toks.select(
+        F.expr(
+            "aggregate("
+            "  transform(sequence(1, length(term)),"
+            "            i -> ascii(substr(term, i, 1))),"
+            f"  0L, (acc, x) -> (acc * 31 + x) % {_MIX_P})"
+            " % 1024"
+        ).alias("bucket")
+    )
+    b = hashed.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_terms")
+    )
+    coll = F.sum(
+        F.when(F.col("n_terms") > 1, F.col("n_terms") - 1).otherwise(0)
+    )
+    return b.agg(
+        F.sum("n_terms").cast("long").alias("vocab_size"),
+        F.count("*").cast("long").alias("buckets_used"),
+        coll.cast("long").alias("collided_terms"),
+        F.round(
+            coll.cast("double") / F.sum("n_terms").cast("double"), 6
+        ).alias("collision_rate"),
+        F.max("n_terms").cast("long").alias("max_bucket_load"),
+    )
+
+
+@_register(
+    "power_iteration_top_eigen",
+    oracle="""
+    WITH idx AS (
+        SELECT a.j, b.k FROM range(1, 65) AS a(j), range(1, 65) AS b(k)
+    ),
+    raw AS (
+        SELECT i.j, i.k,
+               CAST(SUM(CAST(ROUND(
+                   CAST(e.embedding[i.j] AS DOUBLE)
+                   * CAST(e.embedding[i.k] AS DOUBLE), 12)
+                   AS DECIMAL(28,12))) AS DOUBLE) AS s
+        FROM embeddings e, idx i GROUP BY 1, 2
+    ),
+    means AS (
+        SELECT d.j,
+               CAST(SUM(CAST(ROUND(CAST(e.embedding[d.j] AS DOUBLE), 12)
+                   AS DECIMAL(28,12))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS mu
+        FROM embeddings e, range(1, 65) AS d(j) GROUP BY 1
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+    cen AS (
+        SELECT raw.j, raw.k,
+               raw.s - nn.n * mj.mu * mk.mu AS c
+        FROM raw JOIN means mj ON mj.j = raw.j
+        JOIN means mk ON mk.j = raw.k, nn
+    ),
+    g1 AS (
+        SELECT list_transform(
+                   list_sort(list({'j': j, 'k': k, 'c': c})),
+                   e -> e.c) AS g
+        FROM cen
+    ),
+    pw AS (
+        SELECT g,
+               list_reduce(
+                 list_prepend(
+                   list_transform(range(1, 65),
+                       i -> CASE WHEN i = 1 THEN CAST(1.0 AS DOUBLE)
+                                 ELSE CAST(0.0 AS DOUBLE) END),
+                   list_transform(range(1, 31),
+                                  i -> CAST([] AS DOUBLE[]))),
+                 (acc, it) -> list_transform(range(1, 65), j ->
+                     list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                         list_transform(range(1, 65),
+                           k -> g[(j - 1) * 64 + k] * acc[k])),
+                       (a, x) -> a + x))
+               ) AS v
+        FROM g1
+    ),
+    fin AS (
+        SELECT g, v,
+               list_transform(range(1, 65), j ->
+                   list_reduce(
+                     list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(range(1, 65),
+                         k -> g[(j - 1) * 64 + k] * v[k])),
+                     (a, x) -> a + x)) AS w,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(v, x -> x * x)),
+                   (a, x) -> a + x) AS v2
+        FROM pw
+    ),
+    lam AS (
+        SELECT v, v2,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(range(1, 65),
+                                  j -> v[j] * w[j])),
+                   (a, x) -> a + x) / v2 AS lambda1,
+               (SELECT CAST(SUM(CAST(ROUND(c, 9) AS DECIMAL(28,9)))
+                       AS DOUBLE) FROM cen WHERE j = k) AS trace
+        FROM fin
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n_vectors,
+           ROUND(lambda1, 4) AS lambda1,
+           ROUND(lambda1 / trace, 6) AS explained_frac,
+           ROUND(v[1] / sqrt(v2), 6) AS c1,
+           ROUND(v[2] / sqrt(v2), 6) AS c2,
+           ROUND(v[3] / sqrt(v2), 6) AS c3,
+           ROUND(v[4] / sqrt(v2), 6) AS c4
+    FROM lam
+    """,
+    doc="Top eigenpair of the centered embedding covariance by 30"
+        " POWER-ITERATION steps folded in-plan — the spectral"
+        " primitive under PCA/spectral clustering/effective-rank"
+        " diagnostics, computed the way a 100 TB pipeline must:"
+        " ONE pass builds the d×d covariance from exact-decimal"
+        " cross-moments (cka_embedding_views' gram recipe, centered"
+        " as S − n·μμ'), the matrix collapses to a single 4096-"
+        "element array row, and v_{t+1} = C·v_t runs as a nested"
+        " higher-order fold (no normalization inside the loop —"
+        " doubles hold λ^30 comfortably, and both engines replay"
+        " the identical left-fold matvec order); Rayleigh quotient"
+        " + trace give λ₁ and its explained-variance share, the"
+        " leading components normalized at the end (sign pinned by"
+        " the e₁ start vector). For THIS corpus (random unit"
+        " vectors) the spectrum is Marchenko-Pastur-flat, so"
+        " explained_frac ≈ 1/d and the 30-step iterate is the"
+        " documented truncated quantity — exactly the right null"
+        " baseline against which a real corpus shows structure."
+        " Scale: one scan; O(d²) shuffle; O(K·d²) fold on one row.",
+)
+def power_iteration_top_eigen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        similarity.as_double("embedding").alias("emb")
+    )
+    jk = spark.range(1, 65).select(
+        F.col("id").cast("int").alias("j")
+    ).crossJoin(
+        spark.range(1, 65).select(F.col("id").cast("int").alias("k"))
+    )
+    raw = (
+        emb.crossJoin(F.broadcast(jk))
+        .select(
+            "j", "k",
+            F.round(
+                F.element_at("emb", F.col("j"))
+                * F.element_at("emb", F.col("k")), 12
+            ).cast("decimal(28,12)").alias("p"),
+        )
+        .groupBy("j", "k")
+        .agg(F.sum("p").cast("double").alias("s"))
+    )
+    means = (
+        emb.crossJoin(
+            F.broadcast(
+                spark.range(1, 65).select(
+                    F.col("id").cast("int").alias("j")
+                )
+            )
+        )
+        .select(
+            "j",
+            F.round(F.element_at("emb", F.col("j")), 12)
+            .cast("decimal(28,12)").alias("v"),
+        )
+        .groupBy("j")
+        .agg((F.sum("v").cast("double") / F.count("*")).alias("mu"))
+    )
+    nn = emb.agg(F.count("*").cast("double").alias("n"))
+    mj = means.select(F.col("j").alias("mjx"), F.col("mu").alias("mux"))
+    mk = means.select(F.col("j").alias("mky"), F.col("mu").alias("muy"))
+    cen = (
+        raw.join(F.broadcast(mj), F.col("j") == F.col("mjx"))
+        .join(F.broadcast(mk), F.col("k") == F.col("mky"))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "j", "k",
+            (F.col("s") - F.col("n") * F.col("mux") * F.col("muy"))
+            .alias("c"),
+        )
+    )
+    g1 = cen.agg(
+        F.expr(
+            "transform(sort_array(collect_list("
+            "named_struct('j', j, 'k', k, 'c', c))), e -> e.c)"
+        ).alias("g")
+    )
+    trace = cen.filter(F.col("j") == F.col("k")).agg(
+        F.sum(F.round(F.col("c"), 9).cast("decimal(28,9)"))
+        .cast("double").alias("trace")
+    )
+    matvec = (
+        "transform(sequence(1, 64), j ->"
+        "  aggregate("
+        "    transform(sequence(1, 64),"
+        "      k -> element_at(g, (j - 1) * 64 + k)"
+        "           * element_at({v}, k)),"
+        "    0.0D, (a, x) -> a + x))"
+    )
+    pw = g1.withColumn(
+        "v",
+        F.expr(
+            "aggregate("
+            "  sequence(1, 30),"
+            "  transform(sequence(1, 64),"
+            "    i -> CASE WHEN i = 1 THEN 1.0D ELSE 0.0D END),"
+            f"  (acc, it) -> {matvec.format(v='acc')}"
+            ")"
+        ),
+    )
+    fin = pw.withColumn("w", F.expr(matvec.format(v="v"))).withColumn(
+        "v2",
+        F.expr("aggregate(transform(v, x -> x * x), 0.0D,"
+               " (a, x) -> a + x)"),
+    )
+    lam = fin.withColumn(
+        "lambda1",
+        F.expr(
+            "aggregate(transform(sequence(1, 64),"
+            " j -> element_at(v, j) * element_at(w, j)),"
+            " 0.0D, (a, x) -> a + x)"
+        )
+        / F.col("v2"),
+    )
+    return (
+        lam.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(trace))
+        .select(
+            F.col("n").cast("long").alias("n_vectors"),
+            F.round(F.col("lambda1"), 4).alias("lambda1"),
+            F.round(F.col("lambda1") / F.col("trace"), 6)
+            .alias("explained_frac"),
+            F.round(
+                F.element_at("v", 1) / F.sqrt(F.col("v2")), 6
+            ).alias("c1"),
+            F.round(
+                F.element_at("v", 2) / F.sqrt(F.col("v2")), 6
+            ).alias("c2"),
+            F.round(
+                F.element_at("v", 3) / F.sqrt(F.col("v2")), 6
+            ).alias("c3"),
+            F.round(
+                F.element_at("v", 4) / F.sqrt(F.col("v2")), 6
+            ).alias("c4"),
+        )
+    )
