@@ -415,6 +415,9 @@ NEW_QUERIES_R07 = [
     "ipw_ate_stratified",
     "feature_hashing_collisions",
     "power_iteration_top_eigen",
+    "aipw_doubly_robust_ate",
+    "qini_uplift_curve",
+    "sprt_sequential_ab",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

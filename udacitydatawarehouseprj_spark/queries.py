@@ -24517,3 +24517,356 @@ def power_iteration_top_eigen(
             ).alias("c4"),
         )
     )
+
+
+@_register(
+    "aipw_doubly_robust_ate",
+    oracle="""
+    WITH base AS (
+        SELECT o.o_orderpriority AS stratum,
+               CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                   AS t,
+               CAST(o.o_totalprice AS DECIMAL(38,4)) AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    mdl AS (
+        SELECT stratum,
+               CAST(SUM(t) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS e,
+               CAST(SUM(CASE WHEN t = 1 THEN y END) AS DOUBLE)
+                   / SUM(t) AS m1,
+               CAST(SUM(CASE WHEN t = 0 THEN y END) AS DOUBLE)
+                   / SUM(1 - t) AS m0
+        FROM base GROUP BY 1
+    ),
+    scored AS (
+        SELECT b.t, b.y, m.e, m.m1, m.m0,
+               m.m1 - m.m0
+               + CASE WHEN b.t = 1
+                      THEN (CAST(b.y AS DOUBLE) - m.m1) / m.e
+                      ELSE 0.0 END
+               - CASE WHEN b.t = 0
+                      THEN (CAST(b.y AS DOUBLE) - m.m0) / (1.0 - m.e)
+                      ELSE 0.0 END AS psi
+        FROM base b JOIN mdl m USING (stratum)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(ROUND(psi, 6) AS DECIMAL(28,6)))
+                 AS DOUBLE) / COUNT(*), 6) AS ate_aipw,
+           ROUND(CAST(SUM(CASE WHEN t = 1 THEN y END) AS DOUBLE)
+                 / SUM(t)
+                 - CAST(SUM(CASE WHEN t = 0 THEN y END) AS DOUBLE)
+                 / SUM(1 - t), 6) AS ate_naive
+    FROM scored
+    """,
+    doc="Doubly-robust (AIPW) average treatment effect — the"
+        " augmented estimator ψ = m₁(s) − m₀(s) + t(y−m₁)/e −"
+        " (1−t)(y−m₀)/(1−e) averaged over all units, consistent if"
+        " EITHER the per-stratum outcome model (m₁, m₀) OR the"
+        " propensity e(s) is right (Robins/Rotnitzky; the modern"
+        " causal-ML default and the estimating equation behind"
+        " double machine learning) — completing the suite's causal"
+        " ladder: naive diff → MH/DiD/CUPED → IPW →"
+        " AIPW. Both nuisance models are exact 5-row stratum"
+        " aggregates broadcast back; the influence-function sum"
+        " uses the per-term exact-decimal recipe, and the naive"
+        " contrast rides along to show the confounding correction."
+        " Scale: one broadcast join + two aggregations.",
+)
+def aipw_doubly_robust_ate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    base = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        F.col("o_orderpriority").alias("stratum"),
+        (F.col("c_mktsegment") == "BUILDING").cast("int").alias("t"),
+        F.col("o_totalprice").cast("decimal(38,4)").alias("y"),
+    )
+    mdl = base.groupBy("stratum").agg(
+        (F.sum("t").cast("double") / F.count("*")).alias("e"),
+        (
+            F.sum(F.when(F.col("t") == 1, F.col("y"))).cast("double")
+            / F.sum("t")
+        ).alias("m1"),
+        (
+            F.sum(F.when(F.col("t") == 0, F.col("y"))).cast("double")
+            / F.sum(F.lit(1) - F.col("t"))
+        ).alias("m0"),
+    )
+    yd = F.col("y").cast("double")
+    psi = (
+        F.col("m1") - F.col("m0")
+        + F.when(
+            F.col("t") == 1, (yd - F.col("m1")) / F.col("e")
+        ).otherwise(0.0)
+        - F.when(
+            F.col("t") == 0,
+            (yd - F.col("m0")) / (F.lit(1.0) - F.col("e")),
+        ).otherwise(0.0)
+    )
+    scored = base.join(F.broadcast(mdl), "stratum").select(
+        "t", "y", psi.alias("psi")
+    )
+    return scored.agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(
+            F.sum(F.round(F.col("psi"), 6).cast("decimal(28,6)"))
+            .cast("double") / F.count("*"), 6
+        ).alias("ate_aipw"),
+        F.round(
+            F.sum(F.when(F.col("t") == 1, F.col("y"))).cast("double")
+            / F.sum("t")
+            - F.sum(F.when(F.col("t") == 0, F.col("y"))).cast("double")
+            / F.sum(F.lit(1) - F.col("t")), 6
+        ).alias("ate_naive"),
+    )
+
+
+@_register(
+    "qini_uplift_curve",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS BIGINT) AS t,
+               MAX(CASE WHEN value >= 200 THEN 1 ELSE 0 END) AS y,
+               LEAST(CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE)
+                     / COUNT(*) / 100.0, 1.0) * 0.5
+               + CAST((((user_id % {_MIX_P}) * 48271 + 12345)
+                       % {_MIX_P}) * 48271 % {_MIX_P} AS DOUBLE)
+                 / {_MIX_P}.0 * 0.5 AS score
+        FROM events GROUP BY 1, 2
+    ),
+    b AS (
+        SELECT LEAST(CAST(FLOOR(score * 10) AS BIGINT), 9) AS decile,
+               CAST(SUM(t) AS BIGINT) AS n_t,
+               CAST(SUM(1 - t) AS BIGINT) AS n_c,
+               CAST(SUM(t * y) AS BIGINT) AS y_t,
+               CAST(SUM((1 - t) * y) AS BIGINT) AS y_c
+        FROM u GROUP BY 1
+    ),
+    cum AS (
+        SELECT decile, n_t, n_c, y_t, y_c,
+               SUM(y_t) OVER (ORDER BY decile DESC
+                   ROWS UNBOUNDED PRECEDING) AS cy_t,
+               SUM(y_c) OVER (ORDER BY decile DESC
+                   ROWS UNBOUNDED PRECEDING) AS cy_c,
+               SUM(n_t) OVER (ORDER BY decile DESC
+                   ROWS UNBOUNDED PRECEDING) AS cn_t,
+               SUM(n_c) OVER (ORDER BY decile DESC
+                   ROWS UNBOUNDED PRECEDING) AS cn_c
+        FROM b
+    )
+    SELECT decile, n_t, n_c,
+           CASE WHEN n_t > 0 AND n_c > 0 THEN
+               ROUND(CAST(y_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                     - CAST(y_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6)
+           END AS uplift,
+           CASE WHEN cn_c > 0 THEN
+               ROUND(CAST(cy_t AS DOUBLE)
+                     - CAST(cy_c AS DOUBLE) * CAST(cn_t AS DOUBLE)
+                       / CAST(cn_c AS DOUBLE), 6)
+           END AS qini_cum
+    FROM cum
+    """,
+    doc="Qini uplift curve by score decile — the eval for"
+        " TARGETING models ('whom does the treatment actually move')"
+        " where classifier_eval_suite evaluates prediction: users"
+        " split into randomized arms (id parity), scored by a"
+        " deterministic signal+noise mix, and per score-decile the"
+        " treated-minus-control response uplift plus the cumulative"
+        " Qini value Y_t − Y_c·(N_t/N_c) sweeping best-scored-first"
+        " (the area under this curve is the Qini coefficient; a"
+        " monotone-decreasing uplift column means the score truly"
+        " ranks persuadables; a decile missing an arm reports NULL rather than a fabricated rate). One user-grain aggregation →"
+        " 10-bin aggregate; all cumulative windows run over the"
+        " 10-row relation. Integer counts end-to-end until the"
+        " final ratios. Scale: one shuffle on user_id.",
+)
+def qini_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    p = _MIX_P
+    uhash = (
+        ((F.col("user_id") % p) * 48271 + 12345) % p * 48271 % p
+    ).cast("double") / F.lit(float(p))
+    u = ev.groupBy(
+        "user_id", (F.col("user_id") % 2).cast("long").alias("t")
+    ).agg(
+        F.max(
+            F.when(F.col("value") >= 200, 1).otherwise(0)
+        ).alias("y"),
+        (
+            F.least(
+                F.sum(F.col("value").cast("decimal(38,4)"))
+                .cast("double") / F.count("*") / F.lit(100.0),
+                F.lit(1.0),
+            )
+            * F.lit(0.5)
+            + uhash * F.lit(0.5)
+        ).alias("score"),
+    )
+    b = u.groupBy(
+        F.least(F.floor(F.col("score") * 10).cast("long"), F.lit(9))
+        .alias("decile")
+    ).agg(
+        F.sum("t").cast("long").alias("n_t"),
+        F.sum(F.lit(1) - F.col("t")).cast("long").alias("n_c"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("y_t"),
+        F.sum((F.lit(1) - F.col("t")) * F.col("y")).cast("long")
+        .alias("y_c"),
+    )
+    wdesc = W.orderBy(F.col("decile").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = b.select(
+        "decile", "n_t", "n_c", "y_t", "y_c",
+        F.sum("y_t").over(wdesc).alias("cy_t"),
+        F.sum("y_c").over(wdesc).alias("cy_c"),
+        F.sum("n_t").over(wdesc).alias("cn_t"),
+        F.sum("n_c").over(wdesc).alias("cn_c"),
+    )
+    return cum.select(
+        "decile", "n_t", "n_c",
+        F.when(
+            (F.col("n_t") > 0) & (F.col("n_c") > 0),
+            F.round(
+                F.col("y_t").cast("double")
+                / F.col("n_t").cast("double")
+                - F.col("y_c").cast("double")
+                / F.col("n_c").cast("double"), 6
+            ),
+        ).alias("uplift"),
+        F.when(
+            F.col("cn_c") > 0,
+            F.round(
+                F.col("cy_t").cast("double")
+                - F.col("cy_c").cast("double")
+                * F.col("cn_t").cast("double")
+                / F.col("cn_c").cast("double"), 6
+            ),
+        ).alias("qini_cum"),
+    )
+
+
+@_register(
+    "sprt_sequential_ab",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, user_id,
+               MAX(CASE WHEN value >= 200 THEN 1 ELSE 0 END) AS hit
+        FROM events WHERE user_id % 2 = 1
+        GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT day,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(hit) AS BIGINT) AS x
+        FROM daily GROUP BY 1
+    ),
+    llr AS (
+        SELECT day, n, x,
+               CAST(ROUND(
+                   CAST(x AS DOUBLE) * LN(0.45 / 0.35)
+                   + CAST(n - x AS DOUBLE) * LN(0.55 / 0.65), 9)
+                   AS DECIMAL(18,9)) AS l_day
+        FROM agg
+    ),
+    cum AS (
+        SELECT day, n, x,
+               CAST(SUM(l_day) OVER (ORDER BY day
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_llr
+        FROM llr
+    ),
+    crossed AS (
+        SELECT day, n, x, cum_llr,
+               MIN(CASE WHEN cum_llr >= 2.9444389791664403 THEN day END)
+                   OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                   AS up_day,
+               MIN(CASE WHEN cum_llr <= -2.9444389791664403 THEN day END)
+                   OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                   AS down_day
+        FROM cum
+    )
+    SELECT CAST(day AS VARCHAR) AS day, n, x,
+           ROUND(cum_llr, 6) AS cum_llr,
+           CASE WHEN up_day IS NOT NULL
+                     AND (down_day IS NULL OR up_day <= down_day)
+                THEN 'accept_h1'
+                WHEN down_day IS NOT NULL THEN 'accept_h0'
+                ELSE 'continue' END AS verdict
+    FROM crossed
+    """,
+    doc="Wald SPRT sequential monitoring of the treatment arm's daily"
+        " high-value-user rate — H₀: p = 0.35 vs H₁: p = 0.45 at"
+        " α = β = 0.05 (boundaries ±ln 19, pinned to one shared double literal on both engines): the always-valid"
+        " sequential answer to the peeking problem that invalidates"
+        " ab_test_two_proportion when dashboards are checked daily —"
+        " the log-likelihood ratio is ADDITIVE over days, so the"
+        " whole test is one exact-decimal per-day term + a running"
+        " sum and first-crossing scan over the 30-row daily"
+        " aggregate; the verdict column freezes at the first"
+        " boundary crossing (earlier crossing wins, ties to H₁ as"
+        " the smaller day). Date rendered as VARCHAR on both sides"
+        " (driver canonicalizer date-type hazard). Scale: one"
+        " (day, user) dedup shuffle; the test runs on the calendar"
+        " aggregate.",
+)
+def sprt_sequential_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from pyspark.sql.window import Window as W
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 2 == 1)
+    daily = ev.groupBy(
+        F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+        "user_id",
+    ).agg(
+        F.max(F.when(F.col("value") >= 200, 1).otherwise(0))
+        .alias("hit")
+    )
+    agg = daily.groupBy("day").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("hit").cast("long").alias("x"),
+    )
+    l_day = F.round(
+        F.col("x").cast("double") * F.log(F.lit(0.45 / 0.35))
+        + (F.col("n") - F.col("x")).cast("double")
+        * F.log(F.lit(0.55 / 0.65)), 9
+    ).cast("decimal(18,9)")
+    llr = agg.select("day", "n", "x", l_day.alias("l_day"))
+    wcum = W.orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    thr = 2.9444389791664403  # ln(19), pinned literal (libm vs JVM ulp)
+    cum = llr.select(
+        "day", "n", "x",
+        F.sum("l_day").over(wcum).cast("double").alias("cum_llr"),
+    )
+    crossed = cum.select(
+        "day", "n", "x", "cum_llr",
+        F.min(
+            F.when(F.col("cum_llr") >= F.lit(thr), F.col("day"))
+        ).over(wcum).alias("up_day"),
+        F.min(
+            F.when(F.col("cum_llr") <= F.lit(-thr), F.col("day"))
+        ).over(wcum).alias("down_day"),
+    )
+    return crossed.select(
+        F.col("day").cast("string").alias("day"),
+        "n", "x",
+        F.round(F.col("cum_llr"), 6).alias("cum_llr"),
+        F.when(
+            F.col("up_day").isNotNull()
+            & (
+                F.col("down_day").isNull()
+                | (F.col("up_day") <= F.col("down_day"))
+            ),
+            "accept_h1",
+        )
+        .when(F.col("down_day").isNotNull(), "accept_h0")
+        .otherwise("continue")
+        .alias("verdict"),
+    )
