@@ -418,6 +418,9 @@ NEW_QUERIES_R07 = [
     "aipw_doubly_robust_ate",
     "qini_uplift_curve",
     "sprt_sequential_ab",
+    "fairness_parity_audit",
+    "split_half_reliability",
+    "conformal_interval_coverage",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

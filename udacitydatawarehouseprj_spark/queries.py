@@ -24870,3 +24870,335 @@ def sprt_sequential_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("continue")
         .alias("verdict"),
     )
+
+
+@_register(
+    "fairness_parity_audit",
+    oracle=f"""
+    WITH s AS (
+        SELECT lang,
+               CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y,
+               CASE WHEN CAST(n_chars AS DOUBLE) / 553.0 * 0.3
+                         + CAST((((doc_id % {_MIX_P}) * 48271 + 12345)
+                                 % {_MIX_P}) * 48271 % {_MIX_P}
+                                AS DOUBLE) / {_MIX_P}.0 * 0.7 >= 0.5
+                    THEN 1 ELSE 0 END AS yhat
+        FROM documents
+    ),
+    g AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(yhat) AS DOUBLE) / COUNT(*) AS sel_rate,
+               CAST(SUM(y * yhat) AS DOUBLE)
+                   / NULLIF(SUM(y), 0) AS tpr,
+               CAST(SUM((1 - y) * yhat) AS DOUBLE)
+                   / NULLIF(SUM(1 - y), 0) AS fpr
+        FROM s GROUP BY 1
+    )
+    SELECT lang, n,
+           ROUND(sel_rate, 6) AS sel_rate,
+           ROUND(tpr, 6) AS tpr,
+           ROUND(fpr, 6) AS fpr,
+           ROUND(MAX(sel_rate) OVER () - MIN(sel_rate) OVER (), 6)
+               AS dp_gap,
+           ROUND(MAX(tpr) OVER () - MIN(tpr) OVER (), 6) AS tpr_gap,
+           ROUND(MAX(fpr) OVER () - MIN(fpr) OVER (), 6) AS fpr_gap
+    FROM g
+    """,
+    doc="Fairness audit of a quality classifier across language"
+        " groups — per-lang selection rate plus TPR/FPR, and the"
+        " corpus-wide demographic-parity and equalized-odds gaps"
+        " (max−min across groups) — the standard pre-deployment"
+        " check that a corpus filter doesn't systematically exclude"
+        " a language (THE documented failure of English-tuned"
+        " quality classifiers on multilingual crawls; a dp_gap ≫ 0"
+        " with flat TPR means the SCORE is biased, not the data)."
+        " The fixture scorer is the deterministic signal+noise mix,"
+        " so the gaps are replayable; TPR/FPR guard empty cells"
+        " with NULL. One scan to the 5-row group aggregate; gap"
+        " windows run over that aggregate. Scale: one scan.",
+)
+def fairness_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    p = _MIX_P
+    u = (
+        ((F.col("doc_id") % p) * 48271 + 12345) % p * 48271 % p
+    ).cast("double") / F.lit(float(p))
+    score = (
+        F.col("n_chars").cast("double") / F.lit(553.0) * F.lit(0.3)
+        + u * F.lit(0.7)
+    )
+    s = docs.select(
+        "lang",
+        (F.col("n_chars") >= 300).cast("int").alias("y"),
+        (score >= 0.5).cast("int").alias("yhat"),
+    )
+    g = s.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n"),
+        (F.sum("yhat").cast("double") / F.count("*")).alias("sel_rate"),
+        (
+            F.sum(F.col("y") * F.col("yhat")).cast("double")
+            / F.nullif(F.sum("y"), F.lit(0))
+        ).alias("tpr"),
+        (
+            F.sum((F.lit(1) - F.col("y")) * F.col("yhat")).cast("double")
+            / F.nullif(F.sum(F.lit(1) - F.col("y")), F.lit(0))
+        ).alias("fpr"),
+    )
+    ww = W.partitionBy()
+    return g.select(
+        "lang", "n",
+        F.round(F.col("sel_rate"), 6).alias("sel_rate"),
+        F.round(F.col("tpr"), 6).alias("tpr"),
+        F.round(F.col("fpr"), 6).alias("fpr"),
+        F.round(
+            F.max("sel_rate").over(ww) - F.min("sel_rate").over(ww), 6
+        ).alias("dp_gap"),
+        F.round(
+            F.max("tpr").over(ww) - F.min("tpr").over(ww), 6
+        ).alias("tpr_gap"),
+        F.round(
+            F.max("fpr").over(ww) - F.min("fpr").over(ww), 6
+        ).alias("fpr_gap"),
+    )
+
+
+@_register(
+    "split_half_reliability",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+        FROM documents
+    ),
+    halves AS (
+        SELECT doc_id,
+               CAST(ROUND(
+                   CAST(list_sum(list_transform(
+                       list_filter(range(1, len(t) + 1), i -> i % 2 = 1),
+                       i -> length(t[i]))) AS DOUBLE)
+                   / len(list_filter(range(1, len(t) + 1),
+                                     i -> i % 2 = 1)), 6)
+                   AS DECIMAL(18,6)) AS a,
+               CAST(ROUND(
+                   CAST(list_sum(list_transform(
+                       list_filter(range(1, len(t) + 1), i -> i % 2 = 0),
+                       i -> length(t[i]))) AS DOUBLE)
+                   / len(list_filter(range(1, len(t) + 1),
+                                     i -> i % 2 = 0)), 6)
+                   AS DECIMAL(18,6)) AS b
+        FROM toks WHERE len(t) >= 2
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(CAST(ROUND(SUM(a), 4) AS DECIMAL(18,4)) AS DOUBLE)
+                   AS sa,
+               CAST(CAST(ROUND(SUM(b), 4) AS DECIMAL(18,4)) AS DOUBLE)
+                   AS sb,
+               CAST(CAST(ROUND(SUM(CAST(ROUND(a * a, 6)
+                    AS DECIMAL(18,6))), 4) AS DECIMAL(18,4))
+                    AS DOUBLE) AS saa,
+               CAST(CAST(ROUND(SUM(CAST(ROUND(b * b, 6)
+                    AS DECIMAL(18,6))), 4) AS DECIMAL(18,4))
+                    AS DOUBLE) AS sbb,
+               CAST(CAST(ROUND(SUM(CAST(ROUND(a * b, 6)
+                    AS DECIMAL(18,6))), 4) AS DECIMAL(18,4))
+                    AS DOUBLE) AS sab
+        FROM halves
+    ),
+    r AS (
+        SELECT n,
+               (sab - sa * sb / n)
+               / sqrt((saa - sa * sa / n) * (sbb - sb * sb / n)) AS rho
+        FROM m
+    )
+    SELECT n AS n_docs,
+           ROUND(rho, 6) AS split_half_r,
+           ROUND(2.0 * rho / (1.0 + rho), 6) AS spearman_brown
+    FROM r
+    """,
+    doc="Split-half reliability of the mean-token-length quality"
+        " signal with the Spearman-Brown correction — psychometrics"
+        " applied to corpus metrics: split each document's tokens"
+        " into odd/even halves, score each half independently,"
+        " correlate across documents, and SB-correct 2r/(1+r) to"
+        " full-length reliability — the audit that says whether a"
+        " per-doc quality score is a stable property of the document"
+        " or half noise (an unreliable score silently randomizes"
+        " every quality-filter threshold downstream; text_quality"
+        "_score reports values, this reports whether to TRUST them)."
+        " Half scores rounded to exact decimals; the correlation is"
+        " the agg_stats_covar exact-moment recipe. Scale: one"
+        " per-row array pass + one moment aggregation.",
+)
+def split_half_reliability(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.split(F.lower(F.col("text")), r"\s+").alias("t")
+    ).filter(F.size("t") >= 2)
+
+    def half_mean(parity: int) -> F.Column:
+        return F.round(
+            F.expr(
+                "aggregate(transform("
+                f"  filter(sequence(1, size(t)), i -> i % 2 = {parity}),"
+                "  i -> length(element_at(t, i))),"
+                " 0L, (a, x) -> a + x)"
+            ).cast("double")
+            / F.expr(
+                f"size(filter(sequence(1, size(t)), i -> i % 2 = {parity}))"
+            ),
+            6,
+        ).cast("decimal(18,6)")
+
+    halves = toks.select(
+        half_mean(1).alias("a"), half_mean(0).alias("b")
+    )
+    m = halves.agg(
+        F.count("*").cast("long").alias("n"),
+        _dsum(F.col("a"), "decimal(18,6)").alias("sa"),
+        _dsum(F.col("b"), "decimal(18,6)").alias("sb"),
+        _dsum(F.round(F.col("a") * F.col("a"), 6), "decimal(18,6)")
+        .alias("saa"),
+        _dsum(F.round(F.col("b") * F.col("b"), 6), "decimal(18,6)")
+        .alias("sbb"),
+        _dsum(F.round(F.col("a") * F.col("b"), 6), "decimal(18,6)")
+        .alias("sab"),
+    )
+    rho = (
+        F.col("sab") - F.col("sa") * F.col("sb") / F.col("n")
+    ) / F.sqrt(
+        (F.col("saa") - F.col("sa") * F.col("sa") / F.col("n"))
+        * (F.col("sbb") - F.col("sb") * F.col("sb") / F.col("n"))
+    )
+    return m.select(
+        F.col("n").alias("n_docs"),
+        F.round(rho, 6).alias("split_half_r"),
+        F.round(F.lit(2.0) * rho / (F.lit(1.0) + rho), 6)
+        .alias("spearman_brown"),
+    )
+
+
+@_register(
+    "conformal_interval_coverage",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, user_id, value,
+               CAST(date_part('hour', ts) AS BIGINT) AS hod
+        FROM events WHERE value IS NOT NULL
+    ),
+    mdl AS (
+        SELECT hod,
+               CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE)
+                   / COUNT(*) AS mu
+        FROM base WHERE user_id % 2 = 0 GROUP BY 1
+    ),
+    cal AS (
+        SELECT ABS(b.value - m.mu) AS r, b.event_id
+        FROM base b JOIN mdl m USING (hod)
+        WHERE b.user_id % 2 = 0
+    ),
+    rk AS (
+        SELECT r, ROW_NUMBER() OVER (ORDER BY r, event_id) AS rn,
+               COUNT(*) OVER () AS n_cal
+        FROM cal
+    ),
+    q AS (
+        SELECT n_cal, r AS q_hat
+        FROM rk
+        WHERE rn = CAST(ceil(0.9 * (n_cal + 1)) AS BIGINT)
+    ),
+    test AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(SUM(CASE WHEN ABS(b.value - m.mu) <= q.q_hat
+                        THEN 1 ELSE 0 END) AS BIGINT) AS covered
+        FROM base b JOIN mdl m USING (hod), q
+        WHERE b.user_id % 2 = 1
+    )
+    SELECT q.n_cal AS n_calibration, test.n_test,
+           ROUND(q.q_hat, 6) AS q_hat,
+           ROUND(CAST(test.covered AS DOUBLE)
+                 / CAST(test.n_test AS DOUBLE), 6) AS coverage
+    FROM q, test
+    """,
+    doc="Split-conformal prediction intervals with empirical coverage"
+        " — the DISTRIBUTION-FREE uncertainty wrapper (Vovk;"
+        " Angelopoulos & Bates 2022) around any point model, here"
+        " the hour-of-day mean fitted on even users: calibration"
+        " residuals on the same split give q̂ = the ⌈0.9(n+1)⌉-th"
+        " smallest |residual| (the finite-sample-valid conformal"
+        " quantile, picked exactly via the blocked two-pass rank"
+        " with (r, event_id) tie-break — no percentile"
+        " interpolation), and held-out odd users measure realized"
+        " coverage, which the conformal guarantee pins ≥ 90% in"
+        " expectation REGARDLESS of the model being wrong — the"
+        " honest error-bar machinery for forecast/quality-score"
+        " pipelines. Scale: one model aggregate + one blocked rank"
+        " + one coverage scan.",
+)
+def conformal_interval_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ts = F.col("ts").cast("timestamp")
+    base = ev.select(
+        "event_id", "user_id", "value", F.hour(ts).cast("long").alias("hod")
+    )
+    mdl = base.filter(F.col("user_id") % 2 == 0).groupBy("hod").agg(
+        (
+            F.sum(F.col("value").cast("decimal(38,4)")).cast("double")
+            / F.count("*")
+        ).alias("mu")
+    )
+    cal = (
+        base.filter(F.col("user_id") % 2 == 0)
+        .join(F.broadcast(mdl), "hod")
+        .select(
+            F.abs(F.col("value") - F.col("mu")).alias("r"), "event_id"
+        )
+    )
+    rk = rel.exact_distributed_rank(
+        cal,
+        F.floor(F.col("r") / 10).cast("long"),
+        [F.col("r").asc(), F.col("event_id").asc()],
+        rank_col="rn",
+    )
+    n_cal = cal.agg(F.count("*").cast("long").alias("n_cal"))
+    q = (
+        rk.crossJoin(F.broadcast(n_cal))
+        .filter(
+            F.col("rn")
+            == F.ceil(
+                F.lit(0.9) * (F.col("n_cal") + 1).cast("double")
+            ).cast("long")
+        )
+        .select("n_cal", F.col("r").alias("q_hat"))
+    )
+    test = (
+        base.filter(F.col("user_id") % 2 == 1)
+        .join(F.broadcast(mdl), "hod")
+        .crossJoin(F.broadcast(q))
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("mu"))
+                    <= F.col("q_hat"),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("covered"),
+            F.max("n_cal").alias("n_calibration"),
+            F.max("q_hat").alias("qh"),
+        )
+    )
+    return test.select(
+        "n_calibration", "n_test",
+        F.round(F.col("qh"), 6).alias("q_hat"),
+        F.round(
+            F.col("covered").cast("double")
+            / F.col("n_test").cast("double"), 6
+        ).alias("coverage"),
+    )
