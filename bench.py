@@ -421,6 +421,10 @@ NEW_QUERIES_R07 = [
     "fairness_parity_audit",
     "split_half_reliability",
     "conformal_interval_coverage",
+    "mahalanobis_outliers_2d",
+    "capture_recapture_dups",
+    "cvar_tail_risk",
+    "overdispersion_index",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not
