@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -476,7 +477,7 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
             dedup.release_caches()  # drop per-query shingle caches
         runs.sort()
-        timings[name] = round(runs[len(runs) // 2], 3)  # median
+        timings[name] = round(statistics.median(runs), 3)
         spreads[name] = round(runs[-1] - runs[0], 3)
         if name in PHASED and name in Q.PHASE_TIMINGS:
             ph = dict(Q.PHASE_TIMINGS[name])

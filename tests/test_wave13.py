@@ -1,0 +1,44 @@
+"""Round-8 wave: ADVICE guard fixes + new operators."""
+import pytest
+from pyspark.sql import Row, functions as F
+
+from udacitydatawarehouseprj_spark import queries as Q
+
+
+def test_ppr_empty_seeds_raises(spark):
+    from udacitydatawarehouseprj_spark.operators import graph as G
+
+    nodes = spark.createDataFrame([Row(id=1), Row(id=2)])
+    edges = spark.createDataFrame([Row(a=1, b=2)])
+    empty_seeds = nodes.where(F.lit(False))
+    with pytest.raises(ValueError, match="seeds must be non-empty"):
+        G.personalized_pagerank_integer(nodes, edges, empty_seeds)
+
+
+def test_symbol_expr_empty_defs_raises():
+    from udacitydatawarehouseprj_spark.operators import sequence as seq
+
+    with pytest.raises(ValueError, match="at least one DEFINE symbol"):
+        seq.symbol_expr([], {})
+
+
+def test_blocked_prefix_sum_validate(spark):
+    from udacitydatawarehouseprj_spark.operators import relational as rel
+
+    df = spark.createDataFrame(
+        [Row(k=i, v=1) for i in range(20)]
+    )
+    # good block: monotone in k -> validation passes, result exact
+    good = rel.blocked_prefix_sum(
+        df, (F.col("k") / 5).cast("long"), [F.col("k")],
+        F.col("v"), validate=True,
+    )
+    assert {r.k: r.run_sum for r in good.collect()} == {
+        i: i + 1 for i in range(20)
+    }
+    # bad block: k % 3 is NOT monotone in k -> overlapping key ranges
+    with pytest.raises(ValueError, match="not monotone"):
+        rel.blocked_prefix_sum(
+            df, F.col("k") % 3, [F.col("k")],
+            F.col("v"), validate=True,
+        )

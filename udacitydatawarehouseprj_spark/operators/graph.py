@@ -405,6 +405,8 @@ def personalized_pagerank_integer(
     """
     deg = edges.groupBy("a").agg(F.count("*").alias("d"))
     n_seeds = seeds.count()
+    if n_seeds == 0:
+        raise ValueError("seeds must be non-empty")
     node_ids = nodes.select(F.col(id_col).alias("n"))
     seed_ids = seeds.select(F.col(id_col).alias("n")).withColumn(
         "is_seed", F.lit(1)

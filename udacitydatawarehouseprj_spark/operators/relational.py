@@ -110,6 +110,7 @@ def blocked_prefix_sum(
     value: Column,
     partition: Sequence[str] = (),
     sum_col: str = "run_sum",
+    validate: bool = False,
 ) -> DataFrame:
     """EXACT running SUM over a total order WITHOUT a single-partition
     window — the prefix-sum sibling of ``exact_distributed_rank`` (same
@@ -122,9 +123,34 @@ def blocked_prefix_sum(
     any total order (include a unique tie-break). The classic consumer
     is the +1/-1 interval-concurrency sweep, where the global running
     sum over event boundaries IS the answer and a naive window would
-    funnel 100 TB of boundaries into one task."""
+    funnel 100 TB of boundaries into one task.
+
+    ``validate=True`` checks the monotone-block precondition instead of
+    trusting it: per-block [min, max] of the leading order key are
+    collected from the tiny n_blocks totals relation and adjacent
+    blocks (by ascending ``block``) must not overlap. Costs one extra
+    aggregate job at call time; requires ``order[0]`` to be a plain
+    ascending column expression (the default direction here)."""
     part = list(partition)
     s = df.withColumn("_blk", block).withColumn("_v", value)
+    if validate:
+        probe = s.groupBy(*(part + ["_blk"])).agg(
+            F.min(order[0]).alias("_lo"), F.max(order[0]).alias("_hi")
+        ).collect()  # tiny by design: one row per (partition, block)
+        by_part: dict[tuple, list] = {}
+        for r in probe:
+            by_part.setdefault(
+                tuple(r[c] for c in part), []
+            ).append((r["_blk"], r["_lo"], r["_hi"]))
+        for blocks in by_part.values():
+            blocks.sort(key=lambda t: t[0])
+            for (b1, _lo1, hi1), (b2, lo2, _hi2) in zip(blocks, blocks[1:]):
+                if hi1 > lo2:
+                    raise ValueError(
+                        "blocked_prefix_sum: block is not monotone in the"
+                        f" leading order key: block {b1!r} max {hi1!r} >"
+                        f" block {b2!r} min {lo2!r}"
+                    )
     w_local = (
         Window.partitionBy(*(part + ["_blk"]))
         .orderBy(*order)

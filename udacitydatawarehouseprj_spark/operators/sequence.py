@@ -61,6 +61,8 @@ def symbol_expr(defs: list[tuple[str, Column]],
                 chars: dict[str, str]) -> Column:
     """The DEFINE classifier: first matching predicate wins (CASE
     chain), else DEFAULT_CHAR."""
+    if not defs:
+        raise ValueError("at least one DEFINE symbol required")
     expr = None
     for name, pred in defs:
         expr = (F.when(pred, F.lit(chars[name])) if expr is None
