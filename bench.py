@@ -428,6 +428,12 @@ NEW_QUERIES_R07 = [
     "overdispersion_index",
 ]
 
+#: queries added in round 8 — their own bucket (value_new_r08).
+NEW_QUERIES_R08 = [
+    "power_iteration_blas_production",
+    "cka_blas_production",
+]
+
 #: queries whose bench time is dominated by fixture orchestration, not
 #: the operator: queries.PHASE_TIMINGS records their harness phases
 #: (landing-zone write, stream run) so the report splits harness cost
@@ -468,6 +474,7 @@ def main() -> None:
     for name in (
         HEADLINE + NEW_QUERIES_R02 + NEW_QUERIES_R03 + NEW_QUERIES_R04
         + NEW_QUERIES_R05 + NEW_QUERIES_R06 + NEW_QUERIES_R07
+        + NEW_QUERIES_R08
     ):
         n_runs = 1 if name in PHASED else repeats
         runs: list[float] = []
@@ -500,6 +507,7 @@ def main() -> None:
         "value_new_r05": round(sum(timings[n] for n in NEW_QUERIES_R05), 3),
         "value_new_r06": round(sum(timings[n] for n in NEW_QUERIES_R06), 3),
         "value_new_r07": round(sum(timings[n] for n in NEW_QUERIES_R07), 3),
+        "value_new_r08": round(sum(timings[n] for n in NEW_QUERIES_R08), 3),
         "phases": phases,
         "n_headline": len(HEADLINE),
         "n_all": len(timings),

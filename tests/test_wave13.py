@@ -42,3 +42,20 @@ def test_blocked_prefix_sum_validate(spark):
             df, F.col("k") % 3, [F.col("k")],
             F.col("v"), validate=True,
         )
+
+
+def test_power_iteration_blas_matches_exact_twin(spark, sf_dir):
+    exact = Q.power_iteration_top_eigen(spark, sf_dir).collect()[0]
+    blas = Q.power_iteration_blas_production(spark, sf_dir).collect()[0]
+    assert blas.n_vectors == exact.n_vectors
+    assert abs(blas.lambda1 - exact.lambda1) <= 2e-4       # 4dp rounding
+    assert abs(blas.explained_frac - exact.explained_frac) <= 2e-6
+    for c in ("c1", "c2", "c3", "c4"):
+        assert abs(getattr(blas, c) - getattr(exact, c)) <= 2e-6
+
+
+def test_cka_blas_matches_exact_twin(spark, sf_dir):
+    exact = Q.cka_embedding_views(spark, sf_dir).collect()[0]
+    blas = Q.cka_blas_production(spark, sf_dir).collect()[0]
+    assert blas.n_vectors == exact.n_vectors
+    assert abs(blas.linear_cka - exact.linear_cka) <= 2e-6

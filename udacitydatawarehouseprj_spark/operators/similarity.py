@@ -1363,23 +1363,24 @@ def pq_topk_reranked(
     )
 
 
-def pca_fit(
+def gram_partials(
     df: DataFrame,
     vec_col: str = "embedding",
     dim: int = 64,
 ):
-    """Distributed PCA fit: per-partition BLAS partials (n, Σx, XᵀX as a
-    dim×dim matrix) via ``mapInPandas`` — the classic one-pass
-    covariance shape: the corpus streams through Arrow batches, each
-    partition emits ONE (1 + dim + dim²)-value row, and only
-    n_partitions such rows reach the driver, where the dim×dim
-    eigendecomposition (numpy ``eigh``) is O(dim³) — microscopic next
-    to the corpus scan, and the ONLY driver-side math. Components are
-    sign-canonicalized (largest-|loading| coordinate forced positive)
-    so the decomposition is deterministic up to eigenvalue ties.
+    """One-pass BLAS sufficient statistics for any second-moment
+    consumer (PCA, power iteration, CKA): per-partition partials
+    (n, Σx, XᵀX as a dim×dim matrix) via ``mapInPandas`` — the corpus
+    streams through Arrow batches, each partition emits ONE
+    (1 + dim + dim²)-value row, and only n_partitions such rows reach
+    the driver. Partials are merged in a DETERMINISTIC order (sorted
+    by (n, leading Σx values)) so repeated runs on the same files give
+    bit-identical sums regardless of task completion order.
 
-    Returns (mean: np.ndarray[dim], components: np.ndarray[dim, dim]
-    rows = eigenvectors in DESCENDING eigenvalue order, eigvals).
+    Returns (n: int, s: np.ndarray[dim] = Σx, m: np.ndarray[dim, dim]
+    = XᵀX). At cluster scale this is the treeAggregate shape: the
+    shuffle is n_partitions × (1 + dim + dim²) doubles, the scan does
+    all the work.
     """
     import numpy as np
 
@@ -1403,12 +1404,34 @@ def pca_fit(
             )
 
     rows = df.select(vec_col).mapInPandas(partials, schema=schema).collect()
+    rows.sort(key=lambda r: (r["n"], tuple(r["s"][:4])))
     n = sum(r["n"] for r in rows)
     s = np.zeros(dim)
     m = np.zeros((dim, dim))
     for r in rows:
         s += np.asarray(r["s"])
         m += np.asarray(r["m"]).reshape(dim, dim)
+    return n, s, m
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+):
+    """Distributed PCA fit on ``gram_partials`` sufficient statistics:
+    the dim×dim eigendecomposition (numpy ``eigh``) is O(dim³) —
+    microscopic next to the corpus scan, and the ONLY driver-side
+    math. Components are sign-canonicalized (largest-|loading|
+    coordinate forced positive) so the decomposition is deterministic
+    up to eigenvalue ties.
+
+    Returns (mean: np.ndarray[dim], components: np.ndarray[dim, dim]
+    rows = eigenvectors in DESCENDING eigenvalue order, eigvals).
+    """
+    import numpy as np
+
+    n, s, m = gram_partials(df, vec_col=vec_col, dim=dim)
     mean = s / n
     cov = m / n - np.outer(mean, mean)
     eigvals, eigvecs = np.linalg.eigh(cov)
