@@ -432,6 +432,7 @@ NEW_QUERIES_R07 = [
 NEW_QUERIES_R08 = [
     "power_iteration_blas_production",
     "cka_blas_production",
+    "capture_recapture_loglinear",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not
