@@ -433,6 +433,7 @@ NEW_QUERIES_R08 = [
     "power_iteration_blas_production",
     "cka_blas_production",
     "capture_recapture_loglinear",
+    "streaming_crash_recovery_readback",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not
@@ -445,7 +446,8 @@ PHASED = {"streaming_hourly_sink_readback", "streaming_corpus_dedup_readback",
           "streaming_attribution_readback",
           "streaming_static_join_readback",
           "python_datasource_stream_scan",
-          "streaming_stream_join_readback"}
+          "streaming_stream_join_readback",
+          "streaming_crash_recovery_readback"}
 
 
 def run_one(df) -> None:

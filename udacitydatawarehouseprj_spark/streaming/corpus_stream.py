@@ -123,3 +123,60 @@ def run_incremental_dedup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_crash_recovery_stream(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    crash_marker: str,
+):
+    """Exactly-once crash-recovery harness: a file-source stream
+    (1 file per micro-batch) whose ``foreachBatch`` WRITES its output
+    partition and then — on the FIRST attempt at batch 1 only — raises
+    before the checkpoint commit can land. That is precisely the
+    failure window exactly-once semantics must survive: output durable,
+    offset commit lost. On restart the engine replays batch 1 from the
+    offset WAL; the batch_id-keyed dynamic partition overwrite makes
+    the replay overwrite its own half-written partition instead of
+    duplicating it — idempotent sink + replayed source = effectively
+    exactly-once (the same discipline run_incremental_dedup_stream
+    relies on, here with the crash actually injected rather than
+    assumed).
+
+    The crash fires exactly once per ``crash_marker`` path: the marker
+    file is created just before raising, so the replay takes the
+    success path. Callers assert the marker exists afterwards — a
+    vacuous proof (crash never fired) is detectable.
+    """
+    import os
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+        if batch_id == 1 and not os.path.exists(crash_marker):
+            with open(crash_marker, "w") as fh:
+                fh.write("crash injected after write, before commit\n")
+            raise RuntimeError(
+                "injected crash: batch 1 output written, checkpoint"
+                " commit suppressed"
+            )
+
+    src = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(source_dir)
+    )
+    return (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
