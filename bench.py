@@ -434,6 +434,15 @@ NEW_QUERIES_R08 = [
     "cka_blas_production",
     "capture_recapture_loglinear",
     "streaming_crash_recovery_readback",
+    "effect_size_suite",
+    "wald_iv_estimator",
+    "regression_discontinuity_local",
+    "woe_information_value",
+    "jarque_bera_normality",
+    "ndcg_retrieval_eval",
+    "ngram_novelty_rate",
+    "hits_bipartite_integer",
+    "lift_gain_deciles",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

@@ -420,6 +420,19 @@ SMOKE10 = [
     "bpe_learn_merges",
     "bpe_learn_merges_batched",
     "streaming_corpus_dedup_readback",
+    # round 8 (VERDICT r7 item 6): the round-7 heavy hitters. The
+    # spectral pair runs BOTH forms — the decimal-explode oracle twin
+    # (linear in rows, 4096-way per-row expansion) and the BLAS
+    # production swap (gram_partials) that replaces it at scale.
+    "power_iteration_top_eigen",
+    "power_iteration_blas_production",
+    "cka_embedding_views",
+    "cka_blas_production",
+    "capture_recapture_dups",
+    "capture_recapture_loglinear",
+    "ensemble_dedup_consensus",
+    "dbscan_grid_clusters",
+    "modularity_components",
 ]
 
 
@@ -440,6 +453,19 @@ def generate_sf10(spark) -> None:
         spark, "customer", {"c_custkey": 1_000_000_000}, 100
     ).withColumn(
         "c_name", F.format_string("Customer#%018d", F.col("c_custkey"))
+    ).withColumn(
+        # c_acctbal gets a per-replica shift spanning ~100× the DBSCAN
+        # eps at this n (eps = 400/n ≈ 2.7e-4 in x units = 0.267
+        # acctbal units): replicas keeping IDENTICAL coordinates would
+        # stack 100 zero-distance copies of every point and the 9-cell
+        # candidate relation would measure copies×n pair degeneracy,
+        # not the operator (the c_name lesson, in coordinate space).
+        # The shift spreads replicas across the acctbal axis the way
+        # 100× real data fills the domain.
+        "c_acctbal",
+        F.col("c_acctbal")
+        + F.lit(0.27) * (F.col("c_custkey") / F.lit(1_000_000_000))
+        .cast("long").cast("double"),
     )
     plans = {
         "customer": cust,
@@ -470,6 +496,28 @@ def generate_sf10(spark) -> None:
     for p in doc_parts[1:]:
         d = d.unionByName(p)
     plans["documents"] = d
+    # embeddings: 50 replicas (10× the sf1 tier's 5); replica i rolls
+    # the 64 components by i (all rolls distinct for i < 64) —
+    # rotations of uniform random unit vectors stay ~orthogonal, so
+    # the "no planted near-dups" property survives and the cosine
+    # ≥ 0.4 graph stays sparse instead of exploding replica-cliques.
+    embv = S.load_table(spark, SRC, "embeddings")
+    emb_parts = [embv]
+    for i in range(1, 50):
+        emb_parts.append(
+            embv.withColumn("vec_id", F.col("vec_id") + F.lit(i * K))
+            .withColumn(
+                "embedding",
+                F.expr(
+                    f"concat(slice(embedding, {i + 1}, {64 - i}),"
+                    f" slice(embedding, 1, {i}))"
+                ),
+            )
+        )
+    ee = emb_parts[0]
+    for p in emb_parts[1:]:
+        ee = ee.unionByName(p)
+    plans["embeddings"] = ee
     for name, df in plans.items():
         df.write.mode("overwrite").parquet(
             os.path.join(OUT10, f"{name}.parquet"))
@@ -493,10 +541,13 @@ def main() -> None:
                 names = [n for n in arg.split("=", 1)[1].split(",") if n]
         timings = {}
         for name in names:
+            print(f"# sf10 running {name}", file=sys.stderr, flush=True)
             t0 = time.perf_counter()
             reg[name](spark, OUT10).write.format("noop").mode(
                 "overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
+            print(f"# sf10 {name}: {timings[name]}s",
+                  file=sys.stderr, flush=True)
         print(json.dumps({"metric": "scale_smoke_100x_total",
                           "value": round(sum(timings.values()), 3),
                           "unit": "sec", "queries": timings, "sf": 10.0}))
