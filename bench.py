@@ -443,6 +443,9 @@ NEW_QUERIES_R08 = [
     "ngram_novelty_rate",
     "hits_bipartite_integer",
     "lift_gain_deciles",
+    "functional_dependency_audit",
+    "inclusion_dependency_audit",
+    "neyman_allocation_sample",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not
