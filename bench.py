@@ -446,6 +446,7 @@ NEW_QUERIES_R08 = [
     "functional_dependency_audit",
     "inclusion_dependency_audit",
     "neyman_allocation_sample",
+    "holt_winters_seasonal",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not
