@@ -447,6 +447,10 @@ NEW_QUERIES_R08 = [
     "inclusion_dependency_audit",
     "neyman_allocation_sample",
     "holt_winters_seasonal",
+    "cramers_v_association",
+    "cochran_q_test",
+    "page_hinkley_drift",
+    "tokenizer_fertility_by_lang",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not
