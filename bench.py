@@ -451,6 +451,9 @@ NEW_QUERIES_R08 = [
     "cochran_q_test",
     "page_hinkley_drift",
     "tokenizer_fertility_by_lang",
+    "shuffle_quality_audit",
+    "did_placebo_pretrend",
+    "yuen_trimmed_t_test",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not
