@@ -454,6 +454,10 @@ NEW_QUERIES_R08 = [
     "shuffle_quality_audit",
     "did_placebo_pretrend",
     "yuen_trimmed_t_test",
+    "holm_bonferroni_stepdown",
+    "median_of_means_estimator",
+    "hill_tail_index",
+    "rolling_origin_backtest",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not
