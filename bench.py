@@ -458,6 +458,8 @@ NEW_QUERIES_R08 = [
     "median_of_means_estimator",
     "hill_tail_index",
     "rolling_origin_backtest",
+    "dawid_skene_one_step",
+    "brier_decomposition",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not
