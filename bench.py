@@ -460,6 +460,8 @@ NEW_QUERIES_R08 = [
     "rolling_origin_backtest",
     "dawid_skene_one_step",
     "brier_decomposition",
+    "dp_quantile_exponential_seeded",
+    "doremi_domain_reweight_step",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not
