@@ -108,3 +108,65 @@ def test_crash_recovery_proof_is_not_vacuous(spark, sf_dir):
         assert r.crash_marker_written
         assert r.exactly_once
         assert r.n_batches == 3
+
+
+def test_doremi_weights_form_distribution(spark, sf_dir):
+    rows = Q.doremi_domain_reweight_step(spark, sf_dir).collect()
+    total = sum(r.w_reweighted for r in rows)
+    assert abs(total - 1.0) < 1e-4  # 6dp-rounded weights, 20 domains
+    assert all(r.w_reweighted > 0 for r in rows)
+    # higher loss proxy must never get a SMALLER weight than lower loss
+    srt = sorted(rows, key=lambda r: r.loss_proxy)
+    for a, b in zip(srt, srt[1:]):
+        assert a.w_reweighted <= b.w_reweighted + 1e-9
+
+
+def test_dawid_skene_rates_bounded(spark, sf_dir):
+    rows = Q.dawid_skene_one_step(spark, sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert 0.0 <= r.sensitivity <= 1.0
+        assert 0.0 <= r.specificity <= 1.0
+        assert 0 <= r.ds_flips_vs_majority <= r.n_items
+
+
+def test_hill_alpha_positive(spark, sf_dir):
+    r = Q.hill_tail_index(spark, sf_dir).collect()[0]
+    assert r.mean_log_excess > 0  # top-200 all exceed the reference
+    assert r.hill_alpha > 0
+
+
+def test_holt_winters_fold_matches_python(spark, sf_dir):
+    """Replay the HW recurrence in pure Python on the same daily
+    series — catches fold-order regressions the SQL oracle would
+    share (both engines replaying the same WRONG recurrence)."""
+    from pyspark.sql import functions as FF
+
+    from udacitydatawarehouseprj_spark import session as S
+
+    ev = S.load_table(spark, sf_dir, "events").filter(
+        FF.col("value").isNotNull()
+    )
+    S.configure(spark)
+    daily = (
+        ev.groupBy(FF.to_date(FF.col("ts").cast("timestamp")).alias("d"))
+        .agg((FF.sum(FF.col("value").cast("decimal(38,4)"))
+              .cast("double") / FF.count("*")).alias("x"))
+        .orderBy("d")
+        .collect()
+    )
+    xs = [r.x for r in daily]
+    m1 = sum(xs[:7]) / 7.0
+    m2 = sum(xs[7:14]) / 7.0
+    l, b = m1, (m2 - m1) / 7.0
+    s = [x - m1 for x in xs[:7]]
+    for x in xs[7:]:
+        lp = 0.3 * (x - s[0]) + 0.7 * (l + b)
+        bp = 0.1 * (lp - l) + 0.9 * b
+        s = s[1:] + [0.2 * (x - lp) + 0.8 * s[0]]
+        l, bb = lp, bp
+        b = bb
+    got = Q.holt_winters_seasonal(spark, sf_dir).collect()[0]
+    assert abs(got.level - round(l, 6)) < 2e-6
+    assert abs(got.trend - round(b, 6)) < 2e-6
+    assert abs(got.next_seasonal - round(s[0], 6)) < 2e-6
