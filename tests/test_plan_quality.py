@@ -831,3 +831,29 @@ def test_chi_square_windows_over_aggregate_only(spark, sf_dir):
     first_win = next(i for i, ln in enumerate(tree) if "Window" in ln)
     assert any("HashAggregate" in ln for ln in tree[first_win:])
     assert "SortMergeJoin" not in plan
+
+
+def test_effect_size_join_is_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "effect_size_suite")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hill_topk_avoids_global_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "hill_tail_index")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_lift_gain_rank_is_blocked_not_global(spark, sf_dir):
+    # the corpus-sized rank must come from the two-pass blocked
+    # machinery; only the 10-row decile relation may single-sort
+    plan = plan_of(spark, sf_dir, "lift_gain_deciles")
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_rd_bandwidth_filter_pushed_to_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "regression_discontinuity_local")
+    assert re.search(r"PushedFilters:.*c_acctbal", plan), (
+        "bandwidth predicate must reach the customer parquet scan"
+    )
