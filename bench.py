@@ -464,6 +464,12 @@ NEW_QUERIES_R08 = [
     "doremi_domain_reweight_step",
 ]
 
+#: queries added in round 9 — their own bucket (value_new_r09).
+NEW_QUERIES_R09 = [
+    "capture_recapture_lsh",
+    "doremi_lm_loss_reweight",
+]
+
 #: queries whose bench time is dominated by fixture orchestration, not
 #: the operator: queries.PHASE_TIMINGS records their harness phases
 #: (landing-zone write, stream run) so the report splits harness cost
@@ -505,7 +511,7 @@ def main() -> None:
     for name in (
         HEADLINE + NEW_QUERIES_R02 + NEW_QUERIES_R03 + NEW_QUERIES_R04
         + NEW_QUERIES_R05 + NEW_QUERIES_R06 + NEW_QUERIES_R07
-        + NEW_QUERIES_R08
+        + NEW_QUERIES_R08 + NEW_QUERIES_R09
     ):
         n_runs = 1 if name in PHASED else repeats
         runs: list[float] = []
@@ -539,6 +545,7 @@ def main() -> None:
         "value_new_r06": round(sum(timings[n] for n in NEW_QUERIES_R06), 3),
         "value_new_r07": round(sum(timings[n] for n in NEW_QUERIES_R07), 3),
         "value_new_r08": round(sum(timings[n] for n in NEW_QUERIES_R08), 3),
+        "value_new_r09": round(sum(timings[n] for n in NEW_QUERIES_R09), 3),
         "phases": phases,
         "n_headline": len(HEADLINE),
         "n_all": len(timings),
