@@ -975,3 +975,19 @@ def test_single_action_discipline(spark, sf_dir):
         "queries executing driver-side actions during DataFrame build "
         f"(beyond their documented whitelist): {violations}"
     )
+
+
+def test_capture_lsh_no_cartesian_all_equi(spark, sf_dir):
+    # every detector is a band/bucket equi-join; the estimator is a
+    # single-row aggregate — nothing may plan cartesian
+    plan = plan_of(spark, sf_dir, "capture_recapture_lsh")
+    assert "CartesianProduct" not in plan
+
+
+def test_doremi_lm_model_join_is_broadcast(spark, sf_dir):
+    # the trigram model joins back to doc-grams via broadcast (the
+    # model is |V|³-bounded); no global sort anywhere
+    plan = plan_of(spark, sf_dir, "doremi_lm_loss_reweight")
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan

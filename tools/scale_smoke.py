@@ -474,6 +474,13 @@ def generate_sf10(spark) -> None:
         "lineitem": _replicate_keyed(
             spark, "lineitem",
             {"l_orderkey": K, "l_partkey": K, "l_suppkey": K}, 100),
+        # events joined the tier in round 9 (yuen_trimmed_t_test):
+        # same replication as the sf1 tier — key offsets + per-replica
+        # day shift so the temporal queries see a spread axis, not 100
+        # stacked copies of one week.
+        "events": _replicate_keyed(
+            spark, "events", {"event_id": K, "user_id": K}, 100,
+            ts_cols=("ts",)),
     }
     docs = S.load_table(spark, SRC, "documents")
     doc_parts = [docs]
