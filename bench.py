@@ -468,6 +468,8 @@ NEW_QUERIES_R08 = [
 NEW_QUERIES_R09 = [
     "capture_recapture_lsh",
     "doremi_lm_loss_reweight",
+    "rrf_hybrid_fusion",
+    "ann_filtered_topk",
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

@@ -991,3 +991,20 @@ def test_doremi_lm_model_join_is_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "Exchange rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ann_filtered_semi_join_is_broadcast(spark, sf_dir):
+    # pre-filter strategy: the metadata keys broadcast into a LeftSemi
+    # join that prunes the corpus BEFORE the fold dot products; no
+    # corpus shuffle, no cartesian
+    plan = plan_of(spark, sf_dir, "ann_filtered_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rrf_fusion_no_cartesian(spark, sf_dir):
+    # both arms are candidate-bounded rankings; the fusion is a
+    # full-outer join of two tiny relations — nothing may plan cartesian
+    plan = plan_of(spark, sf_dir, "rrf_hybrid_fusion")
+    assert "CartesianProduct" not in plan

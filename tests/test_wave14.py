@@ -89,3 +89,55 @@ def test_doremi_lm_differs_from_proxy_twin(spark, sf_dir):
                  spark, sf_dir).collect()}
     assert set(lm) == set(proxy)
     assert any(abs(lm[s] - proxy[s]) > 1e-6 for s in lm)
+
+
+def test_ann_filtered_neighbors_satisfy_predicate(spark, sf_dir):
+    """Every returned neighbor must pass the metadata predicate (the
+    whole point of pre-filtering), ranks must be contiguous from 1, and
+    each query's filtered top-1 cannot beat its unfiltered top-1."""
+    from udacitydatawarehouseprj_spark import session as S
+
+    rows = Q.REGISTRY["ann_filtered_topk"].fn(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]
+        for r in S.load_table(spark, sf_dir, "documents")
+        .filter("lang = 'en' AND source IN ('src3','src7')")
+        .select("doc_id")
+        .collect()
+    }
+    assert rows, "filtered search returned nothing"
+    assert {r["neighbor_id"] for r in rows} <= docs
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(by_q) == set(range(10))
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), (q, ranks)
+    unfiltered = {
+        r["query_id"]: r["cosine"]
+        for r in Q.REGISTRY["ann_cosine_topk"].fn(spark, sf_dir).collect()
+        if r["rank"] == 1
+    }
+    for r in rows:
+        if r["rank"] == 1:
+            assert r["cosine"] <= unfiltered[r["query_id"]] + 1e-9
+
+
+def test_rrf_score_is_the_rank_identity(spark, sf_dir):
+    """rrf_score must equal round(1/(60+r_lex) + 1/(60+r_dense), 9)
+    with absent arms contributing exactly 0.0, and fused_rank must
+    order by (score desc, doc_id asc)."""
+    rows = Q.REGISTRY["rrf_hybrid_fusion"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        expect = round(
+            (1.0 / (60 + r["r_lex"]) if r["r_lex"] is not None else 0.0)
+            + (1.0 / (60 + r["r_dense"]) if r["r_dense"] is not None else 0.0),
+            9,
+        )
+        assert abs(r["rrf_score"] - expect) < 1e-12, r
+        assert r["r_lex"] is not None or r["r_dense"] is not None
+    ordered = sorted(rows, key=lambda r: (-r["rrf_score"], r["doc_id"]))
+    assert [r["doc_id"] for r in ordered] == [
+        r["doc_id"] for r in sorted(rows, key=lambda r: r["fused_rank"])
+    ]
