@@ -481,6 +481,10 @@ def generate_sf10(spark) -> None:
         "events": _replicate_keyed(
             spark, "events", {"event_id": K, "user_id": K}, 100,
             ts_cols=("ts",)),
+        # part joined in round 9 (inclusion_dependency_audit): the same
+        # p_partkey stride lineitem's l_partkey uses, so the FK
+        # inclusion relation the audit measures survives replication.
+        "part": _replicate_keyed(spark, "part", {"p_partkey": K}, 100),
     }
     docs = S.load_table(spark, SRC, "documents")
     doc_parts = [docs]
