@@ -1008,3 +1008,13 @@ def test_rrf_fusion_no_cartesian(spark, sf_dir):
     # full-outer join of two tiny relations — nothing may plan cartesian
     plan = plan_of(spark, sf_dir, "rrf_hybrid_fusion")
     assert "CartesianProduct" not in plan
+
+
+def test_rrf_lexical_arm_is_take_ordered(spark, sf_dir):
+    # round-10 truncation: the lexical arm must take its top-N via
+    # TakeOrderedAndProject (map-side per-partition top-N, ≤N-row
+    # merge) BEFORE any ranking window — the old shape ranked every
+    # matching doc through one unpartitioned row_number task, a
+    # single-task funnel for common query terms at scale
+    plan = plan_of(spark, sf_dir, "rrf_hybrid_fusion")
+    assert "TakeOrderedAndProject" in plan
