@@ -1203,3 +1203,57 @@ def ngram_containment_pairs(
             F.round(c_ba, 6).alias("containment_b_in_a"),
         )
     )
+
+
+def containment_on_candidates(
+    df: DataFrame,
+    cand: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact shingle containment verified ONLY on a candidate pair
+    relation ``cand`` (columns doc_a < doc_b) — the production
+    composition ``ngram_containment_pairs``'s docstring promises at
+    100 TB, made executable: an LSH banding (or any other blocker)
+    proposes candidates, and containment is computed exactly per
+    candidate from the two docs' shingle SETS.
+
+    Why this beats a df-cap on the shingle self-join: the self-join's
+    cost is Σ df² over shingles. In a Zipf-tailed real corpus a df-cap
+    prunes that sum cheaply; in a closed-vocabulary corpus (measured
+    round 10 on the synthetic documents table: 27k shingles at sf0.1,
+    median df 9, max 25 — and the sf10 tier's 20 rotation-replicas
+    multiply EVERY df by ~20) the bulk, not the tail, carries the
+    quadratic term, so any cap either does nothing or voids the
+    detector. Verifying on candidates makes the cost
+    |cand| × shingles-per-doc instead — nothing scales with df at all.
+
+    Plan shape: one shingle pass folded to per-doc arrays (collect_set
+    after the distinct-shingle explode), two hash joins of the pair
+    list against those arrays, intersection sizes via array_intersect
+    — all JVM Column expressions, candidate-bounded end to end.
+    """
+    sets_ = (
+        shingles(df, id_col, text_col, n)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("sh"))
+    )
+    a = sets_.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sets_.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    c_ab = inter / F.size("sh_a").cast("double")
+    c_ba = inter / F.size("sh_b").cast("double")
+    return (
+        cand.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter((c_ab >= threshold) | (c_ba >= threshold))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(c_ab, 6).alias("containment_a_in_b"),
+            F.round(c_ba, 6).alias("containment_b_in_a"),
+        )
+    )
