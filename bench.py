@@ -490,6 +490,9 @@ NEW_QUERIES_R10 = [
     "dedup_ngram_prefix",
     "decontaminate_overlap",
     "stratified_sample",
+    # round-10 wave (2 oracled additions)
+    "rerank_cross_encoder_eval",
+    "ann_filtered_topk_composite",
 ]
 
 #: every bench list, in bucket order — the single source of truth for

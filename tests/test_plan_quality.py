@@ -1010,6 +1010,30 @@ def test_rrf_fusion_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_rerank_candidates_take_ordered_no_cartesian(spark, sf_dir):
+    # the rerank cascade: BM25 candidates truncate via
+    # TakeOrderedAndProject (the round-10 RRF idiom) and the expensive
+    # pair-scorer join is candidate-bounded — broadcast of the ≤100
+    # candidate list, never a cartesian or corpus-sized shuffle
+    plan = plan_of(spark, sf_dir, "rerank_cross_encoder_eval")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_composite_pushes_range_and_semi_joins(spark, sf_dir):
+    # composite predicate shape: all three predicate atoms (equality,
+    # IN, numeric range) must reach the documents parquet scan, and the
+    # surviving key set must broadcast into a LeftSemi corpus prune
+    plan = plan_of(spark, sf_dir, "ann_filtered_topk_composite")
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "GreaterThanOrEqual(n_chars" in plan
+    assert "LessThanOrEqual(n_chars" in plan
+    assert "In(source" in plan
+
+
 def test_rrf_lexical_arm_is_take_ordered(spark, sf_dir):
     # round-10 truncation: the lexical arm must take its top-N via
     # TakeOrderedAndProject (map-side per-partition top-N, ≤N-row

@@ -534,9 +534,135 @@ def generate_sf10(spark) -> None:
             os.path.join(OUT10, f"{name}.parquet"))
 
 
+#: sf100 tier (--sf100): THIRD-decade probe (VERDICT r9 item 8) for the
+#: three production-path dedup/ANN flagships only — the 100 TB claims
+#: previously extrapolated from the second decade. documents at 1M rows,
+#: embeddings at 1M vectors.
+OUT100 = os.path.join(os.path.dirname(OUT), "sf100")
+SMOKE100 = [
+    "dedup_minhash_lsh",
+    "ann_filtered_topk",
+    "capture_recapture_lsh",
+]
+
+
+def generate_sf100(spark) -> None:
+    """documents = 200 TOKEN-REMAPPED replicas of the sf0.1 corpus
+    (1M docs); embeddings = 500 orthogonally-transformed replicas
+    (1M vectors). One crossJoin with a replica-index range per table —
+    a single scan, not an N-way union plan.
+
+    Replica design: REMAP, don't rotate. The sf10 tier's word-rotation
+    replicas preserve shingles, so every shingle's df multiplies by the
+    replica count — tolerable for one extra decade, but at 200 replicas
+    the detectors would measure a df-degenerate corpus, and rotations
+    of ~60-token docs alias past rot≈len into exact-duplicate cliques
+    (the c_name lesson in text space). Suffixing every token with the
+    replica ordinal instead makes each replica an ISOMORPHIC copy of
+    the sf0.1 corpus in its own disjoint shingle vocabulary: per-shingle
+    df stays at sf0.1 levels (median 9, max 25 — measured round 10),
+    true-pair structure scales exactly linearly, and cross-replica
+    pairs are impossible by construction. That is the shape a real
+    100 TB crawl has: vocabulary grows with the corpus, df distribution
+    stationary.
+
+    embeddings: replica r applies roll(r%64) ∘ reverse((r//64)%2) ∘
+    sign-pattern((r//128)%4 ∈ {identity, negate-all, negate-even,
+    negate-odd}) — 512 distinct orthogonal maps, so all 500 replicas
+    are distinct, transformed random unit vectors stay random (no
+    planted near-1 cosines; a vector and its negation land at cosine
+    -1, the bottom of a max-cosine ranking), and the "no planted
+    near-dups" property survives. Replicas 200-499 have no documents
+    row — their vectors are scanned but correctly pruned by
+    ann_filtered_topk's semi-join (coverage documented in SCALE.md)."""
+    os.makedirs(OUT100, exist_ok=True)
+    K = 10_000_000
+    docs = S.load_table(spark, SRC, "documents")
+    reps = F.broadcast(
+        spark.range(200).select(F.col("id").alias("rep"))
+    )
+    d = (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * K).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda t: F.concat(t, F.lit("_"),
+                                       F.col("rep").cast("string")),
+                ),
+                " ",
+            ).alias("text"),
+            *[c for c in docs.columns if c not in ("doc_id", "text")],
+        )
+    )
+    d.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(OUT100, "documents.parquet"))
+    embv = S.load_table(spark, SRC, "embeddings")
+    ereps = F.broadcast(
+        spark.range(500).select(
+            F.col("id").alias("rep"),
+            (F.col("id") % 64).cast("int").alias("roll"),
+            ((F.col("id") / 64).cast("long") % 2).alias("rev"),
+            ((F.col("id") / 128).cast("long") % 4).alias("pat"),
+        )
+    )
+    rolled = F.concat(
+        F.slice(F.col("embedding"), F.col("roll") + F.lit(1),
+                F.lit(64) - F.col("roll")),
+        F.slice(F.col("embedding"), F.lit(1), F.col("roll")),
+    )
+    flipped = F.when(F.col("rev") == 1, F.reverse(rolled)).otherwise(rolled)
+    signed = F.transform(
+        flipped,
+        lambda x, i: F.when(
+            (F.col("pat") == 1)
+            | ((F.col("pat") == 2) & (i % 2 == 0))
+            | ((F.col("pat") == 3) & (i % 2 == 1)),
+            -x,
+        ).otherwise(x),
+    )
+    ee = (
+        embv.crossJoin(ereps)
+        .select(
+            (F.col("vec_id") + F.col("rep") * K).alias("vec_id"),
+            signed.alias("embedding"),
+            *[c for c in embv.columns if c not in ("vec_id", "embedding")],
+        )
+    )
+    ee.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(OUT100, "embeddings.parquet"))
+
+
 def main() -> None:
     spark = S.get_spark("scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
+    if "--sf100" in sys.argv:
+        if "--regen" in sys.argv or not os.path.exists(
+            os.path.join(OUT100, "documents.parquet")
+        ):
+            t0 = time.perf_counter()
+            generate_sf100(spark)
+            print(f"# generated {OUT100} in {time.perf_counter() - t0:.1f}s",
+                  file=sys.stderr)
+        reg = Q.queries()
+        names = SMOKE100
+        for arg in sys.argv[1:]:
+            if arg.startswith("--only="):
+                names = [n for n in arg.split("=", 1)[1].split(",") if n]
+        timings = {}
+        for name in names:
+            print(f"# sf100 running {name}", file=sys.stderr, flush=True)
+            t0 = time.perf_counter()
+            reg[name](spark, OUT100).write.format("noop").mode(
+                "overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            print(f"# sf100 {name}: {timings[name]}s",
+                  file=sys.stderr, flush=True)
+        print(json.dumps({"metric": "scale_smoke_1000x_total",
+                          "value": round(sum(timings.values()), 3),
+                          "unit": "sec", "queries": timings, "sf": 100.0}))
+        return
     if "--sf10" in sys.argv:
         if "--regen" in sys.argv or not os.path.exists(
             os.path.join(OUT10, "documents.parquet")
