@@ -534,15 +534,23 @@ def generate_sf10(spark) -> None:
             os.path.join(OUT10, f"{name}.parquet"))
 
 
-#: sf100 tier (--sf100): THIRD-decade probe (VERDICT r9 item 8) for the
-#: three production-path dedup/ANN flagships only — the 100 TB claims
-#: previously extrapolated from the second decade. documents at 1M rows,
-#: embeddings at 1M vectors.
+#: sf100 tier (--sf100): THIRD-decade probe (VERDICT r9 item 8). First
+#: the three production-path dedup/ANN flagships (the 100 TB claims
+#: previously extrapolated from the second decade), then — second
+#: installment, same round — the round-10 wave (rerank cascade,
+#: composite filtered ANN) and the fused retrieval path (rrf), so no
+#: round-10 registration's scale claim stops at the second decade.
+#: documents at 1M rows, embeddings at 1M vectors; only queries that
+#: read documents/embeddings alone are eligible (the tier generates no
+#: other table).
 OUT100 = os.path.join(os.path.dirname(OUT), "sf100")
 SMOKE100 = [
     "dedup_minhash_lsh",
     "ann_filtered_topk",
     "capture_recapture_lsh",
+    "rrf_hybrid_fusion",
+    "rerank_cross_encoder_eval",
+    "ann_filtered_topk_composite",
 ]
 
 
@@ -581,18 +589,26 @@ def generate_sf100(spark) -> None:
     reps = F.broadcast(
         spark.range(200).select(F.col("id").alias("rep"))
     )
+    suffixed = F.array_join(
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda t: F.concat(t, F.lit("_"),
+                               F.col("rep").cast("string")),
+        ),
+        " ",
+    )
+    # Replica 0 is the IDENTITY copy (no suffix): fixed-literal query
+    # terms ('spark'/'merge'/'window' in the BM25 stack) must exist in
+    # the tier or the retrieval-path sf100 runs would measure an empty
+    # lexical arm. Disjointness holds — no sf0.1 token matches _<digits>
+    # (measured round 10: 0 of the corpus), so replicas 1..199 cannot
+    # collide with replica 0's vocabulary.
     d = (
         docs.crossJoin(reps)
         .select(
             (F.col("doc_id") + F.col("rep") * K).alias("doc_id"),
-            F.array_join(
-                F.transform(
-                    F.split(F.col("text"), " "),
-                    lambda t: F.concat(t, F.lit("_"),
-                                       F.col("rep").cast("string")),
-                ),
-                " ",
-            ).alias("text"),
+            F.when(F.col("rep") == 0, F.col("text"))
+            .otherwise(suffixed).alias("text"),
             *[c for c in docs.columns if c not in ("doc_id", "text")],
         )
     )
