@@ -551,6 +551,21 @@ SMOKE100 = [
     "rrf_hybrid_fusion",
     "rerank_cross_encoder_eval",
     "ann_filtered_topk_composite",
+    # third installment: exact dedup, the SimHash detector, the
+    # single-scan text-analysis family, fingerprinting, vocab build,
+    # the trigram-LM scorer (DoReMi's loss feed), and the BM25
+    # retrieval baseline — the families whose "JVM Column expressions
+    # throughout, flat/linear" claims previously stopped at sf10.
+    "dedup_exact",
+    "dedup_simhash",
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_char_entropy",
+    "doc_fingerprint_rolling",
+    "vocab_build_topk",
+    "text_trigram_lm_score",
+    "bm25_topk",
 ]
 
 
