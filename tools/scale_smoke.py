@@ -566,6 +566,16 @@ SMOKE100 = [
     "vocab_build_topk",
     "text_trigram_lm_score",
     "bm25_topk",
+    # fourth installment: the query-serving ANN paths at 1M vectors —
+    # brute-force baseline, LSH, IVF, PQ. embedding_near_dup (the
+    # tiled all-pairs verification relation) is deliberately excluded:
+    # O(n²/tile) at 1M vectors is 10¹² pairs, and its production
+    # substitute is the LSH-bucketed candidate path measured via
+    # dedup/ANN entries above.
+    "ann_cosine_topk_blas",
+    "ann_cosine_topk_lsh",
+    "ann_ivf_topk",
+    "ann_pq_topk",
 ]
 
 
