@@ -132,3 +132,45 @@ def test_registry_bench_completeness():
     assert not missing, f"registered but in no bench bucket: {missing}"
     unknown = sorted(set(listed) - set(Q.REGISTRY))
     assert not unknown, f"benched but not registered: {unknown}"
+
+
+def test_scale_smoke_rosters_resolve():
+    """Every tools/scale_smoke.py roster name must be a registered
+    query, and every SMOKE100 entry must read ONLY documents/embeddings
+    (the sf100 tier generates no other table — a roster entry that
+    loads e.g. lineitem would crash the third-decade run at measure
+    time instead of test time). Static source check, no Spark."""
+    import re
+    import sys
+
+    sys.path.insert(0, "tools")
+    import scale_smoke as sm
+
+    for roster in (sm.SMOKE, sm.SMOKE10, sm.SMOKE100):
+        unknown = sorted(set(roster) - set(Q.REGISTRY))
+        assert not unknown, f"roster name not registered: {unknown}"
+
+    src = open("udacitydatawarehouseprj_spark/queries.py").read()
+    # transitive one-hop: the table loads in the query body plus the
+    # bodies of any _helper(spark, sf_dir) it calls
+    def loads(fn_name, depth=0):
+        m = re.search(
+            rf"\ndef {fn_name}\(spark[^)]*\).*?(?=\n@_register|\ndef |\Z)",
+            src, re.S)
+        if not m or depth > 2:
+            return set()
+        body = m.group(0)
+        tables = set(re.findall(r'_t\(spark, sf_dir, "(\w+)"\)', body))
+        tables |= set(
+            re.findall(r'load_table\(spark, sf_dir, "(\w+)"\)', body))
+        for helper in set(re.findall(r"(_[a-z_0-9]+)\(spark, sf_dir", body)):
+            if helper != "_t":
+                tables |= loads(helper, depth + 1)
+        return tables
+
+    for name in sm.SMOKE100:
+        used = loads(name)
+        assert used <= {"documents", "embeddings"}, (
+            f"SMOKE100 entry {name} reads {used} — sf100 tier only has"
+            " documents/embeddings"
+        )
