@@ -13,6 +13,20 @@ Verdict rules (tuned to the repo's measured noise band, ±15%):
   of queries regress > 3× (with >0.5 s absolute delta).
   Otherwise CLEAN.
 
+Round-10 lesson (stragglers): a run can pass both verdict rules while
+a mid-run host disturbance poisons a handful of entries — the round-10
+record's first accepted run was CLEAN at median ratio 1.025 yet carried
+4 entries whose min–max spread across the 3 repeats was 2.5–33 s
+(disturbance longer than all three back-to-back repeats, so the median
+couldn't mask it). The guard now also reports "stragglers": queries
+whose within-run spread exceeds both 2 s and their own median — their
+medians are untrustworthy as references. A CLEAN verdict with a
+non-empty straggler list means: prefer a re-run; if the box won't
+produce a straggler-free run (noisy-neighbor day), commit with the
+stragglers named in the commit message. Spreads come from the new
+report if present, else from ./BENCH_full_latest.json (written by the
+same bench.py invocation).
+
 Usage:
   python tools/bench_guard.py /tmp/bench_new.json            # vs HEAD
   python tools/bench_guard.py new.json --ref <git-rev>       # vs rev
@@ -58,12 +72,35 @@ def main() -> int:
     verdict = "CLEAN"
     if med > 1.15 or frac_out > 0.02:
         verdict = "CONTAMINATED"
+
+    spreads = new.get("spreads")
+    if spreads is None:
+        try:
+            full = json.load(open("BENCH_full_latest.json"))
+            # only trust the side file if it is the same run
+            if full.get("queries") == new.get("queries"):
+                spreads = full.get("spreads")
+        except Exception:
+            pass
+    stragglers = []
+    if spreads:
+        stragglers = sorted(
+            (
+                (round(s, 2), name, new["queries"].get(name))
+                for name, s in spreads.items()
+                if s > 2.0 and s > new["queries"].get(name, float("inf"))
+            ),
+            reverse=True,
+        )
+
     print(json.dumps({
         "verdict": verdict,
         "median_ratio": round(med, 3),
         "n_compared": len(ratios),
         "n_outliers_3x": len(outliers),
         "worst": sorted(outliers, reverse=True)[:8],
+        "n_stragglers": len(stragglers) if spreads else None,
+        "stragglers": stragglers[:8],
         "headline_new": new["value"],
         "headline_ref": ref["value"],
         "ref_rev": rev,
