@@ -585,6 +585,9 @@ SMOKE100 = [
     "pagerank_similarity_graph",
     "triangle_count_similarity",
     "k_core_similarity_graph",
+    # wave completion: with this entry every round-9 AND round-10 wave
+    # registration carries a third-decade row.
+    "doremi_lm_loss_reweight",
 ]
 
 
