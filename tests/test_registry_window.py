@@ -140,23 +140,35 @@ def test_scale_smoke_rosters_resolve():
     (the sf100 tier generates no other table — a roster entry that
     loads e.g. lineitem would crash the third-decade run at measure
     time instead of test time). Static source check, no Spark."""
+    import importlib.util
+    import os
     import re
-    import sys
 
-    sys.path.insert(0, "tools")
-    import scale_smoke as sm
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "scale_smoke", os.path.join(repo_root, "tools", "scale_smoke.py"))
+    sm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sm)
 
     for roster in (sm.SMOKE, sm.SMOKE10, sm.SMOKE100):
         unknown = sorted(set(roster) - set(Q.REGISTRY))
         assert not unknown, f"roster name not registered: {unknown}"
 
-    src = open("udacitydatawarehouseprj_spark/queries.py").read()
+    src = open(os.path.join(
+        repo_root, "udacitydatawarehouseprj_spark", "queries.py")).read()
     # transitive one-hop: the table loads in the query body plus the
-    # bodies of any _helper(spark, sf_dir) it calls
+    # bodies of any _helper(spark, sf_dir) it calls. The def-pattern
+    # tolerates a line break after "(" — a wrapped signature (e.g.
+    # doremi_lm_loss_reweight) must still match or the assertion below
+    # would pass vacuously on an empty set.
     def loads(fn_name, depth=0):
         m = re.search(
-            rf"\ndef {fn_name}\(spark[^)]*\).*?(?=\n@_register|\ndef |\Z)",
+            rf"\ndef {fn_name}\(\s*spark[^)]*\).*?(?=\n@_register|\ndef |\Z)",
             src, re.S)
+        if depth == 0:
+            assert m, (
+                f"source for {fn_name} not found by the def-pattern — "
+                "the table-usage check would pass vacuously")
         if not m or depth > 2:
             return set()
         body = m.group(0)

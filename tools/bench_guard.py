@@ -36,6 +36,7 @@ Exit code 0 = clean, 1 = contaminated (re-run before committing).
 from __future__ import annotations
 
 import json
+import os
 import statistics
 import subprocess
 import sys
@@ -76,14 +77,17 @@ def main() -> int:
     spreads = new.get("spreads")
     if spreads is None:
         try:
-            full = json.load(open("BENCH_full_latest.json"))
+            repo_root = os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))
+            full = json.load(
+                open(os.path.join(repo_root, "BENCH_full_latest.json")))
             # only trust the side file if it is the same run
             if full.get("queries") == new.get("queries"):
                 spreads = full.get("spreads")
         except Exception:
             pass
     stragglers = []
-    if spreads:
+    if spreads is not None:
         stragglers = sorted(
             (
                 (round(s, 2), name, new["queries"].get(name))
@@ -99,7 +103,7 @@ def main() -> int:
         "n_compared": len(ratios),
         "n_outliers_3x": len(outliers),
         "worst": sorted(outliers, reverse=True)[:8],
-        "n_stragglers": len(stragglers) if spreads else None,
+        "n_stragglers": len(stragglers) if spreads is not None else None,
         "stragglers": stragglers[:8],
         "headline_new": new["value"],
         "headline_ref": ref["value"],

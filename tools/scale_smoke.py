@@ -592,24 +592,29 @@ SMOKE100 = [
 
 
 def generate_sf100(spark) -> None:
-    """documents = 200 TOKEN-REMAPPED replicas of the sf0.1 corpus
-    (1M docs); embeddings = 500 orthogonally-transformed replicas
-    (1M vectors). One crossJoin with a replica-index range per table —
-    a single scan, not an N-way union plan.
+    """documents = replica 0 as the IDENTITY copy of the sf0.1 corpus
+    plus 199 TOKEN-REMAPPED replicas (1M docs); embeddings = 500
+    orthogonally-transformed replicas (1M vectors). One crossJoin with
+    a replica-index range per table — a single scan, not an N-way
+    union plan.
 
     Replica design: REMAP, don't rotate. The sf10 tier's word-rotation
     replicas preserve shingles, so every shingle's df multiplies by the
     replica count — tolerable for one extra decade, but at 200 replicas
     the detectors would measure a df-degenerate corpus, and rotations
     of ~60-token docs alias past rot≈len into exact-duplicate cliques
-    (the c_name lesson in text space). Suffixing every token with the
-    replica ordinal instead makes each replica an ISOMORPHIC copy of
-    the sf0.1 corpus in its own disjoint shingle vocabulary: per-shingle
-    df stays at sf0.1 levels (median 9, max 25 — measured round 10),
-    true-pair structure scales exactly linearly, and cross-replica
-    pairs are impossible by construction. That is the shape a real
-    100 TB crawl has: vocabulary grows with the corpus, df distribution
-    stationary.
+    (the c_name lesson in text space). Replicas 1-199 instead suffix
+    every token with the replica ordinal, making each an ISOMORPHIC
+    copy of the sf0.1 corpus in its own disjoint shingle vocabulary:
+    per-shingle df stays at sf0.1 levels (median 9, max 25 — measured
+    round 10), true-pair structure scales exactly linearly, and
+    cross-replica pairs among 1-199 are impossible by construction.
+    Replica 0 stays unsuffixed because the retrieval-path fixed-literal
+    query terms ('spark'/'merge'/'window') must exist somewhere in the
+    tier; its vocabulary is still disjoint from 1-199 because no sf0.1
+    token ends in _<digits> (measured round 10: 0 of the corpus). That
+    is the shape a real 100 TB crawl has: vocabulary grows with the
+    corpus, df distribution stationary.
 
     embeddings: replica r applies roll(r%64) ∘ reverse((r//64)%2) ∘
     sign-pattern((r//128)%4 ∈ {identity, negate-all, negate-even,
