@@ -495,6 +495,13 @@ NEW_QUERIES_R10 = [
     "ann_filtered_topk_composite",
 ]
 
+#: round-11 wave (2 oracled additions — batch ANN serving economics,
+#: VERDICT r10 item 5).
+NEW_QUERIES_R11 = [
+    "ann_batch_serving_ivf",
+    "ann_batch_serving_brute",
+]
+
 #: every bench list, in bucket order — the single source of truth for
 #: what runs (main()) and for the registry-completeness test.
 ALL_BUCKETS = [
@@ -508,6 +515,7 @@ ALL_BUCKETS = [
     ("new_r08", NEW_QUERIES_R08),
     ("new_r09", NEW_QUERIES_R09),
     ("new_r10", NEW_QUERIES_R10),
+    ("new_r11", NEW_QUERIES_R11),
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

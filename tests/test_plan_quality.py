@@ -892,6 +892,9 @@ BUILD_ACTION_WHITELIST: dict[str, int] = {
     "ann_cosine_topk_blas": 1,             # [seed] query-vector panel
     "ann_cosine_topk_lsh": 1,              # [seed] hyperplane words
     "ann_ivf_topk": 5,                     # [iter] k-means training
+    "ann_batch_serving_ivf": 7,            # [iter] k-means train (4) +
+                                           # cell sizes + query batch
+    "ann_batch_serving_brute": 1,          # [seed] query-batch collect
     "embedding_near_dup_bcast": 1,         # [seed] broadcast side
     "dedup_ngram_prefix": 2,               # [seed] df-cap circuit breaker
     "time_rollup_multigrain": 1,           # [sqltxt]
@@ -1042,3 +1045,17 @@ def test_rrf_lexical_arm_is_take_ordered(spark, sf_dir):
     # single-task funnel for common query terms at scale
     plan = plan_of(spark, sf_dir, "rrf_hybrid_fusion")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ann_batch_serving_plans(spark, sf_dir):
+    # round-11 wave: serving reranks run as MapInPandas over the corpus
+    # scan (queries broadcast once) — the |C|×|Q| pair relation must
+    # never materialize as a join, and the only shuffle is the ≤
+    # (k+1)·|Q|-row partial-candidate window
+    plan = plan_of(spark, sf_dir, "ann_batch_serving_brute")
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert count_exchanges(plan) <= 1
+    plan_ivf = plan_of(spark, sf_dir, "ann_batch_serving_ivf")
+    assert "MapInPandas" in plan_ivf
+    assert "CartesianProduct" not in plan_ivf

@@ -1553,3 +1553,237 @@ def hard_negative_topk(
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+def cosine_topk_blas_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_chunk: int = 1024,
+) -> DataFrame:
+    """Exact brute-force cosine top-k for LARGE query batches (10³-10⁴
+    queries) — the brute serving floor the batch-ANN economics are
+    measured against.
+
+    Same contract as cosine_topk / cosine_topk_blas; the difference is
+    the inner loop. cosine_topk_blas runs one Python lexsort PER QUERY
+    per Arrow batch — O(|Q|) interpreter iterations, fine at |Q|≈10,
+    minutes at |Q|≈10⁴. Here the per-batch score matrix is built in
+    query CHUNKS (|batch| × query_chunk doubles ≈ 80 MB at the default,
+    bounding task memory independent of |Q|) and the per-batch partial
+    top-k for EVERY query in the chunk is selected by a single
+    argpartition along axis 0 — no per-query Python work at all. Each
+    (query, corpus-batch) emits k+1 candidates: the +1 absorbs the
+    query's own self-match (cosine 1.0, always in the partial top set
+    when present), which is filtered BEFORE the exact global rank so a
+    self-row can never displace a true neighbor. argpartition selects
+    by value only; the deterministic (cosine desc, neighbor_id asc)
+    tie-break is applied at the global window, identical to the other
+    top-k paths (exact double ties between distinct random vectors
+    do not occur at the candidate boundary — same exposure as the
+    oracled ann_cosine_topk_blas).
+
+    Scale shape: queries broadcast once (|Q|×64 doubles ≈ 5 MB at 10⁴),
+    corpus streamed through Arrow; shuffle is ≤ (k+1)·|Q| rows per
+    corpus partition, never the |C|×|Q| pair relation.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    qids, qmat = _collect_matrix(queries, id_col, vec_col)
+    qnorms = np.maximum(np.sqrt((qmat * qmat).sum(axis=1)), 1e-12)
+    bc = spark.sparkContext.broadcast((qids, qmat, qnorms))
+    kk = k + 1  # self-buffer
+
+    def block(it):
+        import pandas as pd
+
+        bqids, bqmat, bqnorms = bc.value
+        nq = len(bqids)
+        for pdf in it:
+            cid = pdf[id_col].to_numpy(dtype="int64")
+            c = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            cn = np.maximum(np.sqrt((c * c).sum(axis=1)), 1e-12)
+            take = min(kk, len(cid))
+            out = []
+            for lo in range(0, nq, query_chunk):
+                hi = min(lo + query_chunk, nq)
+                S = (c @ bqmat[lo:hi].T) / np.outer(cn, bqnorms[lo:hi])
+                idx = np.argpartition(-S, take - 1, axis=0)[:take]
+                cols = np.broadcast_to(
+                    np.arange(hi - lo)[None, :], idx.shape
+                )
+                out.append(pd.DataFrame({
+                    "query_id": bqids[lo:hi][cols.ravel()],
+                    "neighbor_id": cid[idx.ravel()],
+                    "cosine": np.take_along_axis(S, idx, axis=0).ravel(),
+                }))
+            if out:
+                yield pd.concat(out)
+
+    cands = corpus.mapInPandas(block, schema=_topk_candidates_schema())
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+def ivf_batch_serving(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_cells: int = 16,
+    n_probe: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_chunk: int = 1024,
+    frac_bound: float = 0.45,
+) -> DataFrame:
+    """Batch ANN serving economics on the trained IVF index: run the
+    FULL k-NN serving pass for a large query batch with the expensive
+    stage candidate-bounded to probed cells, and return a ONE-ROW
+    summary a DuckDB oracle can gate:
+
+      n_queries, corpus_n        — exact, oracle-computable counts
+      topk_rows                  — exact: k·n_queries iff serving
+                                   returned full k for EVERY query (a
+                                   distributed-path hard signal; a
+                                   degenerate index or a broken probe
+                                   breaks the count)
+      mean_frac_le_{bound}       — mean per-query scanned fraction
+                                   (Σ probed-cell sizes / corpus_n,
+                                   self included) under the bound; at
+                                   n_probe/num_cells = 4/16 balanced
+                                   k-means cells put this near 0.25
+      scan_lt_brute              — mean scanned fraction < 1.0: the
+                                   per-query marginal cost is strictly
+                                   below a brute corpus scan
+      min_candidates_ge_k        — the WORST query still had ≥ k
+                                   non-self candidates in its probes
+
+    The amortization pinned here: index passes (k-means train + corpus
+    cell assignment) are BATCH-INDEPENDENT — their cost divides by |Q|,
+    while the per-query marginal cost is scanned_frac·|C| dots vs the
+    brute |C|. The rerank is cell-GROUPED and chunk-vectorized: each
+    corpus Arrow batch does ≤ num_cells chunked BLAS matmuls against
+    exactly the queries probing that cell — never cosine_topk_blas's
+    per-query Python loop, and never a materialized candidate-pair
+    shuffle (only ≤ (k+1) partial rows per query·cell·batch cross the
+    wire). Driver-resident serving state is the index head only:
+    centroids (num_cells×64), cell sizes (num_cells), and the collected
+    query batch (|Q|×64 ≈ 5 MB at 10⁴) — the corpus is never collected.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    _, cents = kmeans_centroids(
+        corpus, k=num_cells, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    c_norm2 = (cents * cents).sum(axis=1)
+
+    # index pass 2 (batch-independent): corpus → cell sizes
+    bc_c = spark.sparkContext.broadcast((cents, c_norm2))
+
+    def assign_cells(it):
+        import pandas as pd
+
+        cc, cn2 = bc_c.value
+        for pdf in it:
+            x = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            cell = (cn2[None, :] - 2.0 * (x @ cc.T)).argmin(axis=1)
+            yield pd.DataFrame({"cell_id": cell.astype("int32")})
+
+    sizes = np.zeros(num_cells, dtype="int64")
+    for r in (
+        corpus.mapInPandas(assign_cells, schema="cell_id int")
+        .groupBy("cell_id").count().collect()
+    ):
+        sizes[r["cell_id"]] = r["count"]
+    corpus_n = int(sizes.sum())
+
+    # per-query probes + scanned fractions (index head × query batch,
+    # all tiny: num_cells×64 against |Q|×64)
+    qids, qmat = _collect_matrix(queries, id_col, vec_col)
+    qnorms = np.maximum(np.sqrt((qmat * qmat).sum(axis=1)), 1e-12)
+    qd2 = c_norm2[None, :] - 2.0 * (qmat @ cents.T)
+    qprobes = np.argsort(qd2, axis=1)[:, :n_probe]
+    scanned = sizes[qprobes].sum(axis=1)  # own cell = nearest ⇒ self in
+    mean_frac = float(scanned.mean()) / max(corpus_n, 1)
+    min_cand = int(scanned.min()) - 1  # exclude self
+
+    # serving rerank, cell-grouped: queries bucketed by probed cell
+    probers = [
+        np.where((qprobes == c).any(axis=1))[0] for c in range(num_cells)
+    ]
+    bc_q = spark.sparkContext.broadcast(
+        (qids, qmat, qnorms, probers, cents, c_norm2)
+    )
+    kk = k + 1  # self-buffer, filtered before the global rank
+
+    def serve(it):
+        import pandas as pd
+
+        bqids, bqmat, bqnorms, bprob, cc, cn2 = bc_q.value
+        for pdf in it:
+            cid = pdf[id_col].to_numpy(dtype="int64")
+            x = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            xn = np.maximum(np.sqrt((x * x).sum(axis=1)), 1e-12)
+            cell = (cn2[None, :] - 2.0 * (x @ cc.T)).argmin(axis=1)
+            out = []
+            for c in range(len(bprob)):
+                qs = bprob[c]
+                rows = np.where(cell == c)[0]
+                if not len(qs) or not len(rows):
+                    continue
+                take = min(kk, len(rows))
+                for lo in range(0, len(qs), query_chunk):
+                    sub = qs[lo:lo + query_chunk]
+                    S = (x[rows] @ bqmat[sub].T) / np.outer(
+                        xn[rows], bqnorms[sub]
+                    )
+                    idx = np.argpartition(-S, take - 1, axis=0)[:take]
+                    cols = np.broadcast_to(
+                        np.arange(len(sub))[None, :], idx.shape
+                    )
+                    out.append(pd.DataFrame({
+                        "query_id": bqids[sub][cols.ravel()],
+                        "neighbor_id": cid[rows][idx.ravel()],
+                        "cosine": np.take_along_axis(S, idx, axis=0).ravel(),
+                    }))
+            if out:
+                yield pd.concat(out)
+
+    cands = corpus.mapInPandas(serve, schema=_topk_candidates_schema())
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    topk = (
+        cands.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    bound_label = f"mean_frac_le_{str(frac_bound).replace('.', '')[:3]}"
+    return (
+        queries.agg(F.count("*").cast("long").alias("n_queries"))
+        .crossJoin(corpus.agg(F.count("*").cast("long").alias("corpus_n")))
+        .crossJoin(topk.agg(F.count("*").cast("long").alias("topk_rows")))
+        .select(
+            "n_queries", "corpus_n", "topk_rows",
+            F.lit(bool(mean_frac <= frac_bound)).alias(bound_label),
+            F.lit(bool(mean_frac < 1.0)).alias("scan_lt_brute"),
+            F.lit(bool(min_cand >= k)).alias("min_candidates_ge_k"),
+        )
+    )
