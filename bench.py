@@ -502,6 +502,19 @@ NEW_QUERIES_R11 = [
     "ann_batch_serving_brute",
 ]
 
+#: noise quarantine (round 11, VERDICT r10 item 3): queries whose
+#: per-query bench ratio is ATTRIBUTED (controlled interleaved A/B of
+#: HEAD vs the r9-close code, SCALE.md round-11 section) to box state,
+#: not code — shuffle/Arrow-heavy shapes that swing up to ~2× between
+#: box days while the code is untouched. They run and report like every
+#: other query; this list exists so a round-over-round per-query drift
+#: in exactly these names is read against the A/B evidence instead of
+#: re-litigated. The median-ratio headline is robust to them.
+NOISE_QUARANTINE = [
+    "minhash_overlap_estimate",
+    "doremi_lm_loss_reweight",
+]
+
 #: every bench list, in bucket order — the single source of truth for
 #: what runs (main()) and for the registry-completeness test.
 ALL_BUCKETS = [
