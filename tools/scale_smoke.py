@@ -588,6 +588,20 @@ SMOKE100 = [
     # wave completion: with this entry every round-9 AND round-10 wave
     # registration carries a third-decade row.
     "doremi_lm_loss_reweight",
+    # sixth installment (round 11, VERDICT r10 items 5+6): the batch
+    # ANN serving economics pair (per-query cost at a ~10k-query batch
+    # vs the brute floor at the SAME batch) and the training-data
+    # layout family — packing, mixing, curriculum, and the training
+    # shuffle are the operators a 100 TB pipeline runs LAST and at
+    # full volume.
+    "ann_batch_serving_ivf",
+    "ann_batch_serving_brute",
+    "pack_bins_ffd_check",
+    "pack_context_windows",
+    "mix_sources_weighted",
+    "temperature_mix_sources",
+    "curriculum_order_shards",
+    "training_shuffle_buckets",
 ]
 
 
