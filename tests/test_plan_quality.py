@@ -892,7 +892,7 @@ BUILD_ACTION_WHITELIST: dict[str, int] = {
     "ann_cosine_topk_blas": 1,             # [seed] query-vector panel
     "ann_cosine_topk_lsh": 1,              # [seed] hyperplane words
     "ann_ivf_topk": 5,                     # [iter] k-means training
-    "ann_batch_serving_ivf": 7,            # [iter] k-means train (4) +
+    "ann_batch_serving_ivf": 6,            # [iter] k-means train (4) +
                                            # cell sizes + query batch
     "ann_batch_serving_brute": 1,          # [seed] query-batch collect
     "embedding_near_dup_bcast": 1,         # [seed] broadcast side

@@ -54,6 +54,12 @@ RUNTIME_CONF = {
     # Python DataSource filter pushdown (sources/python_source.py
     # implements pushFilters; the API refuses to plan without the flag)
     "spark.sql.python.filterPushdown.enabled": "true",
+    # A round-11 sf100 run lost a Python worker to a silent crash
+    # (segfault, no traceback) and the executor waited on the dead
+    # worker's socket indefinitely; faulthandler makes any future
+    # worker crash print a Python-level traceback instead of hanging
+    # the stage silently. Negligible overhead (a signal handler).
+    "spark.python.worker.faulthandler.enabled": "true",
 }
 
 
