@@ -62,6 +62,33 @@ def committed_record(rev: str) -> dict:
     return json.loads(out)
 
 
+def classify_spreads(spreads, new_queries, ref_queries):
+    """Partition spread-flagged queries (within-run spread > 2 s and >
+    the query's own median) into ``stragglers`` — median ALSO poisoned
+    (> 2× the committed record with > 1 s absolute delta, the round-10
+    incident shape; must be EMPTY before a run becomes the record) —
+    and ``spready_ok`` — a slow repeat the median absorbed (structural
+    first-repeat fixture costs land here). Rows are
+    (spread, name, new_median, ref_median), largest spread first."""
+    stragglers = []
+    spready_ok = []
+    if spreads is None:
+        return stragglers, spready_ok
+    for name, s in sorted(
+        spreads.items(), key=lambda kv: kv[1], reverse=True
+    ):
+        q_med = new_queries.get(name, float("inf"))
+        if not (s > 2.0 and s > q_med):
+            continue
+        rt = ref_queries.get(name)
+        row = (round(s, 2), name, q_med, rt)
+        if rt is not None and q_med > 2.0 * rt and q_med - rt > 1.0:
+            stragglers.append(row)
+        else:
+            spready_ok.append(row)
+    return stragglers, spready_ok
+
+
 def main() -> int:
     args = sys.argv[1:]
     if not args:
@@ -98,23 +125,9 @@ def main() -> int:
                 spreads = full.get("spreads")
         except Exception:
             pass
-    stragglers = []
-    spready_ok = []
-    if spreads is not None:
-        for name, s in sorted(
-            spreads.items(), key=lambda kv: kv[1], reverse=True
-        ):
-            q_med = new["queries"].get(name, float("inf"))
-            if not (s > 2.0 and s > q_med):
-                continue
-            rt = ref["queries"].get(name)
-            row = (round(s, 2), name, q_med, rt)
-            # poisoned median (the round-10 incident shape) vs a slow
-            # repeat the median absorbed
-            if rt is not None and q_med > 2.0 * rt and q_med - rt > 1.0:
-                stragglers.append(row)
-            else:
-                spready_ok.append(row)
+    stragglers, spready_ok = classify_spreads(
+        spreads, new["queries"], ref["queries"]
+    )
 
     print(json.dumps({
         "verdict": verdict,
