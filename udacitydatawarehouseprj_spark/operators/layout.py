@@ -246,7 +246,7 @@ def pack_bins_ffd(
     id_col: str = "doc_id",
     cost_col: str = "n_chars",
     capacity: int = 2048,
-    n_buckets: int = 8,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Sequence packing: first-fit-decreasing bin packing of documents
     into fixed-capacity bins (context windows), bucketed for scale.
@@ -256,16 +256,25 @@ def pack_bins_ffd(
     n_buckets (one shuffle), FFD within the bucket (sort by cost desc,
     place each doc in the first bin with room). FFD guarantees ≤
     11/9·OPT+1 bins; per-bucket independence is what makes the operator
-    linear at 100 TB — size buckets so one bucket's docs fit an
-    executor (thousands of buckets at scale; 8 is the small-SF default).
-    Oversize docs (cost > capacity) get a dedicated bin each — flagged
-    by the caller-visible invariant that multi-doc bins never exceed
-    capacity. Bin ids are globally unique (bucket ⊕ local index) and the
-    whole operation is a pure function of (ids, costs) — reproducible
-    across runs, engines, partitionings.
+    linear at 100 TB. ``n_buckets`` defaults to 4× the cluster's
+    defaultParallelism (the shuffle.partitions idiom): buckets grow
+    with the cluster, so no executor ever serializes the whole corpus'
+    packing — a fixed small count was the round-11 sf100 bottleneck
+    (8 buckets → 8 Python tasks FFD-packing 125k docs each, and FFD's
+    first-fit scan is O(docs·bins) per bucket, so halving bucket size
+    quarters the work). Oversize docs (cost > capacity) get a dedicated
+    bin each — flagged by the caller-visible invariant that multi-doc
+    bins never exceed capacity. Bin ids are globally unique
+    (bucket ⊕ local index). The packing is a pure function of
+    (ids, costs, n_buckets) — reproducible across runs, engines, and
+    data partitionings; pass an explicit n_buckets to also pin the
+    result across cluster sizes (the caller-visible invariants —
+    coverage, cost preservation, capacity — hold for ANY bucket count).
     """
     import pandas as pd
 
+    if n_buckets is None:
+        n_buckets = 4 * df.sparkSession.sparkContext.defaultParallelism
     bucket = (portable_hash_expr(id_col) % n_buckets).cast("int")
     src = df.select(
         F.col(id_col).cast("long"),
