@@ -117,7 +117,7 @@ def split_assign(
 
 
 def shuffle_buckets(
-    df: DataFrame, id_col: str = "doc_id", n_buckets: int = 16
+    df: DataFrame, id_col: str = "doc_id", n_buckets: int | None = None
 ) -> DataFrame:
     """Deterministic global training shuffle, bucketed.
 
@@ -125,12 +125,18 @@ def shuffle_buckets(
     instead: bucket = hash(id) % n_buckets, position = rank of hash
     within the bucket. Readers stream buckets in any order and rows
     within a bucket sequentially — a reproducible permutation with ONE
-    hash-partitioned shuffle and per-bucket (not global) sorts. Size
-    n_buckets so a bucket fits an executor's sort budget (at 100 TB,
-    thousands of buckets; 16 is the small-SF default).
+    hash-partitioned shuffle and per-bucket (not global) sorts.
+    ``n_buckets`` defaults to 4× the cluster's defaultParallelism
+    (buckets grow with the cluster, so no executor's per-bucket sort
+    budget ever absorbs the whole corpus). NOTE the output (bucket,
+    pos) is a function of n_buckets: callers that need the SAME
+    permutation across cluster sizes (an oracled contract, a resumable
+    training run) must pin n_buckets explicitly.
     """
     from pyspark.sql import Window
 
+    if n_buckets is None:
+        n_buckets = 4 * df.sparkSession.sparkContext.defaultParallelism
     h = portable_hash_expr(id_col)
     bucket = (h % n_buckets).cast("int")
     w = Window.partitionBy("bucket").orderBy("h", id_col)
