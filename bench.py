@@ -549,6 +549,23 @@ def run_one(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+#: Noise-floor anchor (round 12, VERDICT r11 item 5): a fixed, cheap,
+#: shuffle+Arrow-exercising query timed once right after warmup and once
+#: after the last bucket query. Both values land in the report so a run
+#: whose box state DEGRADED mid-run (the CLEAN-but-poisoned class: a
+#: disturbance covering all repeats of some queries uniformly, invisible
+#: to the spread rule) is detectable at commit time without a second
+#: full run — bench_guard prints the drift. Same method the sf100
+#: isolated-session ledger already uses.
+ANCHOR_QUERY = "ann_filtered_topk"
+
+
+def _time_anchor(registry, spark, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    run_one(registry[ANCHOR_QUERY](spark, sf_dir))
+    return round(time.perf_counter() - t0, 3)
+
+
 def _median_ratio_vs_record(timings: dict[str, float]):
     """Median per-query ratio of this run vs the latest committed
     BENCH_full_latest.json (same comparison tools/bench_guard.py gates
@@ -593,6 +610,8 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
+    anchor_first = _time_anchor(registry, spark, sf_dir)
+
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
@@ -612,6 +631,8 @@ def main() -> None:
             ph = dict(Q.PHASE_TIMINGS[name])
             ph["readback_agg"] = round(timings[name] - sum(ph.values()), 3)
             phases[name] = ph
+
+    anchor_last = _time_anchor(registry, spark, sf_dir)
 
     S.release_shared_caches()  # cross-query LSH pair relation etc.
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -637,6 +658,13 @@ def main() -> None:
         "n_headline": len(HEADLINE),
         "n_all": len(timings),
         "repeats": repeats,
+        "anchor": {
+            "name": ANCHOR_QUERY,
+            "first_sec": anchor_first,
+            "last_sec": anchor_last,
+            "drift_ratio": round(
+                anchor_last / anchor_first, 3) if anchor_first > 0 else None,
+        },
     }
     for bucket_name, bucket in ALL_BUCKETS[1:]:
         report[f"value_{bucket_name}"] = round(

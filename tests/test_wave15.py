@@ -66,14 +66,21 @@ def test_ivf_batch_serving_matches_loop_kernel(spark, sf_dir):
     """The cell-grouped vectorized rerank must reach the SAME top-k
     relation as ivf_topk_kmeans's per-query loop at the identical
     operating point (same seeds, same probes) — vectorization is a
-    layout change, not a semantics change. Pinned via the serving
-    count: both kernels return full k for every query here, and the
-    IVF recall vs exact is already gated by ann_ivf_recall_check."""
+    layout change, not a semantics change. Round-11 advice: pin the
+    actual (query_id, neighbor_id, rank, cosine) ROWS, not the count —
+    a pairing/sign bug returning wrong neighbors at full k would pass a
+    count gate. The serving relation is exposed for exactly this
+    (ivf_batch_serving_topk shares the kernel with the oracled summary
+    via _ivf_batch_serve)."""
     emb = _emb(spark, sf_dir)
     batch = emb.filter(F.col("vec_id") % 101 == 7)
-    loop = similarity.ivf_topk_kmeans(
+    got = _rows(similarity.ivf_batch_serving_topk(
         emb, batch, k=5, num_cells=16, n_probe=4, iters=3
-    )
-    n_loop = loop.count()
+    ))
+    want = _rows(similarity.ivf_topk_kmeans(
+        emb, batch, k=5, num_cells=16, n_probe=4, iters=3
+    ))
+    assert got == want and len(got) == 5 * batch.count()
+    # and the oracled summary counts the same relation
     row = Q.REGISTRY["ann_batch_serving_ivf"].fn(spark, sf_dir).collect()[0]
-    assert row.topk_rows == n_loop
+    assert row.topk_rows == len(got)

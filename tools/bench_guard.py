@@ -37,12 +37,39 @@ flagged entries whose MEDIAN is also poisoned (> 2× the committed
 record with > 1 s absolute delta, the round-10 incident's shape:
 12.97 s recorded vs ~1.2 s true). Spread-flagged entries with healthy
 medians are reported separately as "spready_ok": the median-of-3
-absorbed a slow repeat, which is what the median is for.
+absorbed a slow repeat, which is what the median is for. Spread-flagged
+entries with NO committed reference (a brand-new query's first record
+run) are reported as "spready_new" — visibly unvetted, neither benign
+nor condemned (round-11 advice: routing them into spready_ok hid the
+one case the record has no defense against).
+
+Round-12 refinement (--record mode): the round-11 record passed the
+straggler rule yet carried 2 UNIFORMLY-elevated medians (disturbance
+covering all three back-to-back repeats: pagerank_similarity_graph
+10.17 s vs ~3.4 s true by three independent measures) — a class the
+spread rule structurally cannot see. A record-candidate must therefore
+clear a stricter bar than an informational check: with --record, ANY
+3× outlier (not just > 2% of queries) and ANY straggler fails the run.
+The discipline for a failed --record check: re-run each flagged query
+in an ISOLATED session (fresh process, quiesced box); if the re-run
+agrees with the prior record, splice the honest value into the
+candidate before committing; if it agrees with the candidate, the
+change is real — accept it and say so in the commit message.
+
+The new report's "anchor" block (bench.py times a fixed cheap query
+first and last) is echoed with its drift ratio — a drift > 1.5×
+means the box state degraded DURING the run and late-bucket medians
+are suspect even if every other rule passes.
+
+If the new report lacks "spreads", they are recovered from
+BENCH_full_latest.json at the REPO ROOT (resolved from this script's
+location, regardless of CWD) when that file records the same run.
 
 Usage:
   python tools/bench_guard.py /tmp/bench_new.json            # vs HEAD
   python tools/bench_guard.py new.json --ref <git-rev>       # vs rev
-Exit code 0 = clean, 1 = contaminated (re-run before committing).
+  python tools/bench_guard.py new.json --record              # record bar
+Exit code 0 = clean, 1 = contaminated / record-bar failure.
 """
 
 from __future__ import annotations
@@ -67,13 +94,17 @@ def classify_spreads(spreads, new_queries, ref_queries):
     the query's own median) into ``stragglers`` — median ALSO poisoned
     (> 2× the committed record with > 1 s absolute delta, the round-10
     incident shape; must be EMPTY before a run becomes the record) —
-    and ``spready_ok`` — a slow repeat the median absorbed (structural
-    first-repeat fixture costs land here). Rows are
+    ``spready_ok`` — a slow repeat the median absorbed (structural
+    first-repeat fixture costs land here) — and ``spready_new`` —
+    no committed reference exists (a query's FIRST record run), so the
+    median is UNVETTED: eyeball it before committing, it can never be
+    auto-cleared (round-11 advice). Rows are
     (spread, name, new_median, ref_median), largest spread first."""
     stragglers = []
     spready_ok = []
+    spready_new = []
     if spreads is None:
-        return stragglers, spready_ok
+        return stragglers, spready_ok, spready_new
     for name, s in sorted(
         spreads.items(), key=lambda kv: kv[1], reverse=True
     ):
@@ -82,11 +113,31 @@ def classify_spreads(spreads, new_queries, ref_queries):
             continue
         rt = ref_queries.get(name)
         row = (round(s, 2), name, q_med, rt)
-        if rt is not None and q_med > 2.0 * rt and q_med - rt > 1.0:
+        if rt is None:
+            spready_new.append(row)
+        elif q_med > 2.0 * rt and q_med - rt > 1.0:
             stragglers.append(row)
         else:
             spready_ok.append(row)
-    return stragglers, spready_ok
+    return stragglers, spready_ok, spready_new
+
+
+def record_bar(n_outliers: int, n_stragglers) -> tuple[bool, list[str]]:
+    """The stricter bar a record-candidate must clear (--record):
+    ZERO 3× outliers and ZERO stragglers. Returns (ok, reasons).
+    ``n_stragglers`` may be None (no spreads available) — that is a
+    failure too: a record must carry its spreads."""
+    reasons = []
+    if n_outliers > 0:
+        reasons.append(
+            f"{n_outliers} outlier(s) >3x the committed record — re-run "
+            "each in an isolated session; splice the honest value if the "
+            "re-run agrees with the prior record")
+    if n_stragglers is None:
+        reasons.append("no spreads available — a record needs its spreads")
+    elif n_stragglers > 0:
+        reasons.append(f"{n_stragglers} straggler(s) with poisoned medians")
+    return not reasons, reasons
 
 
 def main() -> int:
@@ -96,6 +147,7 @@ def main() -> int:
         return 2
     new = json.load(open(args[0]))
     rev = args[args.index("--ref") + 1] if "--ref" in args else "HEAD"
+    record_mode = "--record" in args
     ref = committed_record(rev)
 
     ratios = []
@@ -125,9 +177,18 @@ def main() -> int:
                 spreads = full.get("spreads")
         except Exception:
             pass
-    stragglers, spready_ok = classify_spreads(
+    stragglers, spready_ok, spready_new = classify_spreads(
         spreads, new["queries"], ref["queries"]
     )
+
+    anchor = new.get("anchor")
+    if record_mode:
+        record_ok, record_reasons = record_bar(
+            len(outliers), len(stragglers) if spreads is not None else None)
+        if not record_ok:
+            verdict = "RECORD-BAR-FAIL"
+    else:
+        record_ok, record_reasons = None, []
 
     print(json.dumps({
         "verdict": verdict,
@@ -139,10 +200,20 @@ def main() -> int:
         "stragglers": stragglers[:8],
         "n_spready_ok": len(spready_ok) if spreads is not None else None,
         "spready_ok": spready_ok[:8],
+        "n_spready_new": len(spready_new) if spreads is not None else None,
+        "spready_new": spready_new[:8],
+        "anchor": anchor,
+        "anchor_drift": anchor.get("drift_ratio") if anchor else None,
+        "record_mode": record_mode,
+        "record_reasons": record_reasons,
         "headline_new": new["value"],
         "headline_ref": ref["value"],
         "ref_rev": rev,
     }))
+    if anchor and (anchor.get("drift_ratio") or 0) > 1.5:
+        print(f"WARNING: anchor drift {anchor['drift_ratio']}x — box state "
+              "degraded during the run; late-bucket medians suspect",
+              file=sys.stderr)
     return 0 if verdict == "CLEAN" else 1
 
 

@@ -1640,7 +1640,7 @@ def cosine_topk_blas_batch(
     )
 
 
-def ivf_batch_serving(
+def _ivf_batch_serve(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
@@ -1650,12 +1650,15 @@ def ivf_batch_serving(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_chunk: int = 1024,
-    frac_bound: float = 0.45,
-) -> DataFrame:
-    """Batch ANN serving economics on the trained IVF index: run the
-    FULL k-NN serving pass for a large query batch with the expensive
-    stage candidate-bounded to probed cells, and return a ONE-ROW
-    summary a DuckDB oracle can gate:
+):
+    """Shared serving pass: returns ``(topk, stats)`` where ``topk`` is
+    the full (query_id, neighbor_id, rank, cosine) relation in the SAME
+    projection contract as ``ivf_topk_kmeans`` (rank int, cosine rounded
+    to 6), and ``stats`` carries the index-head economics
+    (mean_frac, min_cand, corpus_n). Exposing the relation (round-11
+    advice) lets tests compare the vectorized rerank's actual neighbor
+    CONTENT against the per-query loop kernel, not just row counts.
+    See ``ivf_batch_serving`` for the serving-economics narrative:
 
       n_queries, corpus_n        — exact, oracle-computable counts
       topk_rows                  — exact: k·n_queries iff serving
@@ -1774,8 +1777,69 @@ def ivf_batch_serving(
         cands.filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("cosine", 6).alias("cosine"),
+        )
     )
-    bound_label = f"mean_frac_le_{str(frac_bound).replace('.', '')[:3]}"
+    stats = {"mean_frac": mean_frac, "min_cand": min_cand}
+    return topk, stats
+
+
+def ivf_batch_serving_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_cells: int = 16,
+    n_probe: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_chunk: int = 1024,
+) -> DataFrame:
+    """The serving pass's full top-k relation — same output contract as
+    ``ivf_topk_kmeans`` (query_id, neighbor_id, rank, cosine) so the
+    cell-grouped vectorized rerank is row-comparable against the
+    per-query loop kernel at the identical operating point."""
+    topk, _ = _ivf_batch_serve(
+        corpus, queries, k=k, num_cells=num_cells, n_probe=n_probe,
+        iters=iters, id_col=id_col, vec_col=vec_col,
+        query_chunk=query_chunk,
+    )
+    return topk
+
+
+def ivf_batch_serving(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_cells: int = 16,
+    n_probe: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_chunk: int = 1024,
+    frac_bound: float = 0.45,
+) -> DataFrame:
+    """Batch ANN serving economics on the trained IVF index
+    (``_ivf_batch_serve`` runs the pass): one-row oracle-gateable
+    summary — n_queries, corpus_n, topk_rows (= k·n_queries iff full k
+    for EVERY query), mean scanned fraction under ``frac_bound``,
+    scan_lt_brute, min_candidates_ge_k. See ``_ivf_batch_serve`` for
+    the kernel and cost-shape documentation."""
+    topk, stats = _ivf_batch_serve(
+        corpus, queries, k=k, num_cells=num_cells, n_probe=n_probe,
+        iters=iters, id_col=id_col, vec_col=vec_col,
+        query_chunk=query_chunk,
+    )
+    mean_frac, min_cand = stats["mean_frac"], stats["min_cand"]
+    # zero-padded percent so distinct bounds always get distinct,
+    # deterministic column names (0.4 -> _040, 0.45 -> _045, 0.5 ->
+    # _050); the truncate-the-str formatting it replaces collided on
+    # e.g. 0.4 vs 0.405 and desynced from oracles written per-bound
+    bound_label = f"mean_frac_le_{int(round(frac_bound * 100)):03d}"
     return (
         queries.agg(F.count("*").cast("long").alias("n_queries"))
         .crossJoin(corpus.agg(F.count("*").cast("long").alias("corpus_n")))
