@@ -502,6 +502,13 @@ NEW_QUERIES_R11 = [
     "ann_batch_serving_brute",
 ]
 
+#: round-12 wave (1 oracled addition — the VERDICT r11 item 6
+#: candidate: the neural-scorer pandas-UDF swap-in at the rerank
+#: cascade's documented seam).
+NEW_QUERIES_R12 = [
+    "rerank_neural_scorer_eval",
+]
+
 #: noise quarantine (round 11, VERDICT r10 item 3): queries whose
 #: per-query bench ratio is ATTRIBUTED (controlled interleaved A/B of
 #: HEAD vs the r9-close code, SCALE.md round-11 section) to box state,
@@ -529,6 +536,7 @@ ALL_BUCKETS = [
     ("new_r09", NEW_QUERIES_R09),
     ("new_r10", NEW_QUERIES_R10),
     ("new_r11", NEW_QUERIES_R11),
+    ("new_r12", NEW_QUERIES_R12),
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not

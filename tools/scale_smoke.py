@@ -602,6 +602,19 @@ SMOKE100 = [
     "temperature_mix_sources",
     "curriculum_order_shards",
     "training_shuffle_buckets",
+    # seventh installment (round 12, VERDICT r11 item 4): the
+    # multimodal family — the one pipeline stage still missing a
+    # third-decade row. Per-object Arrow kernels (PPM decode, decode+
+    # resize, stride frame-sampling over raw bytes, RIFF/WAVE framed
+    # energy) whose claimed shape is linear and executor-parallel;
+    # payload synthesis (attach_*_payload) is part of the measured
+    # cost, exactly as in the oracled queries. These also exercise the
+    # round-11 Python-worker faulthandler in the worker-heavy path
+    # where the r11 silent segfault hang occurred.
+    "multimodal_image_decode",
+    "multimodal_image_resize",
+    "multimodal_video_frames",
+    "audio_frame_energy",
 ]
 
 
