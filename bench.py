@@ -618,6 +618,12 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # Warm the anchor's own plan first (unmeasured): the first execution
+    # of this query shape carries ~3 s of codegen/broadcast setup
+    # (measured in isolated-probe sessions: ~3-4 s first run vs ~0.9 s
+    # steady) which would inflate first_sec and bias drift_ratio low —
+    # the anchor must sample BOX STATE, not compile cost.
+    _time_anchor(registry, spark, sf_dir)
     anchor_first = _time_anchor(registry, spark, sf_dir)
 
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
