@@ -24,10 +24,28 @@ def test_window_is_explicit_and_full():
 
 
 def test_window_entries_exist_and_are_oracled():
+    """Every window slot carries the full rows+schema+hash signal,
+    EXCEPT the explicit WINDOW_ROWS_ONLY_SLOTS allowlist (VERDICT r12
+    item 6): rows-only-by-construction names whose ledger row was an
+    r02 fossil get one slot each for a driver rows-only refresh. The
+    allowlist must stay small and every member must genuinely lack an
+    oracle (an oracled name parked there would WASTE the stronger
+    signal)."""
     oracles = Q.oracle_sql()
+    rows_only_ok = set(Q.WINDOW_ROWS_ONLY_SLOTS)
+    assert len(rows_only_ok) <= 4, "rows-only freshness slots must stay scarce"
+    for name in rows_only_ok:
+        assert name not in oracles, (
+            f"{name} is oracled — remove it from WINDOW_ROWS_ONLY_SLOTS "
+            "so its slot carries the full signal"
+        )
     for name in Q.WINDOW_PRIORITY:
         assert name in Q.REGISTRY, f"{name} not registered"
-        assert name in oracles, f"{name} has no oracle (rows-only) — a window slot must carry the full rows+schema+hash signal"
+        assert name in oracles or name in rows_only_ok, (
+            f"{name} has no oracle (rows-only) — a window slot must carry "
+            "the full rows+schema+hash signal unless allowlisted in "
+            "WINDOW_ROWS_ONLY_SLOTS"
+        )
 
 
 def test_ordering_preserves_every_registered_query():
