@@ -509,6 +509,13 @@ NEW_QUERIES_R12 = [
     "rerank_neural_scorer_eval",
 ]
 
+#: round-13 wave (1 oracled addition — the VERDICT r12 item 7
+#: candidate: the LEARNED-weight scorer exercising the neural swap
+#: seam end-to-end, training + serving both under the hash gate).
+NEW_QUERIES_R13 = [
+    "rerank_learned_weights_eval",
+]
+
 #: noise quarantine (round 11, VERDICT r10 item 3): queries whose
 #: per-query bench ratio is ATTRIBUTED (controlled interleaved A/B of
 #: HEAD vs the r9-close code, SCALE.md round-11 section) to box state,
@@ -537,6 +544,7 @@ ALL_BUCKETS = [
     ("new_r10", NEW_QUERIES_R10),
     ("new_r11", NEW_QUERIES_R11),
     ("new_r12", NEW_QUERIES_R12),
+    ("new_r13", NEW_QUERIES_R13),
 ]
 
 #: queries whose bench time is dominated by fixture orchestration, not
@@ -558,38 +566,85 @@ def run_one(df) -> None:
 
 
 #: Noise-floor anchor (round 12, VERDICT r11 item 5): a fixed, cheap,
-#: shuffle+Arrow-exercising query timed once right after warmup and once
+#: shuffle-exercising workload timed once right after warmup and once
 #: after the last bucket query. Both values land in the report so a run
-#: whose box state DEGRADED mid-run (the CLEAN-but-poisoned class: a
+#: whose box state CHANGED mid-run (the CLEAN-but-poisoned class: a
 #: disturbance covering all repeats of some queries uniformly, invisible
 #: to the spread rule) is detectable at commit time without a second
-#: full run — bench_guard prints the drift. Same method the sf100
-#: isolated-session ledger already uses.
-ANCHOR_QUERY = "ann_filtered_topk"
+#: full run — bench_guard applies the two-sided drift test. Round-13
+#: change (round-12 advice): the anchor is a DEDICATED synthetic
+#: workload, not a registry query — the old anchor (ann_filtered_topk)
+#: was itself benched in the r09 bucket, so its unmeasured anchor
+#: executions gave its in-bucket median a one-time warm bias vs sibling
+#: queries measured cold.
+ANCHOR_NAME = "synthetic_shuffle_anchor"
 
 
-def _time_anchor(registry, spark, sf_dir: str) -> float:
+def _anchor_workload(spark):
+    """1.5M synthetic rows hashed and reduced over a 32-partition
+    shuffle: exercises codegen, exchange, and hash-agg without touching
+    any benched table, cache, or registry entry."""
+    return (
+        spark.range(0, 1_500_000, 1, 32)
+        .selectExpr(
+            "id % 9973 AS k",
+            # pmod-bounded so SUM cannot overflow long under ANSI mode
+            "pmod(xxhash64(cast(id AS string)), 1000000) AS h",
+        )
+        .groupBy("k")
+        .agg({"h": "sum"})
+    )
+
+
+def _time_anchor(spark) -> float:
     t0 = time.perf_counter()
-    run_one(registry[ANCHOR_QUERY](spark, sf_dir))
+    run_one(_anchor_workload(spark))
     return round(time.perf_counter() - t0, 3)
 
 
+def _stable_anchor(spark, tol: float = 0.2, max_tries: int = 5):
+    """Warm-until-stable anchor sample (round-12 advice: ONE warm pass
+    demonstrably does not reach steady state — the committed r12 record
+    sampled 10.91 s first vs 0.873 s last, conflating warm-up with box
+    state and biasing drift low). Samples the anchor until two
+    CONSECUTIVE timings agree within ``tol`` of the larger, returning
+    (value, samples): ``value`` is the second of the agreeing pair —
+    the first steady-state reading — and ``samples`` is every timing
+    taken, kept in the report for audit. Gives up after ``max_tries``
+    samples and returns the last; the drift ratio then exposes the
+    instability to bench_guard's two-sided test."""
+    samples = [_time_anchor(spark)]
+    for _ in range(max_tries - 1):
+        samples.append(_time_anchor(spark))
+        if abs(samples[-1] - samples[-2]) <= tol * max(
+                samples[-1], samples[-2]):
+            break
+    return samples[-1], samples
+
+
 def _median_ratio_vs_record(timings: dict[str, float]):
-    """Median per-query ratio of this run vs the latest committed
-    BENCH_full_latest.json (same comparison tools/bench_guard.py gates
-    on). Returns (None, reason) when no committed record exists —
-    e.g. a fresh clone."""
+    """Median per-query ratio of this run vs the committed guard
+    reference — BENCH_record.json since the round-13 record/ledger
+    split (falling back to BENCH_full_latest.json only for revisions
+    predating it); the same comparison tools/bench_guard.py gates on.
+    Returns (None, reason) when no committed record exists — e.g. a
+    fresh clone."""
     import statistics as _st
     import subprocess as _sp
 
-    try:
+    ref = None
+    ref_name = None
+    for path in ("BENCH_record.json", "BENCH_full_latest.json"):
         out = _sp.run(
-            ["git", "show", "HEAD:BENCH_full_latest.json"],
-            capture_output=True, text=True, check=True,
+            ["git", "show", f"HEAD:{path}"],
+            capture_output=True, text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
-        ref = json.loads(out)
-    except Exception:
+        )
+        if out.returncode == 0:
+            ref = json.loads(out.stdout)
+            ref_name = f"HEAD:{path}"
+            break
+    if ref is None:
         return None, "no committed record"
     ratios = [
         t / rt
@@ -599,7 +654,7 @@ def _median_ratio_vs_record(timings: dict[str, float]):
     ]
     if not ratios:
         return None, "no comparable queries in record"
-    return round(_st.median(ratios), 3), "HEAD:BENCH_full_latest.json"
+    return round(_st.median(ratios), 3), ref_name
 
 
 def main() -> None:
@@ -618,13 +673,11 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
-    # Warm the anchor's own plan first (unmeasured): the first execution
-    # of this query shape carries ~3 s of codegen/broadcast setup
-    # (measured in isolated-probe sessions: ~3-4 s first run vs ~0.9 s
-    # steady) which would inflate first_sec and bias drift_ratio low —
-    # the anchor must sample BOX STATE, not compile cost.
-    _time_anchor(registry, spark, sf_dir)
-    anchor_first = _time_anchor(registry, spark, sf_dir)
+    # Warm-until-stable anchor sample (round-12 advice): the first
+    # execution carries codegen cost and even the second may not be
+    # steady state — sample until two consecutive timings agree, so
+    # anchor_first measures BOX STATE, not compile cost or a transient.
+    anchor_first, anchor_warm_samples = _stable_anchor(spark)
 
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, float] = {}
@@ -646,7 +699,7 @@ def main() -> None:
             ph["readback_agg"] = round(timings[name] - sum(ph.values()), 3)
             phases[name] = ph
 
-    anchor_last = _time_anchor(registry, spark, sf_dir)
+    anchor_last = _time_anchor(spark)
 
     S.release_shared_caches()  # cross-query LSH pair relation etc.
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -673,9 +726,10 @@ def main() -> None:
         "n_all": len(timings),
         "repeats": repeats,
         "anchor": {
-            "name": ANCHOR_QUERY,
+            "name": ANCHOR_NAME,
             "first_sec": anchor_first,
             "last_sec": anchor_last,
+            "warm_samples": anchor_warm_samples,
             "drift_ratio": round(
                 anchor_last / anchor_first, 3) if anchor_first > 0 else None,
         },

@@ -1,5 +1,5 @@
 """Bench contamination guard — validate a fresh bench report against
-the committed record BEFORE committing it.
+the committed RECORD before committing it.
 
 Round-8 lesson: a full bench started on an apparently-idle box (0 java
 processes) recorded headline 103 s vs the 25.5 s committed record —
@@ -7,6 +7,22 @@ median per-query ratio 1.19 with 5-10× outliers and huge min-max
 spreads. A rerun 30 minutes later scored 27.9 s at median ratio 1.05.
 Box-level contamination is not always visible in `ps`; the committed
 record is the reliable reference.
+
+Round-13 structural fix (VERDICT r12 "What's wrong" item 1 — the
+guard-reference ratchet): the reference used to be
+``BENCH_full_latest.json``, which the ROUND MACHINERY overwrites with
+whatever the driver's latest run measured. Two noisy driver days in a
+row silently inflated the reference by ~1.2-1.5×, ceding exactly that
+much regression-detection headroom ("median ratio 1.017" vs an
+already-poisoned reference). The guard reference is now a SEPARATE
+file, ``BENCH_record.json`` at the repo root, with a one-way
+promotion rule: it is only ever replaced by a run that passes the full
+record bar below INCLUDING median-ratio ≤ 1.05 vs the CURRENT record
+(``--record --promote``). Driver runs keep landing in
+``BENCH_rNN.json`` / ``BENCH_full_latest.json`` as append-only
+history; they are never the reference. For git revisions predating the
+split, the reader falls back to that revision's
+``BENCH_full_latest.json`` (the two files were the same object then).
 
 Verdict rules (tuned to the repo's measured noise band, ±15%):
   CONTAMINATED if median per-query ratio > 1.15, or if more than 2%
@@ -18,58 +34,63 @@ a mid-run host disturbance poisons a handful of entries — the round-10
 record's first accepted run was CLEAN at median ratio 1.025 yet carried
 4 entries whose min–max spread across the 3 repeats was 2.5–33 s
 (disturbance longer than all three back-to-back repeats, so the median
-couldn't mask it). The guard now also reports "stragglers": queries
-whose within-run spread exceeds both 2 s and their own median — their
-medians are untrustworthy as references. A CLEAN verdict with a
-non-empty straggler list means: prefer a re-run; if the box won't
-produce a straggler-free run (noisy-neighbor day), commit with the
-stragglers named in the commit message. Spreads come from the new
-report if present, else from ./BENCH_full_latest.json (written by the
-same bench.py invocation).
+couldn't mask it). The guard reports "stragglers": queries whose
+within-run spread exceeds both 2 s and their own median AND whose
+median is ALSO poisoned (> 2× the committed record with > 1 s absolute
+delta). Spread-flagged entries with healthy medians are "spready_ok"
+(structural first-repeat fixture costs — round-11 isolated A/B showed
+these exist on every run, so an empty spread list is unreachable);
+spread-flagged entries with NO committed reference are "spready_new"
+(a brand-new query's first record run — visibly unvetted).
 
-Round-11 refinement: an isolated-session A/B showed a handful of
-queries carry STRUCTURAL first-repeat spread every run (fixture costs:
-Python data-source registration, LSH pair-cache build, sink write —
-2–7 s spread in a quiesced fresh session with a healthy median), so
-"empty spread list" is unreachable on any run and the spread flag alone
-over-warns. The list that must be empty is "stragglers" — spread-
-flagged entries whose MEDIAN is also poisoned (> 2× the committed
-record with > 1 s absolute delta, the round-10 incident's shape:
-12.97 s recorded vs ~1.2 s true). Spread-flagged entries with healthy
-medians are reported separately as "spready_ok": the median-of-3
-absorbed a slow repeat, which is what the median is for. Spread-flagged
-entries with NO committed reference (a brand-new query's first record
-run) are reported as "spready_new" — visibly unvetted, neither benign
-nor condemned (round-11 advice: routing them into spready_ok hid the
-one case the record has no defense against).
+RECORD BAR (``--record``) — ALL rules must pass for a run to become
+the new reference (round-12 advice: the bar used to check only
+outliers/stragglers, so a candidate with median_ratio 1.3 but zero
+outliers printed as if only outliers mattered):
 
-Round-12 refinement (--record mode): the round-11 record passed the
-straggler rule yet carried 2 UNIFORMLY-elevated medians (disturbance
-covering all three back-to-back repeats: pagerank_similarity_graph
-10.17 s vs ~3.4 s true by three independent measures) — a class the
-spread rule structurally cannot see. A record-candidate must therefore
-clear a stricter bar than an informational check: with --record, ANY
-3× outlier (not just > 2% of queries) and ANY straggler fails the run.
+  1. ZERO 3× outliers (any single one fails — the round-11 record
+     carried 2 uniformly-elevated medians the >2% fraction rule let
+     through);
+  2. ZERO stragglers, and spreads must be PRESENT (a record carries
+     its spreads);
+  3. median ratio vs the current record ≤ 1.05 (the anti-ratchet rule:
+     a diffusely-elevated run can never replace the reference, no
+     matter how point-clean it is);
+  4. anchor drift within 1.5× IN EITHER DIRECTION —
+     ``max(d, 1/d) > 1.5`` fails (round-12 advice: the old one-sided
+     ``d > 1.5`` test missed the r12 record's own disturbance, drift
+     0.08 — a disturbed START is as disqualifying as a degrading end);
+  5. ZERO spready_new entries — a new query's first spread-flagged
+     median must be probed in isolation (tools/isolated_probe.py) and
+     spliced (tools/splice_record.py) before the run can be the
+     reference.
+
 The discipline for a failed --record check: re-run each flagged query
-in an ISOLATED session (fresh process, quiesced box); if the re-run
-agrees with the prior record, splice the honest value into the
-candidate before committing; if it agrees with the candidate, the
-change is real — accept it and say so in the commit message.
+in an ISOLATED session (fresh process, quiesced box,
+tools/isolated_probe.py); if the re-run agrees with the prior record,
+splice the honest value AND ITS SPREAD into the candidate
+(tools/splice_record.py — round-12 advice: splicing the median while
+retaining the rejected run's spread left mixed-provenance rows) before
+committing; if it agrees with the candidate, the change is real —
+accept it and say so in the commit message.
 
-The new report's "anchor" block (bench.py times a fixed cheap query
-first and last) is echoed with its drift ratio — a drift > 1.5×
-means the box state degraded DURING the run and late-bucket medians
-are suspect even if every other rule passes.
+Both verdicts are always reported (round-12 advice: RECORD-BAR-FAIL
+used to overwrite CONTAMINATED, losing the stronger signal):
+``verdict`` is the contamination call, ``record_verdict`` /
+``record_reasons`` the promotion call.
 
 If the new report lacks "spreads", they are recovered from
-BENCH_full_latest.json at the REPO ROOT (resolved from this script's
-location, regardless of CWD) when that file records the same run.
+``BENCH_full_latest.json`` at the REPO ROOT (resolved from this
+script's location, regardless of CWD) when that file records the same
+run.
 
 Usage:
   python tools/bench_guard.py /tmp/bench_new.json            # vs HEAD
   python tools/bench_guard.py new.json --ref <git-rev>       # vs rev
   python tools/bench_guard.py new.json --record              # record bar
-Exit code 0 = clean, 1 = contaminated / record-bar failure.
+  python tools/bench_guard.py new.json --record --promote    # + write
+      BENCH_record.json if (and only if) every record rule passes
+Exit code 0 = clean (and record bar passed, if --record), 1 otherwise.
 """
 
 from __future__ import annotations
@@ -80,13 +101,37 @@ import statistics
 import subprocess
 import sys
 
+#: the guard reference file (repo root). Promotion-gated: only
+#: --record --promote on a run passing ALL record rules writes it.
+RECORD_FILE = "BENCH_record.json"
+#: append-only side file bench.py writes every run (history, NOT the
+#: reference).
+LATEST_FILE = "BENCH_full_latest.json"
 
-def committed_record(rev: str) -> dict:
-    out = subprocess.run(
-        ["git", "show", f"{rev}:BENCH_full_latest.json"],
-        capture_output=True, text=True, check=True,
-    ).stdout
-    return json.loads(out)
+#: anti-ratchet promotion ceiling: a candidate whose median per-query
+#: ratio vs the CURRENT record exceeds this can never become the record.
+RECORD_MEDIAN_CEILING = 1.05
+#: two-sided anchor-drift ceiling for a record candidate.
+RECORD_DRIFT_CEILING = 1.5
+
+
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def committed_record(rev: str) -> tuple[dict, str]:
+    """The guard reference at ``rev``: ``BENCH_record.json``, falling
+    back to ``BENCH_full_latest.json`` for revisions predating the
+    round-13 record/ledger split. Returns (record, source_path)."""
+    for path in (RECORD_FILE, LATEST_FILE):
+        out = subprocess.run(
+            ["git", "show", f"{rev}:{path}"],
+            capture_output=True, text=True, cwd=_repo_root(),
+        )
+        if out.returncode == 0:
+            return json.loads(out.stdout), path
+    raise SystemExit(f"no committed record at {rev} "
+                     f"(neither {RECORD_FILE} nor {LATEST_FILE})")
 
 
 def classify_spreads(spreads, new_queries, ref_queries):
@@ -97,8 +142,8 @@ def classify_spreads(spreads, new_queries, ref_queries):
     ``spready_ok`` — a slow repeat the median absorbed (structural
     first-repeat fixture costs land here) — and ``spready_new`` —
     no committed reference exists (a query's FIRST record run), so the
-    median is UNVETTED: eyeball it before committing, it can never be
-    auto-cleared (round-11 advice). Rows are
+    median is UNVETTED: probe it in isolation before committing, it can
+    never be auto-cleared (round-11 advice). Rows are
     (spread, name, new_median, ref_median), largest spread first."""
     stragglers = []
     spready_ok = []
@@ -122,11 +167,25 @@ def classify_spreads(spreads, new_queries, ref_queries):
     return stragglers, spready_ok, spready_new
 
 
-def record_bar(n_outliers: int, n_stragglers) -> tuple[bool, list[str]]:
-    """The stricter bar a record-candidate must clear (--record):
-    ZERO 3× outliers and ZERO stragglers. Returns (ok, reasons).
-    ``n_stragglers`` may be None (no spreads available) — that is a
-    failure too: a record must carry its spreads."""
+def drift_excessive(drift_ratio, ceiling: float = RECORD_DRIFT_CEILING):
+    """Two-sided anchor-drift test: True when the first/last anchor
+    samples disagree by more than ``ceiling`` in EITHER direction
+    (round-12 advice: drift 0.08 — a disturbed start — is as bad as
+    drift 1.5+, a degrading end). None/0 drift → not excessive (no
+    anchor data is reported separately by the record bar's spreads
+    rule, not mis-flagged as drift)."""
+    if not drift_ratio or drift_ratio <= 0:
+        return False
+    return max(drift_ratio, 1.0 / drift_ratio) > ceiling
+
+
+def record_bar(n_outliers: int, n_stragglers, median_ratio=None,
+               drift_ratio=None, n_spready_new: int = 0):
+    """The stricter bar a record-candidate must clear (--record).
+    Returns (ok, reasons) — reasons is the FULL list of failed rules
+    (round-12 advice: a single overwritten verdict lost the stronger
+    signal). ``n_stragglers`` may be None (no spreads available) —
+    that is a failure too: a record must carry its spreads."""
     reasons = []
     if n_outliers > 0:
         reasons.append(
@@ -137,6 +196,19 @@ def record_bar(n_outliers: int, n_stragglers) -> tuple[bool, list[str]]:
         reasons.append("no spreads available — a record needs its spreads")
     elif n_stragglers > 0:
         reasons.append(f"{n_stragglers} straggler(s) with poisoned medians")
+    if median_ratio is not None and median_ratio > RECORD_MEDIAN_CEILING:
+        reasons.append(
+            f"median ratio {median_ratio} > {RECORD_MEDIAN_CEILING} vs the "
+            "current record — a diffusely-elevated run cannot become the "
+            "reference (anti-ratchet rule)")
+    if drift_excessive(drift_ratio):
+        reasons.append(
+            f"anchor drift {drift_ratio} outside [1/{RECORD_DRIFT_CEILING}, "
+            f"{RECORD_DRIFT_CEILING}] — box state changed DURING the run")
+    if n_spready_new > 0:
+        reasons.append(
+            f"{n_spready_new} unvetted new-query median(s) (spready_new) — "
+            "probe each in isolation and splice before promoting")
     return not reasons, reasons
 
 
@@ -148,7 +220,8 @@ def main() -> int:
     new = json.load(open(args[0]))
     rev = args[args.index("--ref") + 1] if "--ref" in args else "HEAD"
     record_mode = "--record" in args
-    ref = committed_record(rev)
+    promote = "--promote" in args
+    ref, ref_source = committed_record(rev)
 
     ratios = []
     outliers = []
@@ -168,10 +241,8 @@ def main() -> int:
     spreads = new.get("spreads")
     if spreads is None:
         try:
-            repo_root = os.path.dirname(
-                os.path.dirname(os.path.abspath(__file__)))
             full = json.load(
-                open(os.path.join(repo_root, "BENCH_full_latest.json")))
+                open(os.path.join(_repo_root(), LATEST_FILE)))
             # only trust the side file if it is the same run
             if full.get("queries") == new.get("queries"):
                 spreads = full.get("spreads")
@@ -182,16 +253,30 @@ def main() -> int:
     )
 
     anchor = new.get("anchor")
+    drift = anchor.get("drift_ratio") if anchor else None
     if record_mode:
         record_ok, record_reasons = record_bar(
-            len(outliers), len(stragglers) if spreads is not None else None)
-        if not record_ok:
-            verdict = "RECORD-BAR-FAIL"
+            len(outliers),
+            len(stragglers) if spreads is not None else None,
+            median_ratio=round(med, 3),
+            drift_ratio=drift,
+            n_spready_new=len(spready_new),
+        )
+        record_verdict = "RECORD-OK" if record_ok else "RECORD-BAR-FAIL"
     else:
-        record_ok, record_reasons = None, []
+        record_ok, record_reasons, record_verdict = None, [], None
+
+    promoted = False
+    if record_mode and promote and record_ok and verdict == "CLEAN":
+        with open(os.path.join(_repo_root(), RECORD_FILE), "w",
+                  encoding="utf-8") as fh:
+            json.dump(dict(new, spreads=spreads), fh, indent=1,
+                      sort_keys=True)
+        promoted = True
 
     print(json.dumps({
         "verdict": verdict,
+        "record_verdict": record_verdict,
         "median_ratio": round(med, 3),
         "n_compared": len(ratios),
         "n_outliers_3x": len(outliers),
@@ -203,18 +288,21 @@ def main() -> int:
         "n_spready_new": len(spready_new) if spreads is not None else None,
         "spready_new": spready_new[:8],
         "anchor": anchor,
-        "anchor_drift": anchor.get("drift_ratio") if anchor else None,
+        "anchor_drift": drift,
         "record_mode": record_mode,
         "record_reasons": record_reasons,
+        "promoted": promoted,
         "headline_new": new["value"],
         "headline_ref": ref["value"],
         "ref_rev": rev,
+        "ref_source": ref_source,
     }))
-    if anchor and (anchor.get("drift_ratio") or 0) > 1.5:
-        print(f"WARNING: anchor drift {anchor['drift_ratio']}x — box state "
-              "degraded during the run; late-bucket medians suspect",
+    if drift_excessive(drift):
+        print(f"WARNING: anchor drift {drift}x (two-sided) — box state "
+              "changed during the run; bucket medians suspect",
               file=sys.stderr)
-    return 0 if verdict == "CLEAN" else 1
+    ok = verdict == "CLEAN" and (record_ok is None or record_ok)
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":

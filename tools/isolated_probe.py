@@ -16,8 +16,12 @@ Usage:
 
 Output: {"query": ..., "sf_dir": ..., "runs": [...], "median": ...,
          "spread": ..., "anchor_sec": ...}
-The anchor (bench.ANCHOR_QUERY, timed once after warmup) records the
+The anchor (bench._anchor_workload — the dedicated synthetic shuffle
+anchor — timed once after warmup AND one unmeasured warm pass, so it
+samples the same steady-state quantity bench.py samples) records the
 session floor so the probe itself is auditable against box state.
+Splice probe outputs into a record candidate with
+tools/splice_record.py (median AND spread as a unit).
 """
 
 from __future__ import annotations
@@ -51,7 +55,12 @@ def main() -> None:
         spark.sparkContext.defaultParallelism)).mapInPandas(
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
-    anchor_sec = bench._time_anchor(registry, spark, sf_dir)
+    # One unmeasured anchor pass first (round-12 advice: bench.py
+    # discards the anchor's compile cost before sampling; the probe
+    # must sample the same steady-state quantity or cross-tool floor
+    # comparisons like SCALE.md's are apples-to-oranges).
+    bench._time_anchor(spark)
+    anchor_sec = bench._time_anchor(spark)
 
     runs: list[float] = []
     for _ in range(repeats):

@@ -267,6 +267,12 @@ SMOKE = [
     "token_diversity_by_source",
     "duplicate_transaction_flags",
     "term_trend_log_odds",
+    # round 13 (VERDICT r12 item 5): first-decade row for the neural
+    # reranker's scale ledger (see SMOKE10/SMOKE100 notes), plus the
+    # round-13 learned-weight seam exercise (same cascade, so its
+    # ledger starts complete instead of becoming round-14 debt).
+    "rerank_neural_scorer_eval",
+    "rerank_learned_weights_eval",
 ]
 
 
@@ -433,6 +439,12 @@ SMOKE10 = [
     "ensemble_dedup_consensus",
     "dbscan_grid_clusters",
     "modularity_components",
+    # round 13 (VERDICT r12 item 5): the round-12 neural-rerank wave's
+    # scale row — pins that the pandas-UDF scorer stays candidate-
+    # batch-shaped (BM25 front-half scans the corpus linearly; the MLP
+    # touches exactly <=100 candidates regardless of corpus size).
+    "rerank_neural_scorer_eval",
+    "rerank_learned_weights_eval",
 ]
 
 
@@ -615,6 +627,16 @@ SMOKE100 = [
     "multimodal_image_resize",
     "multimodal_video_frames",
     "audio_frame_energy",
+    # eighth installment (round 13, VERDICT r12 item 5): the neural
+    # second-stage reranker. The BM25 front-half already has its
+    # third-decade rows (bm25_topk, rerank_cross_encoder_eval); this
+    # pins that swapping the pair scorer for the Arrow-batched MLP
+    # keeps the cascade candidate-bounded — the UDF sees exactly
+    # <=100 rows whether the corpus is 5k or 1M docs. The learned
+    # variant adds one integer-sum aggregation over the same <=100
+    # candidates — training cost is batch-shaped too.
+    "rerank_neural_scorer_eval",
+    "rerank_learned_weights_eval",
 ]
 
 
