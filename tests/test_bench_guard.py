@@ -190,6 +190,29 @@ def test_splice_replaces_median_and_spread_as_a_unit():
     assert candidate["queries"]["q_poisoned"] == 12.97
 
 
+def test_splice_allow_new_adds_post_seed_names():
+    """Round 13: BENCH_record.json was seeded from f97ff0a, which
+    predates the r12/r13 wave queries — those names have no row to
+    replace. A plain splice must refuse them (missing name = typo for
+    a full-run candidate); --allow-new ADDS them with an audit row
+    marking the addition, so the record covers every registry name."""
+    import pytest
+
+    sp = _splicer()
+    candidate = {"queries": {"q_old": 1.0}, "spreads": {"q_old": 0.2}}
+    probe = {"query": "q_new_wave", "median": 2.1, "spread": 0.4,
+             "runs": [2.5, 2.1, 2.0], "anchor_sec": 0.8}
+    with pytest.raises(SystemExit):
+        sp.splice(candidate, [probe])  # default: still an error
+    out = sp.splice(candidate, [probe], allow_new=True)
+    assert out["queries"]["q_new_wave"] == 2.1
+    assert out["spreads"]["q_new_wave"] == 0.4
+    audit = out["spliced"]["q_new_wave"]
+    assert audit["added"] is True
+    assert audit["rejected_median"] is None
+    assert out["queries"]["q_old"] == 1.0
+
+
 def test_stable_anchor_discards_unstable_prefix(monkeypatch):
     """Round-12 advice: a single warm pass does not reach steady state
     (r12 record: 10.91 s first vs 0.873 s last). The stable sampler

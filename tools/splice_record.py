@@ -23,6 +23,15 @@ Usage:
 
 Each probe JSON must be an isolated_probe.py output line ({"query": ..,
 "median": .., "spread": .., "runs": [..], "anchor_sec": ..}).
+
+``--allow-new`` (round 13): the record/ledger split seeded
+``BENCH_record.json`` from the last clean run (f97ff0a), which predates
+queries added in later waves — those names have NO row to replace, so a
+plain splice refuses them (for a full-run candidate a missing name is a
+typo, and that stays an error). With ``--allow-new`` a missing name is
+ADDED from the probe, with ``"added": true`` and a null rejected_median
+in the audit block, so the record covers every registry name and the
+guard never reports a permanent spready_new for post-seed queries.
 """
 
 from __future__ import annotations
@@ -31,23 +40,29 @@ import json
 import sys
 
 
-def splice(candidate: dict, probes: list[dict]) -> dict:
+def splice(candidate: dict, probes: list[dict],
+           allow_new: bool = False) -> dict:
     """Return a new candidate dict with each probe's median+spread
-    spliced in and the rejected values preserved under "spliced"."""
+    spliced in and the rejected values preserved under "spliced".
+    With ``allow_new``, probes for names absent from the candidate are
+    ADDED (audit row carries ``"added": true`` and null rejecteds)."""
     out = dict(candidate)
     out["queries"] = dict(candidate["queries"])
     out["spreads"] = dict(candidate.get("spreads") or {})
     audit = dict(candidate.get("spliced") or {})
     for p in probes:
         name = p["query"]
-        if name not in out["queries"]:
-            raise SystemExit(f"probe query {name!r} not in candidate")
+        if name not in out["queries"] and not allow_new:
+            raise SystemExit(f"probe query {name!r} not in candidate "
+                             "(pass --allow-new to add post-seed names)")
         audit[name] = {
-            "rejected_median": out["queries"][name],
+            "rejected_median": out["queries"].get(name),
             "rejected_spread": out["spreads"].get(name),
             "probe_runs": p["runs"],
             "probe_anchor_sec": p.get("anchor_sec"),
         }
+        if name not in out["queries"]:
+            audit[name]["added"] = True
         out["queries"][name] = p["median"]
         out["spreads"][name] = p["spread"]
     out["spliced"] = audit
@@ -64,7 +79,7 @@ def main() -> int:
         out_path = sys.argv[sys.argv.index("--out") + 1]
     candidate = json.load(open(args[0]))
     probes = [json.load(open(p)) for p in args[1:]]
-    result = splice(candidate, probes)
+    result = splice(candidate, probes, allow_new="--allow-new" in sys.argv)
     with open(out_path, "w", encoding="utf-8") as fh:
         json.dump(result, fh, indent=1, sort_keys=True)
     print(json.dumps({
