@@ -94,17 +94,26 @@ def _fx_and_weights(spark, sf_dir):
 
 def test_learned_rerank_plan_is_arrow_batched_and_bounded(spark, sf_dir):
     """Same plan bar as the fixed-weight scorer: vectorized Arrow UDF
-    (never BatchEvalPython), TakeOrdered candidate truncation, and the
-    1-row weights relation joined via BroadcastNestedLoopJoin — NOT a
-    CartesianProduct (the only nested-loop allowed is broadcast of the
-    single-row trained-weights relation)."""
+    (never BatchEvalPython), TakeOrdered candidate truncation, no
+    CartesianProduct — and SINGLE-PASS training: the class-mean sums
+    are unpartitioned-window aggregates, so the documents table is
+    scanned no more times than the fixed-weight scorer scans it (the
+    first cut's separate .agg branch cross-joined back recomputed the
+    whole BM25 + tokenize front-half: +10 s at sf10, 2x the corpus
+    scan at 100 TB)."""
     df = Q.REGISTRY["rerank_learned_weights_eval"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
     assert "TakeOrdered" in plan
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" in plan
+
+    def _n_doc_scans(d):
+        p = d._jdf.queryExecution().executedPlan().toString()
+        return p.count("documents.parquet")
+
+    fixed = Q.REGISTRY["rerank_neural_scorer_eval"].fn(spark, sf_dir)
+    assert _n_doc_scans(df) <= max(_n_doc_scans(fixed), 1)
 
 
 def test_learned_weights_are_dyadic_and_discriminative(spark, sf_dir):
