@@ -1064,3 +1064,60 @@ def test_ann_batch_serving_plans(spark, sf_dir):
     plan_ivf = plan_of(spark, sf_dir, "ann_batch_serving_ivf")
     assert "MapInPandas" in plan_ivf
     assert "CartesianProduct" not in plan_ivf
+
+
+def test_scan_ratchet_logic():
+    """tools/scan_audit.py regression rule: an INCREASED per-table scan
+    count is a regression (the round-13 learned-weights shape: a branch
+    refactor quietly adding another corpus pass); decreases and
+    brand-new queries are not."""
+    import sys as _sys
+    import os as _os
+    _sys.path.insert(0, _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "tools"))
+    import scan_audit as sa
+
+    base = {"q": {"documents": 2}, "gone": {"events": 1}}
+    new = {"q": {"documents": 3, "events": 1},   # doc scans ratcheted up
+           "fresh": {"documents": 9}}            # new query: not a reg
+    regs = sa.regressions(new, base)
+    assert regs == [("q", "documents", 2, 3), ("q", "events", 0, 1)]
+    assert sa.regressions({"q": {"documents": 1}}, base) == []
+
+
+def test_production_flagships_hold_scan_baseline(spark, sf_dir):
+    """Live ratchet check over the production-path flagships (the full
+    409-query sweep lives in tools/scan_audit.py — CLI, ~4 min): each
+    source parquet appears in the executed plan no more often than the
+    committed SCAN_BASELINE.json row. The single-scan queries here are
+    pinned at 1; the BM25 family's term-filtered multi-scans are pinned
+    at their deliberate counts, so a branch recompute (the
+    learned-weights defect) fails this immediately."""
+    import json as _json
+    import sys as _sys
+    import os as _os
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    _sys.path.insert(0, _os.path.join(repo, "tools"))
+    import scan_audit as sa
+
+    baseline = _json.load(open(_os.path.join(repo, "SCAN_BASELINE.json")))
+    flagships = [
+        "flagship_hourly_activity", "star_join_region_revenue",
+        "tpch_q1_pricing_summary", "tpch_q5_local_supplier_volume",
+        "dedup_exact", "dedup_exact_prehashed", "dedup_minhash_lsh",
+        "ann_cosine_topk_blas", "ann_filtered_topk", "bm25_topk",
+        "rrf_hybrid_fusion", "rerank_neural_scorer_eval",
+        "rerank_learned_weights_eval", "text_token_stats",
+        "pack_context_windows", "sessionize_events",
+    ]
+    registry = Q.queries()
+    counts = sa.collect_counts(
+        spark, {n: registry[n] for n in flagships})
+    regs = sa.regressions(counts, baseline)
+    assert regs == [], f"scan-count ratchet regressions: {regs}"
+    # and the relational flagships stay SINGLE-scan absolutely
+    for n in ("flagship_hourly_activity", "star_join_region_revenue",
+              "tpch_q1_pricing_summary", "dedup_exact",
+              "ann_cosine_topk_blas", "text_token_stats"):
+        assert max(counts[n].values()) == 1, (n, counts[n])
