@@ -134,9 +134,15 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame
     )
 
 
-def _jaccard_from_shingles(sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
-    """Pair Jaccard from a (doc, shingle) relation: |A∩B| via shingle
-    self-join, |A∪B| = |A|+|B|−|A∩B|.
+def shingle_pair_counts(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_a, doc_b, n_inter, n_a, n_b) for every unordered doc pair
+    sharing ≥1 shingle: |A∩B| via shingle self-join plus both set sizes.
+
+    This is the shared front half of BOTH set-overlap detectors —
+    Jaccard (``jaccard_from_pair_counts``) and containment
+    (``containment_from_pair_counts``) are just different final filters
+    over it, so a session that runs several detectors builds the
+    expensive shingle self-join once.
 
     The shingle relation feeds three subplans (sizes + both join sides) —
     cache it so the tokenize/shingle explode runs once, not three times."""
@@ -154,10 +160,15 @@ def _jaccard_from_shingles(sh: DataFrame, id_col: str, threshold: float) -> Data
     )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return inter.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def jaccard_from_pair_counts(counts: DataFrame, threshold: float) -> DataFrame:
+    """Jaccard ≥ threshold pairs from a ``shingle_pair_counts`` relation
+    (|A∪B| = |A|+|B|−|A∩B|) — same output contract as
+    ``ngram_jaccard_pairs``."""
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        counts.withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
             / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
@@ -165,6 +176,27 @@ def _jaccard_from_shingles(sh: DataFrame, id_col: str, threshold: float) -> Data
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def containment_from_pair_counts(
+    counts: DataFrame, threshold: float
+) -> DataFrame:
+    """Directed-containment pairs from a ``shingle_pair_counts`` relation
+    — same output contract as ``ngram_containment_pairs``."""
+    c_ab = F.col("n_inter").cast("double") / F.col("n_a").cast("double")
+    c_ba = F.col("n_inter").cast("double") / F.col("n_b").cast("double")
+    return counts.filter((c_ab >= threshold) | (c_ba >= threshold)).select(
+        "doc_a",
+        "doc_b",
+        F.round(c_ab, 6).alias("containment_a_in_b"),
+        F.round(c_ba, 6).alias("containment_b_in_a"),
+    )
+
+
+def _jaccard_from_shingles(sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """Pair Jaccard from a (doc, shingle) relation — the one-shot
+    composition of ``shingle_pair_counts`` + ``jaccard_from_pair_counts``."""
+    return jaccard_from_pair_counts(shingle_pair_counts(sh, id_col), threshold)
 
 
 def ngram_jaccard_pairs(
@@ -1175,33 +1207,9 @@ def ngram_containment_pairs(
     path lowers the LSH threshold and verifies containment exactly on
     candidates.
     """
-    sh = _cache(shingles(df, id_col, text_col, n))
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-        )
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
-    c_ab = F.col("n_inter").cast("double") / F.col("n_a").cast("double")
-    c_ba = F.col("n_inter").cast("double") / F.col("n_b").cast("double")
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter((c_ab >= threshold) | (c_ba >= threshold))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(c_ab, 6).alias("containment_a_in_b"),
-            F.round(c_ba, 6).alias("containment_b_in_a"),
-        )
+    return containment_from_pair_counts(
+        shingle_pair_counts(shingles(df, id_col, text_col, n), id_col),
+        threshold,
     )
 
 

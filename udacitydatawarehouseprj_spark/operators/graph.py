@@ -55,6 +55,13 @@ def pagerank_integer(
     base = (15 * unit) // (100 * n_nodes)
     node_ids = nodes.select(F.col(id_col).alias("n"))
     edges_d = edges.join(deg, "a").localCheckpoint(eager=True)
+    # the dangling-node SET is loop-invariant — materialize it once so
+    # each round's dangling-mass aggregate is a semi-join against a
+    # checkpointed id list instead of re-deriving deg from the caller's
+    # full edge pipeline every iteration
+    dang_nodes = node_ids.join(
+        deg, F.col("n") == F.col("a"), "left_anti"
+    ).localCheckpoint(eager=True)
 
     r = node_ids.select(
         "n", F.lit(unit // n_nodes).cast("long").alias("r")
@@ -69,7 +76,7 @@ def pagerank_integer(
             .groupBy("dst")
             .agg(F.sum("c").alias("c"))
         )
-        dang = r.join(deg, F.col("n") == F.col("a"), "left_anti").agg(
+        dang = r.join(dang_nodes, "n", "left_semi").agg(
             F.coalesce(F.sum(F.expr("(r * 85) div 100")), F.lit(0)).alias(
                 "dang"
             )
@@ -416,6 +423,11 @@ def personalized_pagerank_integer(
         "n", F.coalesce("is_seed", F.lit(0)).alias("is_seed")
     ).localCheckpoint(eager=True)
     edges_d = edges.join(deg, "a").localCheckpoint(eager=True)
+    # loop-invariant dangling-node set, materialized once (see
+    # pagerank_integer)
+    dang_nodes = node_ids.join(
+        deg, F.col("n") == F.col("a"), "left_anti"
+    ).localCheckpoint(eager=True)
 
     r = marked.select(
         "n",
@@ -431,7 +443,7 @@ def personalized_pagerank_integer(
             .groupBy("dst")
             .agg(F.sum("c").alias("c"))
         )
-        dang = r.join(deg, F.col("n") == F.col("a"), "left_anti").agg(
+        dang = r.join(dang_nodes, "n", "left_semi").agg(
             F.coalesce(F.sum(F.expr("(r * 85) div 100")), F.lit(0)).alias(
                 "dang"
             )
