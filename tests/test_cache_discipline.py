@@ -39,9 +39,10 @@ def test_no_net_cached_block_growth(spark, sf_dir):
         qs[name](spark, sf_dir).count()
         counts.append(_n_persisted(spark))
     # In-flight caches bounded by one query's worth of tracked caches
-    # (≤3 relations) plus the one session-shared LSH pair relation —
+    # (≤3 relations) plus the session-shared relations this sequence
+    # touches (LSH pairs + round-13's shared simhash signatures) —
     # never the sum over the sequence, i.e. the boundary release works.
-    assert max(counts) - baseline <= 4, counts
+    assert max(counts) - baseline <= 5, counts
     # Repeat visits to the same query plateau rather than grow.
     assert counts[3] <= counts[0] + 1 and counts[5] <= counts[0] + 1, counts
     S.release_tracked_caches()
@@ -58,23 +59,31 @@ def test_release_is_idempotent_and_safe_before_action(spark, sf_dir):
 
 
 def test_shared_cache_memoizes_across_query_boundaries(spark, sf_dir):
-    """The LSH pair relation is built once and REUSED by its three
-    consumers — the query-boundary release must not drop it, and the
-    explicit shared release must."""
+    """The LSH pair relation is built once and REUSED by its consumers —
+    the query-boundary release must not drop it, and the explicit shared
+    release must. Since round 13 the cluster family additionally shares
+    the CC label relation derived from the pairs (one more shared entry,
+    still exactly one PAIR build)."""
     S.release_shared_caches()
     qs = Q.queries()
     a = qs["dedup_minhash_lsh"](spark, sf_dir)
     a.count()
-    n_shared = len(S._SHARED_CACHES)
-    assert n_shared == 1
+    assert set(k.split(":")[0] for k in S._SHARED_CACHES) == {
+        "minhash_lsh_pairs"
+    }
+    pairs_entry = next(iter(S._SHARED_CACHES.values()))
     # crossing a query boundary (which releases tracked caches) must not
-    # evict the shared relation…
+    # evict the shared relation; the cluster query adds its shared CC
+    # labels but must REUSE the same pair entry, not rebuild it…
     b = qs["dedup_near_dup_clusters"](spark, sf_dir)
     b.count()
-    assert len(S._SHARED_CACHES) == 1  # same entry, not a second build
+    assert set(k.split(":")[0] for k in S._SHARED_CACHES) == {
+        "minhash_lsh_pairs", "lsh_cc_labels"
+    }
+    assert any(df is pairs_entry for df in S._SHARED_CACHES.values())
     c = qs["dedup_keep_best_quality"](spark, sf_dir)
     assert c.count() > 0
-    assert len(S._SHARED_CACHES) == 1
+    assert len(S._SHARED_CACHES) == 2  # same entries, no second build
     # …and results stay consistent with a fresh, uncached build
     S.release_shared_caches()
     assert len(S._SHARED_CACHES) == 0

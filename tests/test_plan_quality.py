@@ -301,8 +301,13 @@ def test_weighted_sample_is_takeordered(spark, sf_dir):
 
 
 def test_quantize_is_pure_projection(spark, sf_dir):
+    """Quantization itself is a pure projection: no Python boundary, no
+    shuffle beyond the one session.spread repartition added in round 13
+    (parallelizes the per-row array folds on a single-file input; a
+    no-op when the input already arrives parallel)."""
     plan = plan_of(spark, sf_dir, "embedding_quantize_int8")
-    assert count_exchanges(plan) == 0
+    assert count_exchanges(plan) <= 1
+    assert "rangepartitioning" not in plan  # no global sort snuck in
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
@@ -922,7 +927,8 @@ BUILD_ACTION_WHITELIST: dict[str, int] = {
     "cluster_size_histogram": 5,           # [iter] CC rounds
     "partitioned_ingest_pruned": 2,        # [fixture] partitioned write
     "incremental_rollup_maintain": 1,      # [fixture] base table write
-    "pagerank_similarity_graph": 9,        # [iter] unrolled PR rounds
+    "pagerank_similarity_graph": 10,       # [iter] unrolled PR rounds +
+                                           # r13 dangling-set checkpoint
     "triangle_count_similarity": 1,        # [seed] edge relation probe
     "schema_evolution_read": 2,            # [fixture] two schema writes
     "ann_pq_topk": 5,                      # [iter] codebook k-means
@@ -950,7 +956,8 @@ BUILD_ACTION_WHITELIST: dict[str, int] = {
     "sql_udf_suite": 3,                    # [sqltxt] UDF DDL
     "table_ddl_lifecycle": 7,              # [fixture] create/append/drop
     "er_survivorship_scored": 18,          # [iter] ER graph + CC
-    "personalized_pagerank_seeded": 10,    # [iter] unrolled PPR rounds
+    "personalized_pagerank_seeded": 11,    # [iter] unrolled PPR rounds +
+                                           # r13 dangling-set checkpoint
     "cluster_medoid_selection": 5,         # [iter] k-means + medoid
     "power_iteration_blas_production": 1,  # [seed] gram partials collect
     "cka_blas_production": 1,              # [seed] gram partials collect
