@@ -889,8 +889,10 @@ def test_rd_bandwidth_filter_pushed_to_scan(spark, sf_dir):
 #           (DDL, scripting control flow, catalog introspection).
 BUILD_ACTION_WHITELIST: dict[str, int] = {
     "bom_quantity_rollup": 1,              # [seed] depth probe
-    "dbscan_grid_clusters": 6,             # [iter] expansion rounds
-    "modularity_components": 10,           # [iter] CC rounds over pairs
+    "dbscan_grid_clusters": 7,             # [iter] expansion rounds +
+                                           # r13 CC edge-count sizing
+    "modularity_components": 11,           # [iter] CC rounds over pairs
+                                           # + r13 CC edge-count sizing
     "agg_grouping_sets": 1,                # [sqltxt]
     "cte_hourly_active_users": 1,          # [sqltxt]
     "catalog_introspection": 10,           # [sqltxt] SHOW/DESCRIBE set
@@ -948,14 +950,17 @@ BUILD_ACTION_WHITELIST: dict[str, int] = {
     "leakage_safe_split": 5,               # [iter] CC rounds
     "compact_small_files": 2,              # [fixture] small-file write
     "modern_sql_syntax_suite": 1,          # [sqltxt]
-    "connected_components_minlabel": 6,    # [iter] CC rounds
+    "connected_components_minlabel": 7,    # [iter] CC rounds +
+                                           # r13 CC edge-count sizing
     "lines_ingest_roundtrip": 1,           # [fixture]
     "k_core_similarity_graph": 6,          # [iter] peel rounds
-    "entity_resolution_pipeline": 18,      # [iter] ER index + CC
+    "entity_resolution_pipeline": 19,      # [iter] ER index + CC +
+                                           # r13 CC edge-count sizing
     "collation_aware_grouping": 1,         # [sqltxt]
     "sql_udf_suite": 3,                    # [sqltxt] UDF DDL
     "table_ddl_lifecycle": 7,              # [fixture] create/append/drop
-    "er_survivorship_scored": 18,          # [iter] ER graph + CC
+    "er_survivorship_scored": 19,          # [iter] ER graph + CC +
+                                           # r13 CC edge-count sizing
     "personalized_pagerank_seeded": 11,    # [iter] unrolled PPR rounds +
                                            # r13 dangling-set checkpoint
     "cluster_medoid_selection": 5,         # [iter] k-means + medoid
