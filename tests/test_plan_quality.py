@@ -1097,6 +1097,26 @@ def test_scan_ratchet_logic():
     assert regs == [("q", "documents", 2, 3), ("q", "events", 0, 1)]
     assert sa.regressions({"q": {"documents": 1}}, base) == []
 
+    # cached-subtree stripping: a consumer is charged its OWN FileScans
+    # only — the InMemoryRelation build plan (whose print shape flaps
+    # with session state) is cut, including nested caches; siblings and
+    # parents at or above the relation's indent survive
+    plan = "\n".join([
+        "AdaptiveSparkPlan isFinalPlan=false",
+        "+- HashAggregate",
+        "   +- InMemoryTableScan [doc_id]",
+        "         +- InMemoryRelation [doc_id], StorageLevel(...)",
+        "               +- FileScan parquet [x] ... documents.parquet",
+        "               +- InMemoryRelation [y], StorageLevel(...)",
+        "                     +- FileScan parquet ... events.parquet",
+        "   +- Project",
+        "      +- FileScan parquet [doc_id] ... documents.parquet",
+    ])
+    kept = sa.strip_cached_subtrees(plan)
+    assert "events.parquet" not in kept
+    assert kept.count("documents.parquet") == 1
+    assert "InMemoryTableScan" in kept  # the consumer-side node stays
+
 
 def test_production_flagships_hold_scan_baseline(spark, sf_dir):
     """Live ratchet check over the production-path flagships (the full

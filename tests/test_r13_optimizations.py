@@ -67,6 +67,85 @@ def test_pair_counts_values(docs):
     dedup.release_caches()
 
 
+def test_shared_front_halves_memoize_and_match_fresh_build(spark, sf_dir):
+    """The wave-3 session-shared relations (BM25 per-doc scores, the JL
+    system top-k, the cosine≥0.4 pair graph) must (a) create exactly one
+    shared entry each, reused — not rebuilt — by their second consumer,
+    and (b) serve values identical to a fresh, uncached build."""
+    from udacitydatawarehouseprj_spark import queries as Q
+    from udacitydatawarehouseprj_spark import session as S
+
+    S.release_tracked_caches()
+    S.release_shared_caches()
+    qs = Q.queries()
+    pairs = [
+        ("bm25_topk", "rrf_hybrid_fusion", "bm25_per_doc"),
+        ("retrieval_mrr_eval", "ndcg_retrieval_eval", "jl_sys_topk5"),
+        ("embedding_near_dup", "clustering_coefficient_local",
+         "cosine_pairs_04"),
+    ]
+    for first, second, key in pairs:
+        S.release_shared_caches()
+        a = sorted(map(tuple, qs[first](spark, sf_dir).collect()))
+        built = [k for k in S._SHARED_CACHES if k.startswith(f"{key}:")]
+        assert len(built) == 1, (key, list(S._SHARED_CACHES))
+        entry = S._SHARED_CACHES[built[0]]
+        qs[second](spark, sf_dir).collect()
+        # second consumer reused the SAME cached relation object
+        assert S._SHARED_CACHES[built[0]] is entry
+        assert len(
+            [k for k in S._SHARED_CACHES if k.startswith(f"{key}:")]
+        ) == 1
+        # …and the shared relation serves exactly what a fresh build does
+        S.release_shared_caches()
+        fresh = sorted(map(tuple, qs[first](spark, sf_dir).collect()))
+        assert a == fresh, key
+    S.release_tracked_caches()
+    S.release_shared_caches()
+
+
+def test_rerank_feats_tokenize_after_join_is_value_identical(spark, sf_dir):
+    """_rerank_base_feats tokenizes AFTER the ≤N-row broadcast join
+    prunes the corpus; the old shape tokenized every document first.
+    Per-row expressions commute with the join filter, so the relation
+    must be row-for-row identical to the old construction."""
+    from pyspark.sql.window import Window
+
+    from udacitydatawarehouseprj_spark import queries as Q
+    from udacitydatawarehouseprj_spark import session as S
+
+    S.release_shared_caches()
+    new = Q._rerank_base_feats(spark, sf_dir)
+
+    # the pre-wave-3 inline shape, verbatim
+    cand = (
+        Q._bm25_per_doc(spark, sf_dir)
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(Q._CE_CAND_N)
+    )
+    base = cand.withColumn(
+        "r_base",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
+        .cast("long"),
+    )
+    docs = S.load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", dedup.tokens_expr("text").alias("t"))
+    old = F.broadcast(base).join(toks, "doc_id").select(
+        "doc_id", "score", "r_base",
+        *[
+            F.array_position("t", term).cast("long").alias(f"p{i + 1}")
+            for i, term in enumerate(Q._BM25_TERMS)
+        ],
+    )
+    assert new.columns == old.columns
+    assert sorted(map(tuple, new.collect())) == sorted(
+        map(tuple, old.collect())
+    )
+    S.release_tracked_caches()
+    S.release_shared_caches()
+
+
 def _expected_integer_pagerank(nodes, edges, iterations, unit):
     """Reference replay of the exact integer recurrence in plain Python
     (the spec pagerank_integer implements; dangling nodes = no out-edge)."""

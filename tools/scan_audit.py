@@ -53,16 +53,47 @@ BASELINE = os.path.join(
 SF_DIR = "/root/testdata/sf0.01"
 
 
+def strip_cached_subtrees(plan: str) -> str:
+    """Drop every InMemoryRelation subtree from a plan-tree string.
+
+    A cached relation's build plan is printed inline under each consumer
+    (and HOW it prints depends on session state: materialized vs pending,
+    AQE final-vs-initial plan echoing), so counting raw text made the
+    per-query counts flap across sessions — the committed baseline and a
+    later identical-code sweep disagreed 3-4x on every shared-cache
+    consumer. The cached build executes once per session and its scans
+    are not the consumer's own passes; the ratchet's target (a refactor
+    adding an UNCACHED duplicate branch — the learned-weights defect)
+    shows up in the consumer's own subtree, which is what's left after
+    the cut."""
+    out_lines = []
+    cut_col = None
+    for line in plan.splitlines():
+        col = len(line) - len(line.lstrip(" :+-"))
+        if cut_col is not None:
+            if col > cut_col:
+                continue
+            cut_col = None
+        if "InMemoryRelation" in line:
+            cut_col = col
+            continue
+        out_lines.append(line)
+    return "\n".join(out_lines)
+
+
 def collect_counts(spark, registry=None) -> dict[str, dict[str, int]]:
     """Build every registry plan (no execution) and count FileScan
-    references per source parquet."""
+    references per source parquet — the query's OWN scans only (cached
+    subtrees stripped, see strip_cached_subtrees)."""
     from udacitydatawarehouseprj_spark import queries as Q
 
     registry = registry or Q.queries()
     out: dict[str, dict[str, int]] = {}
     for name, fn in sorted(registry.items()):
         df = fn(spark, SF_DIR)
-        plan = df._jdf.queryExecution().executedPlan().toString()
+        plan = strip_cached_subtrees(
+            df._jdf.queryExecution().executedPlan().toString()
+        )
         counts: dict[str, int] = {}
         for m in re.finditer(r"(\w+)\.parquet", plan):
             counts[m.group(1)] = counts.get(m.group(1), 0) + 1
