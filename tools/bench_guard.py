@@ -167,6 +167,25 @@ def classify_spreads(spreads, new_queries, ref_queries):
     return stragglers, spready_ok, spready_new
 
 
+def classify_shared_builds(new_builds, ref_builds):
+    """Shared-build regression rule (VERDICT r13 item 6): build times
+    are charged once per run and excluded from every median, so only
+    this direct comparison can catch a build-pipeline regression.
+    Returns [(ratio, key, ref_sec, new_sec), ...] for builds >2x the
+    record with >0.5 s absolute delta; empty when either report
+    predates the shared_builds block (no reference to compare)."""
+    if not new_builds or not ref_builds:
+        return []
+    out = []
+    for key, sec in new_builds.items():
+        rt = ref_builds.get(key)
+        if rt is None or rt <= 0:
+            continue
+        if sec > 2.0 * rt and sec - rt > 0.5:
+            out.append((round(sec / rt, 1), key, rt, sec))
+    return sorted(out, reverse=True)
+
+
 def drift_excessive(drift_ratio, ceiling: float = RECORD_DRIFT_CEILING):
     """Two-sided anchor-drift test: True when the first/last anchor
     samples disagree by more than ``ceiling`` in EITHER direction
@@ -180,7 +199,8 @@ def drift_excessive(drift_ratio, ceiling: float = RECORD_DRIFT_CEILING):
 
 
 def record_bar(n_outliers: int, n_stragglers, median_ratio=None,
-               drift_ratio=None, n_spready_new: int = 0):
+               drift_ratio=None, n_spready_new: int = 0,
+               n_build_regressions: int = 0):
     """The stricter bar a record-candidate must clear (--record).
     Returns (ok, reasons) — reasons is the FULL list of failed rules
     (round-12 advice: a single overwritten verdict lost the stronger
@@ -209,6 +229,11 @@ def record_bar(n_outliers: int, n_stragglers, median_ratio=None,
         reasons.append(
             f"{n_spready_new} unvetted new-query median(s) (spready_new) — "
             "probe each in isolation and splice before promoting")
+    if n_build_regressions > 0:
+        reasons.append(
+            f"{n_build_regressions} shared-build regression(s) >2x the "
+            "record — the build cost is invisible to every median; "
+            "investigate the build pipeline before promoting")
     return not reasons, reasons
 
 
@@ -239,13 +264,21 @@ def main() -> int:
         verdict = "CONTAMINATED"
 
     spreads = new.get("spreads")
-    if spreads is None:
+    # round-14: the stdout line no longer carries spreads/anchor/
+    # shared_builds (it outgrew the driver's capture — r10-r12 parsed
+    # null); recover all three from the side file when it is the same run
+    if spreads is None or new.get("anchor") is None:
         try:
             full = json.load(
                 open(os.path.join(_repo_root(), LATEST_FILE)))
             # only trust the side file if it is the same run
             if full.get("queries") == new.get("queries"):
-                spreads = full.get("spreads")
+                if spreads is None:
+                    spreads = full.get("spreads")
+                if new.get("anchor") is None:
+                    new["anchor"] = full.get("anchor")
+                if new.get("shared_builds") is None:
+                    new["shared_builds"] = full.get("shared_builds")
         except Exception:
             pass
     stragglers, spready_ok, spready_new = classify_spreads(
@@ -254,6 +287,14 @@ def main() -> int:
 
     anchor = new.get("anchor")
     drift = anchor.get("drift_ratio") if anchor else None
+    # shared-build regression rule (VERDICT r13 item 6): a shared-cache
+    # build's cost is excluded from every per-query median (it lands in
+    # the first consumer's discarded first repeat), so a regression in a
+    # BUILD would be invisible to the ratio rules — compare the report's
+    # shared_builds block against the record's and flag >2x with >0.5 s
+    # absolute. Skipped when either side predates the block.
+    build_regressions = classify_shared_builds(
+        new.get("shared_builds"), ref.get("shared_builds"))
     if record_mode:
         record_ok, record_reasons = record_bar(
             len(outliers),
@@ -261,6 +302,7 @@ def main() -> int:
             median_ratio=round(med, 3),
             drift_ratio=drift,
             n_spready_new=len(spready_new),
+            n_build_regressions=len(build_regressions),
         )
         record_verdict = "RECORD-OK" if record_ok else "RECORD-BAR-FAIL"
     else:
@@ -289,6 +331,8 @@ def main() -> int:
         "spready_new": spready_new[:8],
         "anchor": anchor,
         "anchor_drift": drift,
+        "n_shared_build_regressions": len(build_regressions),
+        "shared_build_regressions": build_regressions[:8],
         "record_mode": record_mode,
         "record_reasons": record_reasons,
         "promoted": promoted,

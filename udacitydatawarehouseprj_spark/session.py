@@ -107,6 +107,19 @@ def release_tracked_caches() -> None:
 # (bench/parity end) or release_all_caches().
 _SHARED_CACHES: dict[str, DataFrame] = {}
 
+#: When True (set by bench.py), each shared-cache build is materialized
+#: EAGERLY at construction and its wall time recorded here, so the bench
+#: report can charge shared builds as a first-class block instead of
+#: hiding them in the first consumer's discarded first repeat (VERDICT
+#: r13 "What's wrong" item 4). Timing-wise nothing moves: the build
+#: still lands inside the first consumer's first timed repeat (query
+#: construction happens inside the bench's timed region) and the median
+#: still reflects steady state — the block only makes the cost VISIBLE.
+#: Off by default so oracle/test runs keep the lazy build (no extra
+#: actions — the plan-quality action budgets run without the flag).
+TIME_SHARED_BUILDS = False
+SHARED_BUILD_SECONDS: dict[str, float] = {}
+
 
 def shared_cache(key: str, build) -> DataFrame:
     """Memoize ``build()`` under ``key``, persisted, across query
@@ -117,11 +130,18 @@ def shared_cache(key: str, build) -> DataFrame:
     if df is None:
         df = build().persist()
         _SHARED_CACHES[key] = df
+        if TIME_SHARED_BUILDS:
+            import time as _time
+
+            t0 = _time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            SHARED_BUILD_SECONDS[key] = round(_time.perf_counter() - t0, 3)
     return df
 
 
 def release_shared_caches() -> None:
     """Unpersist and forget every shared cache (harness teardown)."""
+    SHARED_BUILD_SECONDS.clear()
     while _SHARED_CACHES:
         _, df = _SHARED_CACHES.popitem()
         try:
